@@ -1,0 +1,500 @@
+"""Fused single-plan quality profiler.
+
+The reference issues ≈ `5 + 2·numeric + 5·string + rules + 2·corr + cols` full-scan
+Spark jobs per scoring run (one action per metric — engine.py:439-553). This engine
+computes the identical metric set in **at most 3 scans**:
+
+  pass 1  one `df.agg(...)` with every conditional/distinct aggregate fused
+  pass 2  one quantile aggregate over all numeric columns (exact or approx)
+  pass 3  one conditional-sum aggregate for IQR-fence outlier counts
+          (needs pass-2 fences — fundamentally a second scan; skipped when there
+          are no numeric columns)
+
+All three are plain Catalyst plans: predicate/column pruning, whole-stage codegen and
+partial (map-side) aggregation apply automatically. `profile_grouped` is the same
+plan with a `groupBy(partition_cols)` — the per-partition metric tables the
+north_rule requires.
+
+Semantics parity notes (re-derived from the reference, never copied):
+  * metric definitions per SURVEY.md §2.4 A1-A14; score algebra in `scoring.py`.
+  * rule violations use `~F.expr(cond)` with null → not-a-violation, matching
+    `df.filter(~F.expr(cond)).count()` (engine.py:445).
+  * duplicate rows = count(*) - count(distinct all columns), null-safe via struct
+    equality, matching `dropDuplicates().count()` (engine.py:409).
+  * distinct counts are exact by default (oracle-checkable); pass
+    `exact_distinct=False` for HLL `approx_count_distinct` at 100 TB scale, which is
+    what the reference's Spark engine itself uses for column uniqueness
+    (engine.py:553).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from data_quality_check_spark.operators import scoring
+from data_quality_check_spark.operators.scoring import (
+    ColumnScore,
+    TableScore,
+)
+
+# Canonical validation regexes (engine.py:477-478; the Spark engine's phone pattern
+# is taken as canonical over the pandas variant — SURVEY.md §1.2).
+EMAIL_RE = r"^[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}$"
+PHONE_RE = r"^\+?[\d][\d\s\-\.\(\)]{6,20}$"
+
+# Values treated as "fake nulls" after lower(trim(...)) (engine.py:521).
+FAKE_NULLS = ["n/a", "na", "null", "none", "-", "--", "unknown", "inconnu", "?", "nan", "nd"]
+
+# Column-name keywords that mark a numeric column as must-be-non-negative
+# (engine.py:438).
+NEGATIVE_KEYWORDS = ["price", "prix", "amount", "montant", "age", "qty", "quantity", "stock"]
+
+_NUMERIC_TYPES = (T.DoubleType, T.FloatType, T.IntegerType, T.LongType)
+
+# Case-variance penalty applies when 2 <= distinct <= 50 (engine.py:539).
+CASE_VARIANT_MIN, CASE_VARIANT_MAX = 2, 50
+
+IQR_FENCE_K = 3.0  # fences at Q1 - 3·IQR / Q3 + 3·IQR (engine.py:466)
+
+
+@dataclass
+class ProfileConfig:
+    table_name: str = "dataset"
+    date_columns: list[str] = field(default_factory=list)
+    email_columns: list[str] = field(default_factory=list)
+    phone_columns: list[str] = field(default_factory=list)
+    custom_rules: list[dict] = field(default_factory=list)  # {name, condition, severity, column}
+    correlation_rules: list[dict] = field(default_factory=list)  # {col_a, col_b, operator, name, severity}
+    freshness_threshold_hours: float = 24.0
+    exact_distinct: bool = True
+    percentile_accuracy: int = 10_000  # used when exact_distinct quantiles disabled
+    exact_percentiles: bool = True
+    min_numeric_rows: int = 0  # pandas engine skips cols with <10 non-null; Spark engine does not
+
+
+@dataclass
+class ProfileResult:
+    table_score: TableScore
+    metrics: dict  # raw fused-aggregate row, flat {metric_name: value}
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def _cif(cond: Column) -> Column:
+    """count rows where cond is true (null-safe)."""
+    return F.count_if(cond)
+
+
+def _distinct(col: Column, exact: bool) -> Column:
+    return F.count_distinct(col) if exact else F.approx_count_distinct(col)
+
+
+def _email_cols(df: DataFrame, cfg: ProfileConfig) -> list[str]:
+    cols = cfg.email_columns or [c for c in df.columns if any(k in c.lower() for k in ("email", "mail"))]
+    return [c for c in cols if c in df.columns]
+
+
+def _phone_cols(df: DataFrame, cfg: ProfileConfig) -> list[str]:
+    cols = cfg.phone_columns or [
+        c for c in df.columns if any(k in c.lower() for k in ("phone", "tel", "mobile", "gsm"))
+    ]
+    return [c for c in cols if c in df.columns]
+
+
+def _negative_check_cols(df: DataFrame) -> list[str]:
+    return [c for c in numeric_columns(df) if any(k in c.lower() for k in NEGATIVE_KEYWORDS)]
+
+
+def validate_rules(df: DataFrame, rules: list[dict]) -> tuple[list[tuple[int, dict]], list[dict]]:
+    """Split rules into (index, rule) pairs that analyze against the schema and
+    rules that don't. Mirrors the reference's degrade-don't-fail behavior for
+    unapplicable rules (engine.py:244-246, engine.py:451) but surfaces the skip as
+    an explicit issue instead of a bare `except: pass`. Analysis is driver-only —
+    no job runs."""
+    valid, invalid = [], []
+    for i, rule in enumerate(rules):
+        try:
+            df.select(F.expr(rule["condition"]).cast("boolean"))
+            valid.append((i, rule))
+        except Exception:
+            invalid.append(rule)
+    return valid, invalid
+
+
+def pass1_aggs(df: DataFrame, cfg: ProfileConfig) -> list[Column]:
+    """Every global aggregate except quantile-dependent ones, fused into one pass."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+
+    # A2 — per-column null counts.
+    for c in df.columns:
+        aggs.append(_cif(F.col(c).isNull()).alias(f"nulls__{c}"))
+
+    # A3 — full-row distinct count (duplicates = row_count - this). struct() makes
+    # the count null-safe: a struct of all columns is itself never null.
+    aggs.append(
+        _distinct(F.struct(*[F.col(c) for c in df.columns]), cfg.exact_distinct).alias("distinct_rows")
+    )
+
+    # A6 — negative-value counts for keyword-named numeric columns.
+    for c in _negative_check_cols(df):
+        aggs.append(_cif(F.col(c) < 0).alias(f"neg__{c}"))
+
+    # A5 — custom-rule violation counts (rule DSL = Spark SQL expression strings).
+    valid_rules, _ = validate_rules(df, cfg.custom_rules)
+    for i, rule in valid_rules:
+        aggs.append(_cif(~F.expr(rule["condition"])).alias(f"rule__{i}"))
+
+    # A10 — correlation (two-column invariant) checked/violation counts.
+    for i, rule in enumerate(cfg.correlation_rules):
+        a, b = F.col(rule["col_a"]), F.col(rule["col_b"])
+        both = a.isNotNull() & b.isNotNull()
+        viol = (a >= b) if rule.get("operator", "<") == "<" else (a > b)
+        aggs.append(_cif(both).alias(f"corrc__{i}"))
+        aggs.append(_cif(both & viol).alias(f"corrv__{i}"))
+
+    # A9 — email/phone format validity.
+    for c in _email_cols(df, cfg):
+        col = F.col(c).cast("string")
+        aggs.append(F.count(col).alias(f"emailc__{c}"))
+        aggs.append(_cif(col.isNotNull() & ~col.rlike(EMAIL_RE)).alias(f"emailv__{c}"))
+    for c in _phone_cols(df, cfg):
+        col = F.col(c).cast("string")
+        aggs.append(F.count(col).alias(f"phonec__{c}"))
+        aggs.append(_cif(col.isNotNull() & ~col.rlike(PHONE_RE)).alias(f"phonev__{c}"))
+
+    # A11-A13 — standardization metrics per string column.
+    for c in string_columns(df):
+        col = F.col(c)
+        folded = F.lower(F.trim(col))
+        aggs.append(F.count(col).alias(f"strc__{c}"))
+        aggs.append(_cif(col.isNotNull() & (col != F.trim(col))).alias(f"ws__{c}"))
+        aggs.append(_cif(folded.isin(FAKE_NULLS)).alias(f"fn__{c}"))
+        aggs.append(_distinct(col, cfg.exact_distinct).alias(f"nu__{c}"))
+        aggs.append(_distinct(folded, cfg.exact_distinct).alias(f"nl__{c}"))
+
+    # A4 — max timestamp per declared date column (try-cast semantics).
+    for c in cfg.date_columns:
+        if c in df.columns:
+            aggs.append(F.max(F.to_timestamp(F.col(c))).alias(f"maxd__{c}"))
+
+    # A14 — distinct count per column for per-column uniqueness scores
+    # (string columns reuse nu__; add the rest).
+    strset = set(string_columns(df))
+    for c in df.columns:
+        if c not in strset:
+            aggs.append(_distinct(F.col(c), cfg.exact_distinct).alias(f"nd__{c}"))
+
+    return aggs
+
+
+def quantile_aggs(df: DataFrame, cfg: ProfileConfig) -> list[Column]:
+    """Pass 2: (p25, p75) for every numeric column in one aggregate."""
+    aggs = []
+    for c in numeric_columns(df):
+        if cfg.exact_percentiles:
+            aggs.append(F.percentile(F.col(c), F.lit(0.25)).alias(f"q1__{c}"))
+            aggs.append(F.percentile(F.col(c), F.lit(0.75)).alias(f"q3__{c}"))
+        else:
+            aggs.append(
+                F.percentile_approx(F.col(c), F.lit(0.25), F.lit(cfg.percentile_accuracy)).alias(f"q1__{c}")
+            )
+            aggs.append(
+                F.percentile_approx(F.col(c), F.lit(0.75), F.lit(cfg.percentile_accuracy)).alias(f"q3__{c}")
+            )
+    return aggs
+
+
+def outlier_aggs(df: DataFrame, fences: dict[str, tuple[float, float]]) -> list[Column]:
+    """Pass 3: IQR-fence outlier counts for the columns whose IQR != 0."""
+    aggs = []
+    for c, (lo, hi) in fences.items():
+        aggs.append(_cif((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).alias(f"out__{c}"))
+    return aggs
+
+
+def fences_from_quantiles(qrow: dict, num_cols: list[str]) -> dict[str, tuple[float, float]]:
+    fences = {}
+    for c in num_cols:
+        q1, q3 = qrow.get(f"q1__{c}"), qrow.get(f"q3__{c}")
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        if iqr == 0:
+            continue
+        fences[c] = (q1 - IQR_FENCE_K * iqr, q3 + IQR_FENCE_K * iqr)
+    return fences
+
+
+def profile(df: DataFrame, cfg: ProfileConfig | None = None, now: datetime | None = None) -> ProfileResult:
+    """Profile a table in ≤3 Spark jobs; returns TableScore + the raw metric row."""
+    cfg = cfg or ProfileConfig()
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+
+    m = df.agg(*pass1_aggs(df, cfg)).collect()[0].asDict()
+
+    num_cols = numeric_columns(df)
+    fences: dict[str, tuple[float, float]] = {}
+    if num_cols:
+        qrow = df.agg(*quantile_aggs(df, cfg)).collect()[0].asDict()
+        m.update(qrow)
+        fences = fences_from_quantiles(qrow, num_cols)
+        if fences:
+            orow = df.agg(*outlier_aggs(df, fences)).collect()[0].asDict()
+            m.update(orow)
+
+    return ProfileResult(table_score=_assemble(df, cfg, m, fences, now), metrics=m)
+
+
+def _assemble(
+    df: DataFrame, cfg: ProfileConfig, m: dict, fences: dict, now: datetime
+) -> TableScore:
+    row_count = m["row_count"]
+    cols = df.columns
+    r = TableScore(
+        table_name=cfg.table_name,
+        row_count=row_count,
+        col_count=len(cols),
+        custom_rules=cfg.custom_rules,
+    )
+    issues = r.issues
+
+    # completeness
+    total_nulls = sum(m[f"nulls__{c}"] for c in cols)
+    for c in cols:
+        pct = m[f"nulls__{c}"] / row_count * 100 if row_count else 0.0
+        if pct > 20:
+            issues.append(
+                {
+                    "dimension": "completeness",
+                    "severity": "high" if pct > 50 else "medium",
+                    "column": c,
+                    "message": f"{pct:.1f}% null values ({m[f'nulls__{c}']:,}/{row_count:,})",
+                }
+            )
+    r.completeness = scoring.completeness_score(total_nulls, row_count, len(cols)) if row_count else 0.0
+
+    # uniqueness
+    dup = row_count - m["distinct_rows"]
+    dup_pct = dup / row_count * 100 if row_count else 0.0
+    if dup_pct > 5:
+        issues.append(
+            {
+                "dimension": "uniqueness",
+                "severity": "high" if dup_pct > 20 else "medium",
+                "column": "all",
+                "message": f"{dup:,} duplicate rows ({dup_pct:.1f}%)",
+            }
+        )
+    r.uniqueness = scoring.uniqueness_score(dup, row_count)
+
+    # freshness
+    lags = []
+    for c in cfg.date_columns:
+        maxd = m.get(f"maxd__{c}")
+        if maxd is None:
+            continue
+        lag = (now - maxd).total_seconds() / 3600.0
+        lags.append(lag)
+        if lag > cfg.freshness_threshold_hours:
+            issues.append(
+                {
+                    "dimension": "freshness",
+                    "severity": "high" if lag > cfg.freshness_threshold_hours * 3 else "medium",
+                    "column": c,
+                    "message": f"latest data is {lag:.0f}h old",
+                }
+            )
+    r.freshness = scoring.freshness_score(lags, cfg.freshness_threshold_hours)
+
+    # consistency: negative keyword columns + custom rules
+    v = c_ = 0
+    for c in _negative_check_cols(df):
+        neg = m[f"neg__{c}"]
+        v += neg
+        c_ += row_count
+        if neg > 0:
+            issues.append(
+                {
+                    "dimension": "consistency",
+                    "severity": "high",
+                    "column": c,
+                    "message": f"{neg:,} negative values",
+                }
+            )
+    for i, rule in enumerate(cfg.custom_rules):
+        if f"rule__{i}" not in m:  # didn't analyze against this schema → skipped
+            issues.append(
+                {
+                    "dimension": "consistency",
+                    "severity": "low",
+                    "column": rule.get("column", "?"),
+                    "message": f"rule not applicable to this dataset: {rule.get('name', '')}",
+                }
+            )
+            continue
+        n = m[f"rule__{i}"]
+        v += n
+        c_ += row_count
+        if n > 0:
+            issues.append(
+                {
+                    "dimension": "consistency",
+                    "severity": rule.get("severity", "medium"),
+                    "column": rule.get("column", "custom"),
+                    "message": f"rule '{rule['name']}': {n:,} violations",
+                }
+            )
+    r.consistency = scoring.ratio_score(v, c_)
+
+    # distribution
+    ratios = []
+    for c in fences:
+        nn = row_count - m[f"nulls__{c}"]
+        if nn == 0:
+            continue
+        ratio = m[f"out__{c}"] / nn
+        ratios.append(ratio)
+        if ratio > 0.05:
+            issues.append(
+                {
+                    "dimension": "distribution",
+                    "severity": "medium",
+                    "column": c,
+                    "message": f"{m[f'out__{c}']:,} extreme outliers ({ratio * 100:.1f}%)",
+                }
+            )
+    r.distribution = scoring.distribution_score(ratios)
+
+    # validity
+    v = c_ = 0
+    for c in _email_cols(df, cfg):
+        total, inv = m[f"emailc__{c}"], m[f"emailv__{c}"]
+        c_ += total
+        v += inv
+        if inv > 0 and total:
+            pct = inv / total * 100
+            issues.append(
+                {
+                    "dimension": "validity",
+                    "severity": "high" if pct > 20 else "medium",
+                    "column": c,
+                    "message": f"{inv:,} invalid emails ({pct:.1f}%)",
+                }
+            )
+    for c in _phone_cols(df, cfg):
+        total, inv = m[f"phonec__{c}"], m[f"phonev__{c}"]
+        c_ += total
+        v += inv
+        if inv > 0:
+            issues.append(
+                {
+                    "dimension": "validity",
+                    "severity": "medium",
+                    "column": c,
+                    "message": f"{inv:,} invalid phone numbers",
+                }
+            )
+    r.validity = scoring.ratio_score(v, c_)
+
+    # correlation
+    v = c_ = 0
+    for i, rule in enumerate(cfg.correlation_rules):
+        c_ += m[f"corrc__{i}"]
+        viol = m[f"corrv__{i}"]
+        v += viol
+        if viol > 0:
+            issues.append(
+                {
+                    "dimension": "correlation",
+                    "severity": rule.get("severity", "high"),
+                    "column": f"{rule['col_a']}/{rule['col_b']}",
+                    "message": f"{viol:,} violations of '{rule.get('name', '')}'",
+                }
+            )
+    r.correlation = scoring.ratio_score(v, c_)
+
+    r.volumetry = scoring.VOLUMETRY_CONSTANT
+
+    # standardization
+    v = c_ = 0
+    for c in string_columns(df):
+        total = m[f"strc__{c}"]
+        if total == 0:
+            continue
+        c_ += total
+        ws, fn = m[f"ws__{c}"], m[f"fn__{c}"]
+        v += ws + fn
+        if ws > 0:
+            issues.append(
+                {
+                    "dimension": "standardization",
+                    "severity": "low",
+                    "column": c,
+                    "message": f"{ws:,} values with stray whitespace",
+                }
+            )
+        if fn > 0:
+            issues.append(
+                {
+                    "dimension": "standardization",
+                    "severity": "medium",
+                    "column": c,
+                    "message": f"{fn:,} fake nulls (N/A, null, - …)",
+                }
+            )
+        nu, nl = m[f"nu__{c}"], m[f"nl__{c}"]
+        if CASE_VARIANT_MIN <= nu <= CASE_VARIANT_MAX and nl < nu:
+            v += (nu - nl) * 10
+            issues.append(
+                {
+                    "dimension": "standardization",
+                    "severity": "medium",
+                    "column": c,
+                    "message": f"inconsistent casing: {nu} variants for {nl} distinct values",
+                }
+            )
+    r.standardization = scoring.ratio_score(v, c_)
+
+    r.global_score = scoring.global_score(
+        {d: getattr(r, d) for d in scoring.DIMENSIONS}
+    )
+
+    # per-column scores (A19) from the same fused row — zero extra jobs.
+    strset = set(string_columns(df))
+    for c in cols:
+        cp = round((1 - m[f"nulls__{c}"] / max(row_count, 1)) * 100, 1)
+        nd = m[f"nu__{c}"] if c in strset else m[f"nd__{c}"]
+        uq = round(nd / max(row_count, 1) * 100, 1)
+        r.columns.append(
+            ColumnScore(name=c, completeness=cp, uniqueness=uq, overall=scoring.column_overall(cp, uq))
+        )
+    return r
+
+
+def profile_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    cfg: ProfileConfig | None = None,
+) -> DataFrame:
+    """Per-group metric table: same fused aggregates, one row per group.
+
+    Skips quantile-dependent distribution metrics (those need per-group fences; see
+    `plans.quality_scores.grouped_scores_df` for the full 2-stage variant). Used for
+    the per-partition keep/drop/scrub metric tables of the filter pipeline.
+    """
+    cfg = cfg or ProfileConfig()
+    data_cols = [c for c in df.columns if c not in group_cols]
+    sub = df.select(*group_cols, *data_cols)
+    # Re-run agg builders against the projected frame so group keys are excluded.
+    proj = sub.drop(*group_cols)
+    aggs = pass1_aggs(proj, cfg)
+    return sub.groupBy(*group_cols).agg(*aggs)

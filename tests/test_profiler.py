@@ -1,0 +1,186 @@
+"""Unit tests for the fused profiler against hand-computed expectations."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_check_spark.operators import scoring
+from data_quality_check_spark.operators.detector import detect_config
+from data_quality_check_spark.operators.profiler import (
+    EMAIL_RE,
+    FAKE_NULLS,
+    PHONE_RE,
+    ProfileConfig,
+    profile,
+)
+from data_quality_check_spark.pipeline.demo_fixture import demo_ecommerce_pdf
+
+
+def _expected_scores(pdf: pd.DataFrame, cfg: ProfileConfig) -> dict:
+    """Independent pandas/numpy computation of the 9 dimension scores, following
+    the Spark-engine semantics (all int/float widths numeric, Spark phone regex,
+    exact distincts)."""
+    rows, cols = len(pdf), len(pdf.columns)
+    out = {}
+
+    total_nulls = int(pdf.isnull().sum().sum())
+    out["completeness"] = round((1 - total_nulls / (rows * cols)) * 100, 1)
+
+    dup = int(pdf.duplicated().sum())
+    out["uniqueness"] = round(max(0, 100 - dup / rows * 100 * 2), 1)
+
+    # consistency: negative keyword numeric cols only (no custom rules here)
+    v = c = 0
+    for col in pdf.select_dtypes(include=[np.number]).columns:
+        if any(k in col.lower() for k in ["price", "prix", "amount", "montant", "age", "qty", "quantity", "stock"]):
+            v += int((pdf[col] < 0).sum())
+            c += rows
+    out["consistency"] = 90.0 if c == 0 else round(max(0, (1 - v / c) * 100), 1)
+
+    # distribution: exact quantiles, IQR fence 3x
+    ratios = []
+    for col in pdf.select_dtypes(include=[np.number]).columns:
+        s = pdf[col].dropna()
+        q1, q3 = s.quantile(0.25), s.quantile(0.75)
+        iqr = q3 - q1
+        if iqr == 0:
+            continue
+        outl = int(((s < q1 - 3 * iqr) | (s > q3 + 3 * iqr)).sum())
+        ratios.append(outl / len(s))
+    out["distribution"] = 90.0 if not ratios else round(max(0, 100 - np.mean(ratios) * 500), 1)
+
+    # validity: email + phone regexes (fullmatch == anchored rlike semantics)
+    v = c = 0
+    er, pr = re.compile(EMAIL_RE), re.compile(PHONE_RE)
+    for col, rx in (("email", er), ("phone", pr)):
+        s = pdf[col].dropna().astype(str)
+        c += len(s)
+        v += int((~s.map(lambda x: bool(rx.search(x)))).sum())
+    out["validity"] = 90.0 if c == 0 else round(max(0, (1 - v / c) * 100), 1)
+
+    out["correlation"] = 90.0
+    out["volumetry"] = 80.0
+
+    # standardization over string cols
+    v = c = 0
+    for col in ["email", "phone", "status", "country", "created_at"]:
+        s = pdf[col].dropna().astype(str)
+        if not len(s):
+            continue
+        c += len(s)
+        v += int((s != s.str.strip()).sum())
+        v += int(s.str.lower().str.strip().isin(FAKE_NULLS).sum())
+        nu = s.nunique()
+        nl = s.str.lower().str.strip().nunique()
+        if 2 <= nu <= 50 and nl < nu:
+            v += (nu - nl) * 10
+    out["standardization"] = 90.0 if c == 0 else round(max(0, min(100, (1 - v / c) * 100)), 1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def demo(spark):
+    pdf = demo_ecommerce_pdf()
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_detector_roles(demo):
+    _, df = demo
+    det = detect_config(df)
+    assert "email" in det["email_columns"]
+    assert "phone" in det["phone_columns"]
+    assert "created_at" in det["date_columns"]
+
+
+def test_profile_dimension_scores(demo):
+    pdf, df = demo
+    cfg = ProfileConfig(
+        table_name="demo",
+        email_columns=["email"],
+        phone_columns=["phone"],
+        date_columns=["created_at"],
+    )
+    res = profile(df, cfg, now=pd.Timestamp("2026-01-01").to_pydatetime())
+    ts = res.table_score
+    exp = _expected_scores(pdf, cfg)
+    for dim, want in exp.items():
+        got = getattr(ts, dim)
+        assert got == pytest.approx(want, abs=0.11), f"{dim}: got {got}, want {want}"
+    # freshness: data ends 2024 → lag >> 24h → score 0
+    assert ts.freshness == 0.0
+    # global score is the weighted sum
+    dims = {d: getattr(ts, d) for d in scoring.DIMENSIONS}
+    assert ts.global_score == scoring.global_score(dims)
+    assert ts.row_count == len(pdf)
+    assert len(ts.columns) == len(pdf.columns)
+
+
+def test_profile_custom_rules(demo):
+    pdf, df = demo
+    cfg = ProfileConfig(
+        custom_rules=[
+            {"name": "age >= 0", "condition": "`age` >= 0", "severity": "high", "column": "age"},
+            {"name": "price < 1e6", "condition": "`price` < 1000000", "severity": "low", "column": "price"},
+        ]
+    )
+    res = profile(df, cfg)
+    n_age_viol = int((pdf["age"] < 0).sum())
+    n_neg_age = n_age_viol  # age is also a negative-keyword column
+    n_neg_price = int((pdf["price"] < 0).sum())
+    rows = len(pdf)
+    v = n_age_viol + n_neg_age + n_neg_price
+    c = rows * 4  # 2 keyword cols + 2 rules
+    assert res.table_score.consistency == round(max(0, (1 - v / c) * 100), 1)
+    assert res.metrics["rule__0"] == n_age_viol
+    assert res.metrics["rule__1"] == 0
+
+
+def test_profile_empty_and_tiny(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    ts = profile(df).table_score
+    assert ts.uniqueness == 100.0  # <2 rows
+    assert ts.volumetry == 80.0
+
+
+def test_column_scores(demo):
+    pdf, df = demo
+    res = profile(df)
+    by_name = {c.name: c for c in res.table_score.columns}
+    s = pdf["status"]
+    cp = round((1 - s.isnull().mean()) * 100, 1)
+    uq = round(s.nunique() / len(s) * 100, 1)
+    assert by_name["status"].completeness == pytest.approx(cp, abs=0.11)
+    assert by_name["status"].uniqueness == pytest.approx(uq, abs=0.11)
+    assert by_name["status"].overall == scoring.column_overall(
+        by_name["status"].completeness, by_name["status"].uniqueness
+    )
+
+
+def test_profile_job_count(demo, spark):
+    """The whole metric set must need ≤3 Spark jobs (vs reference's O(cols+rules)).
+
+    AQE is disabled for the assertion because it materializes each query as several
+    stage-jobs; the invariant being checked is ≤3 actions (= ≤3 input scans).
+    """
+    _, df = demo
+    df = df.cache()
+    df.count()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("profile-job-count", "fused profile")
+    profile(
+        df,
+        ProfileConfig(
+            email_columns=["email"],
+            phone_columns=["phone"],
+            date_columns=["created_at"],
+            custom_rules=[{"name": "r", "condition": "`age` < 200", "severity": "low"}],
+        ),
+    )
+    jobs = tracker.getJobIdsForGroup("profile-job-count") or []
+    sc.setJobGroup(None, None)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(jobs) <= 3, f"profile() ran {len(jobs)} jobs, expected ≤3"
