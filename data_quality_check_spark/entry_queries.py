@@ -1,0 +1,454 @@
+"""Named queries + DuckDB oracle SQL for the driver contract (`__spark_entry__.py`).
+
+Each entry exercises one or more operators from SURVEY.md §2 over the driver's
+star-schema tables. Spark side = DataFrame API through the package's operators;
+oracle side = ANSI SQL for DuckDB with identical semantics and column names.
+
+Float determinism notes (the driver hashes values exactly):
+  * money aggregates go through DECIMAL so partial-aggregation order can't change
+    the result; final values are `round(…, k)` then cast to double;
+  * means are computed as exact-decimal (or integer) sums followed by ONE double
+    division, identical in both engines;
+  * timestamps are compared via integer microseconds (unix_micros / epoch_us).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_quality_check_spark.operators import profiler as P
+from data_quality_check_spark.plans.quality_scores import (
+    ScoreSpec,
+    scores_df,
+    scores_duck_sql,
+)
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+AS_OF = "2026-01-01 00:00:00"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: fn for k, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: sql for k, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _dec(c: str, prec: int = 15, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+# ───────────── flagship: TPC-H Q1-style pricing summary (A1/A18-style fused agg,
+# group-by aggregation with partial/final hash agg; SURVEY.md §2.4) ─────────────
+
+_PRICING_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(15,2)) AS price,
+         CAST(1.0 - l_discount AS DECIMAL(6,4)) AS om_disc,
+         CAST(1.0 + l_tax AS DECIMAL(6,4)) AS op_tax
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(price * om_disc), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(price * om_disc * op_tax), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_SQL)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    om_disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(6,4)")
+    op_tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(6,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * om_disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * om_disc * op_tax), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ───────────── full profiling scores, all-Spark vs generated oracle ─────────────
+
+_LINEITEM_RULES = [
+    {"name": "qty range", "condition": "l_quantity BETWEEN 1 AND 50", "severity": "high"},
+    {"name": "disc range", "condition": "l_discount BETWEEN 0 AND 0.10", "severity": "medium"},
+]
+
+
+def _spec_overrides(table: str) -> dict:
+    return {
+        "customer": {},
+        "lineitem": {"date_cols": ["l_shipdate"], "rules": _LINEITEM_RULES},
+        "events": {"date_cols": ["ts"]},
+        "documents": {},
+        "orders": {"date_cols": ["o_orderdate"]},
+    }[table]
+
+
+def _profile_scores_query(table: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        spec = ScoreSpec.from_parquet(path, as_of=AS_OF, **_spec_overrides(table))
+        return scores_df(t(spark, sf_dir, table), spec)
+
+    spec = ScoreSpec.from_parquet(
+        os.path.join(ORACLE_SF_DIR, f"{table}.parquet"), as_of=AS_OF, **_spec_overrides(table)
+    )
+    return fn, scores_duck_sql(table, spec)
+
+
+for _table in ["customer", "lineitem", "events", "documents", "orders"]:
+    _fn, _sql = _profile_scores_query(_table)
+    _REGISTRY[f"profile_scores_{_table}"] = (_fn, _sql)
+
+
+# ───────────── A2: batched per-column null counts, single pass ─────────────
+
+_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+_NULLS_SQL = "SELECT count(*) AS row_count, " + ", ".join(
+    f'count(*) FILTER (WHERE "{c}" IS NULL) AS "nulls__{c}"' for c in _CUSTOMER_COLS
+) + " FROM customer"
+
+
+@register("null_counts_customer", _NULLS_SQL)
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "customer")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.count_if(F.col(c).isNull()).alias(f"nulls__{c}") for c in df.columns],
+    )
+
+
+# ───────────── A3: full-row duplicate stats ─────────────
+
+_DUP_SQL = """
+SELECT count(*) AS row_count,
+       count(DISTINCT (doc_id, text, lang, source, n_chars)) AS distinct_rows,
+       count(*) - count(DISTINCT (doc_id, text, lang, source, n_chars)) AS duplicate_rows
+FROM documents
+"""
+
+
+@register("duplicate_stats_documents", _DUP_SQL)
+def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    rows = F.count(F.lit(1))
+    distinct = F.count_distinct(F.struct(*[F.col(c) for c in df.columns]))
+    return df.agg(
+        rows.alias("row_count"),
+        distinct.alias("distinct_rows"),
+        (rows - distinct).alias("duplicate_rows"),
+    )
+
+
+# ───────────── A5/A6: fused rule-violation counts (rule DSL via F.expr) ─────────────
+
+_RULESET = [
+    ("qty_le_50", "l_quantity <= 50", "medium"),
+    ("disc_le_10", "l_discount <= 0.10", "medium"),
+    ("price_pos", "l_extendedprice > 0", "high"),
+    ("tax_le_8", "l_tax <= 0.08", "low"),
+    ("ship_before_2030", "l_shipdate < TIMESTAMP '2030-01-01 00:00:00'", "low"),
+]
+
+_RULES_SQL = "SELECT count(*) AS row_count, " + ", ".join(
+    f"count(*) FILTER (WHERE NOT ({cond})) AS {name}" for name, cond, _ in _RULESET
+) + " FROM lineitem"
+
+
+@register("rule_violations_lineitem", _RULES_SQL)
+def q_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.count_if(~F.expr(cond)).alias(name) for name, cond, _ in _RULESET],
+    )
+
+
+# ───────────── A17: severity histogram of rule violations ─────────────
+
+_SEV_SQL = "WITH v AS (" + _RULES_SQL + ") SELECT * FROM (" + " UNION ALL ".join(
+    f"SELECT '{sev}' AS severity, ("
+    + " + ".join(name for name, _, s in _RULESET if s == sev)
+    + ") AS violations FROM v"
+    for sev in ["high", "medium", "low"]
+) + ")"
+
+
+@register("severity_histogram_lineitem", _SEV_SQL)
+def q_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = q_rule_violations(spark, sf_dir)
+    stack = ", ".join(f"'{sev}', {name}" for name, _, sev in _RULESET)
+    long = counts.select(
+        F.expr(f"stack({len(_RULESET)}, {stack}) as (severity, violations)")
+    )
+    return long.groupBy("severity").agg(F.sum("violations").alias("violations"))
+
+
+# ───────────── A7/A8: exact quantiles + IQR-fence outlier counts ─────────────
+
+_LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_OUTLIER_SQL = (
+    "WITH q AS (SELECT "
+    + ", ".join(
+        f'quantile_cont("{c}", 0.25) AS "q1__{c}", quantile_cont("{c}", 0.75) AS "q3__{c}"'
+        for c in _LI_NUM
+    )
+    + " FROM lineitem) SELECT "
+    + ", ".join(
+        f'CAST(round(any_value("q1__{c}"), 6) AS DOUBLE) AS "q1r__{c}", '
+        f'CAST(round(any_value("q3__{c}"), 6) AS DOUBLE) AS "q3r__{c}", '
+        f'count(*) FILTER (WHERE t."{c}" < q."q1__{c}" - 3.0*(q."q3__{c}"-q."q1__{c}") '
+        f'OR t."{c}" > q."q3__{c}" + 3.0*(q."q3__{c}"-q."q1__{c}")) AS "out__{c}", '
+        f'count(t."{c}") AS "nn__{c}"'
+        for c in _LI_NUM
+    )
+    + " FROM lineitem t, q"
+)
+
+
+@register("outlier_stats_lineitem", _OUTLIER_SQL)
+def q_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "lineitem")
+    q = df.agg(
+        *[F.percentile(F.col(c), F.lit(0.25)).alias(f"q1__{c}") for c in _LI_NUM],
+        *[F.percentile(F.col(c), F.lit(0.75)).alias(f"q3__{c}") for c in _LI_NUM],
+    )
+    aggs = []
+    for c in _LI_NUM:
+        q1, q3 = F.col(f"q1__{c}"), F.col(f"q3__{c}")
+        iqr = q3 - q1
+        aggs.append(F.round(F.first(q1), 6).cast("double").alias(f"q1r__{c}"))
+        aggs.append(F.round(F.first(q3), 6).cast("double").alias(f"q3r__{c}"))
+        aggs.append(
+            F.count_if((F.col(c) < q1 - 3.0 * iqr) | (F.col(c) > q3 + 3.0 * iqr)).alias(f"out__{c}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+    return df.crossJoin(F.broadcast(q)).agg(*aggs)
+
+
+# ───────────── A13/A11/A12: standardization stats per string column ─────────────
+
+_DOC_STR = ["text", "lang", "source"]
+_FAKES = ", ".join(f"'{x}'" for x in P.FAKE_NULLS)
+
+_STD_SQL = "SELECT " + ", ".join(
+    f'count("{c}") AS "nn__{c}", '
+    f'count(*) FILTER (WHERE "{c}" IS NOT NULL AND "{c}" <> trim("{c}")) AS "ws__{c}", '
+    f'count(*) FILTER (WHERE lower(trim("{c}")) IN ({_FAKES})) AS "fn__{c}", '
+    f'count(DISTINCT "{c}") AS "nu__{c}", '
+    f'count(DISTINCT lower(trim("{c}"))) AS "nl__{c}"'
+    for c in _DOC_STR
+) + " FROM documents"
+
+
+@register("standardization_stats_documents", _STD_SQL)
+def q_standardization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _DOC_STR:
+        col, folded = F.col(c), F.lower(F.trim(F.col(c)))
+        aggs += [
+            F.count(col).alias(f"nn__{c}"),
+            F.count_if(col.isNotNull() & (col != F.trim(col))).alias(f"ws__{c}"),
+            F.count_if(folded.isin(P.FAKE_NULLS)).alias(f"fn__{c}"),
+            F.count_distinct(col).alias(f"nu__{c}"),
+            F.count_distinct(folded).alias(f"nl__{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+# ───────────── A19/O1: per-column scores, worst-first top-k ─────────────
+
+def _column_profile_sql(table: str, cols: list[str], k: int = 14) -> str:
+    p1 = (
+        "SELECT count(*) AS rc, "
+        + ", ".join(
+            f'count(*) FILTER (WHERE "{c}" IS NULL) AS "n_{c}", count(DISTINCT "{c}") AS "d_{c}"'
+            for c in cols
+        )
+        + f" FROM {table}"
+    )
+    union = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, \"n_{c}\" AS nulls, \"d_{c}\" AS distincts, rc FROM p1"
+        for c in cols
+    )
+    return f"""
+WITH p1 AS ({p1}), u AS ({union}),
+s AS (SELECT column_name,
+        round((1.0 - CAST(nulls AS DOUBLE)/rc) * 100.0, 1) AS completeness,
+        round(CAST(distincts AS DOUBLE)/rc * 100.0, 1) AS uniqueness
+      FROM u)
+SELECT column_name, completeness, uniqueness,
+       least(round(completeness*0.6 + least(uniqueness*1.5, 100.0)*0.4, 1), 100.0) AS overall
+FROM s ORDER BY overall, column_name LIMIT {k}
+"""
+
+
+@register("column_profile_customer", _column_profile_sql("customer", _CUSTOMER_COLS))
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "customer")
+    cols = df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("rc"),
+        *[F.count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols],
+        *[F.count_distinct(F.col(c)).alias(f"d_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', n_{c}, d_{c}" for c in cols)
+    long = agg.select(
+        F.col("rc"), F.expr(f"stack({len(cols)}, {stack}) as (column_name, nulls, distincts)")
+    )
+    scored = long.select(
+        "column_name",
+        F.round((F.lit(1.0) - F.col("nulls").cast("double") / F.col("rc")) * 100.0, 1).alias(
+            "completeness"
+        ),
+        F.round(F.col("distincts").cast("double") / F.col("rc") * 100.0, 1).alias("uniqueness"),
+    ).withColumn(
+        "overall",
+        F.least(
+            F.round(
+                F.col("completeness") * 0.6 + F.least(F.col("uniqueness") * 1.5, F.lit(100.0)) * 0.4,
+                1,
+            ),
+            F.lit(100.0),
+        ),
+    )
+    return scored.orderBy("overall", "column_name").limit(14)
+
+
+# ───────────── A4: freshness lag via integer microseconds ─────────────
+
+_FRESH_SQL = f"""
+SELECT max(ts) AS max_ts,
+       round(CAST(epoch_us(TIMESTAMP '{AS_OF}') - epoch_us(max(ts)) AS DOUBLE)
+             / 3600000000.0, 4) AS lag_hours
+FROM events
+"""
+
+
+@register("freshness_lag_events", _FRESH_SQL)
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "events")
+    as_of_us = F.unix_micros(F.to_timestamp(F.lit(AS_OF)))
+    return df.agg(
+        F.max("ts").alias("max_ts"),
+        F.round(
+            (as_of_us - F.unix_micros(F.max("ts").cast("timestamp"))).cast("double") / 3.6e9, 4
+        ).alias("lag_hours"),
+    )
+
+
+# ───────────── joins: broadcast-dim equi-joins + grouped revenue ─────────────
+
+_TOPCUST_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
+       count(*) AS order_count
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+@register("top_customers_by_revenue", _TOPCUST_SQL)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+_REGION_REV_SQL = """
+SELECT r.r_name AS region,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
+       count(*) AS order_count
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("region_revenue", _REGION_REV_SQL)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+# ───────────── window: top-3 orders per customer (§2.5 extension) ─────────────
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("window_top_orders_per_customer", _WINDOW_SQL)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double"), "rn")
+    )
