@@ -1,0 +1,153 @@
+"""Deterministic image+caption fixture generator (FIXTURES.md F2).
+
+Schema per BASELINE.json input_hint:
+  image_id string, bytes binary, w int, h int, fmt string, caption string, phash long
+
+Every defect is gated on crc32 of the image_id (label-derivable, seed-free per row),
+pixel content is procedural RGB from a per-row seeded RNG, and encodings use the
+deterministic codecs in `pipeline/codecs.py`, so the PSNR invariant is real.
+Duplicate rows (2%) are re-appended verbatim. No external data.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from data_quality_check_spark.functions.wordlists import LANGS, VOCAB
+from data_quality_check_spark.pipeline import codecs
+
+FMTS = ["bmp", "png", "jpeg"]
+SIZES = [16, 24, 32]
+GIBBERISH = ["xqzjw", "vkpqq", "zzxxj", "wvkpt", "qqzzv", "jjxxq"]
+
+
+def _g(image_id: str, salt: str = "") -> int:
+    return zlib.crc32((salt + image_id).encode())
+
+
+def _lang_for(image_id: str) -> str:
+    """Zipf-skewed language mix: ~70% of rows in one language (the skew the salted
+    perplexity shuffle exists for)."""
+    r = _g(image_id, "lang") % 100
+    if r < 70:
+        return "en"
+    others = [l for l in LANGS if l != "en"]
+    return others[(r - 70) % len(others)]
+
+
+def _base_caption(image_id: str, lang: str) -> str:
+    rng = np.random.RandomState(_g(image_id, "cap") & 0x7FFFFFFF)
+    n = rng.randint(6, 14)
+    return " ".join(rng.choice(VOCAB[lang], size=n))
+
+
+def _make_caption(image_id: str, lang: str) -> str | None:
+    g = _g(image_id)
+    cap = _base_caption(image_id, lang)
+    rng = np.random.RandomState(_g(image_id, "defect") & 0x7FFFFFFF)
+    if g % 20 == 0:
+        return None if g % 40 == 0 else ""
+    if g % 25 == 3:
+        return rng.choice(["n/a", "null", "-", "NA", "unknown"])
+    if g % 30 == 5:
+        return "ok"
+    if g % 30 == 6:
+        return cap + " " + " ".join(rng.choice(VOCAB[lang], size=400))
+    if g % 25 == 7:
+        word = rng.choice(VOCAB[lang])
+        return " ".join([word] * 10)
+    if g % 30 == 8:
+        return "@#$% ^&*() 12@@!! ##++ %%$$"
+    if g % 20 == 11:
+        return " ".join(np.random.RandomState(g & 0x7FFFFFFF).choice(GIBBERISH, size=8))
+    if g % 15 == 2:
+        cap = cap + " contact user123@example.com"
+    if g % 15 == 9:
+        cap = cap + " call +33612345678"
+    if g % 40 == 4:
+        words = cap.split()
+        words.insert(len(words) // 2, "stupid")
+        cap = " ".join(words)
+    if g % 10 == 1:
+        cap = "  " + cap + "  "
+    return cap
+
+
+def _make_image(image_id: str) -> tuple[np.ndarray, int, int, str]:
+    g = _g(image_id, "img")
+    rng = np.random.RandomState(g & 0x7FFFFFFF)
+    w = SIZES[g % len(SIZES)]
+    h = SIZES[(g >> 3) % len(SIZES)]
+    # per-row random base color + gradient direction + noise: every image gets a
+    # distinct perceptual hash (no accidental phash collisions), still compresses
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = rng.randint(0, 256, size=3)[None, None, :]
+    slopes = rng.uniform(-5, 5, size=(2, 3))
+    grad = xx[:, :, None] * slopes[0][None, None, :] + yy[:, :, None] * slopes[1][None, None, :]
+    noise = rng.randint(-20, 21, size=(h, w, 3))
+    arr = np.clip(base + grad + noise, 0, 255).astype(np.uint8)
+    fmt = FMTS[g % len(FMTS)]
+    return arr, w, h, fmt
+
+
+def generate_images_pdf(n: int = 2000, dup_rate: float = 0.02) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        image_id = f"img{i:08d}"
+        g = _g(image_id)
+        arr, w, h, fmt = _make_image(image_id)
+        data = codecs.encode(arr, fmt)
+        phash = codecs.average_hash(arr)
+        lang = _lang_for(image_id)
+        caption = _make_caption(image_id, lang)
+        if g % 50 == 12:  # bad dims defect
+            w = 0 if g % 100 == 12 else w * 9
+        if g % 100 == 13:  # corrupt bytes defect
+            data = data[: max(len(data) // 2, 8)]
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": fmt,
+                "caption": caption,
+                "phash": np.int64(phash),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        dup = pdf.iloc[[(i * 37) % n for i in range(n_dup)]]
+        pdf = pd.concat([pdf, dup], ignore_index=True)
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    return pdf
+
+
+def write_images_parquet(path: str, n: int = 2000, dup_rate: float = 0.02) -> str:
+    """Write the fixture as a single parquet file; returns the path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_images_pdf(n, dup_rate)
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+    return path

@@ -1,0 +1,97 @@
+"""Heuristic validity rules as pure DataFrame expressions (no UDF).
+
+The reference's completeness / validity / standardization checks
+(engine.py:393-405, 475-499, 520-543) recast as per-row boolean flags over the
+image+caption schema, per the north_star ("heuristic rules recast as DataFrame
+expressions"). Everything here stays inside whole-stage codegen and pushes down.
+
+Each flag is also mirrored 1:1 in `pipeline/reference_impl.py` (pure pandas) for
+golden-label agreement; constants live here so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from data_quality_check_spark.operators.profiler import FAKE_NULLS
+
+MIN_CAPTION_CHARS = 5
+MAX_CAPTION_CHARS = 1024
+MIN_ALPHA_RATIO = 0.5
+REPETITION_MIN_TOKENS = 6
+MAX_REPETITION = 0.5  # flag when distinct/total < 0.5
+MAX_ASPECT = 8.0
+BYTES_SLACK = 64  # header + zlib overhead allowance
+ALPHA_CLASS = "[^A-Za-zÀ-ÿ0-9 ]"  # chars NOT counted as "texty"
+
+FLAG_COLS = [
+    "flag_caption_missing",
+    "flag_fake_null",
+    "flag_untrimmed",
+    "flag_too_short",
+    "flag_too_long",
+    "flag_low_alpha",
+    "flag_repetitive",
+    "flag_bad_dims",
+    "flag_bytes_implausible",
+]
+
+
+def _nvl(c: Column, default: bool) -> Column:
+    return F.coalesce(c, F.lit(default))
+
+
+def caption_flags(caption: Column) -> dict[str, Column]:
+    trimmed = F.trim(caption)
+    tokens = F.split(trimmed, r"\s+")
+    n_tok = F.size(tokens)
+    texty = F.length(F.regexp_replace(caption, ALPHA_CLASS, ""))
+    return {
+        "flag_caption_missing": caption.isNull() | (trimmed == ""),
+        "flag_fake_null": _nvl(F.lower(trimmed).isin(FAKE_NULLS), False),
+        "flag_untrimmed": _nvl(caption != trimmed, False),
+        "flag_too_short": _nvl(
+            (trimmed != "") & (F.length(trimmed) < MIN_CAPTION_CHARS), False
+        ),
+        "flag_too_long": _nvl(F.length(caption) > MAX_CAPTION_CHARS, False),
+        "flag_low_alpha": _nvl(
+            (F.length(caption) > 0) & (texty / F.length(caption) < MIN_ALPHA_RATIO), False
+        ),
+        "flag_repetitive": _nvl(
+            (n_tok >= REPETITION_MIN_TOKENS)
+            & (F.size(F.array_distinct(tokens)) / n_tok < MAX_REPETITION),
+            False,
+        ),
+    }
+
+
+def image_flags(w: Column, h: Column, byte_len: Column) -> dict[str, Column]:
+    """Cross-field invariants (correlation-dimension analogue, engine.py:501-518):
+    positive dims, bounded aspect ratio, plausible encoded size."""
+    aspect_bad = (w.cast("double") / h > MAX_ASPECT) | (h.cast("double") / w > MAX_ASPECT)
+    raw = w.cast("long") * h * 3
+    return {
+        "flag_bad_dims": _nvl((w <= 0) | (h <= 0) | aspect_bad, True),
+        "flag_bytes_implausible": _nvl((byte_len < 16) | (byte_len > raw + BYTES_SLACK), True),
+    }
+
+
+def with_flags(df: DataFrame, caption_col: str = "caption") -> DataFrame:
+    """Adds all heuristic flag columns in one projection (single codegen stage).
+
+    Uses `length(bytes)` only — never materializes `bytes` into any shuffle.
+    """
+    flags = caption_flags(F.col(caption_col))
+    flags.update(image_flags(F.col("w"), F.col("h"), F.length(F.col("bytes"))))
+    return df.withColumns(flags)
+
+
+def heuristic_ok() -> Column:
+    """True when no heuristic flag fired (untrimmed alone does NOT drop — it is
+    normalized instead, mirroring the reference where whitespace is a
+    standardization penalty, not a removal)."""
+    dropping = [c for c in FLAG_COLS if c != "flag_untrimmed"]
+    cond = ~F.col(dropping[0])
+    for c in dropping[1:]:
+        cond = cond & ~F.col(c)
+    return cond

@@ -1,0 +1,194 @@
+"""End-to-end tests of the image+caption quality-filter pipeline vs golden labels.
+
+BASELINE.json acceptance: keep/drop F1 ≥ 0.99 vs the pure-pandas reference labels,
+exact scrubbed-caption equality, PSNR ≥ 40 dB on lossy formats, resume ≡ fresh run.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.pipeline import codecs
+from data_quality_check_spark.pipeline.fixtures import generate_images_pdf, write_images_parquet
+from data_quality_check_spark.pipeline.reference_impl import compute_golden
+from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
+
+N_ROWS = 1500
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("images")
+    path = os.path.join(root, "images.parquet")
+    write_images_parquet(path, n=N_ROWS)
+    return str(root), path
+
+
+@pytest.fixture(scope="module")
+def golden(fixture_paths):
+    return compute_golden(generate_images_pdf(n=N_ROWS))
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, fixture_paths, tmp_path_factory):
+    root, path = fixture_paths
+    out = str(tmp_path_factory.mktemp("out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    summary = run_filter(spark, path, out, ckpt, FilterConfig())
+    return out, ckpt, summary
+
+
+def test_keep_f1_and_caption_equality(spark, golden, pipeline_out):
+    out, _, summary = pipeline_out
+    kept = spark.read.parquet(os.path.join(out, "filtered")).toPandas()
+
+    g = golden.drop_duplicates(subset=["image_id"]).set_index("image_id")
+    got_ids = set(kept["image_id"])
+    want_ids = set(g.index[g["keep"]])
+
+    tp = len(got_ids & want_ids)
+    fp = len(got_ids - want_ids)
+    fn = len(want_ids - got_ids)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} (p={precision:.4f}, r={recall:.4f})"
+    # in fact agreement should be exact — same kernels on both sides
+    assert f1 == 1.0
+
+    # exact scrubbed-caption equality on kept rows
+    merged = kept.set_index("image_id").join(g[["scrubbed_caption"]], rsuffix="_gold")
+    mismatches = merged[merged["scrubbed_caption"] != merged["scrubbed_caption_gold"]]
+    assert len(mismatches) == 0, mismatches.head()
+
+    # a sane mix actually got dropped (fixture injects ~35-45% defects)
+    assert 0.3 < len(want_ids) / N_ROWS < 0.9
+    assert summary["rows_kept"] == len(got_ids)
+
+
+def test_scrub_actually_fired(golden):
+    g = golden[golden["keep"]]
+    scrubbed = g[g["scrubbed_caption"] != g["caption"].str.strip()]
+    assert len(scrubbed) > 10  # PII/toxic injections survive heuristics and get rewritten
+    assert scrubbed["scrubbed_caption"].str.contains(r"\[EMAIL\]|\[PHONE\]|\[TOXIC\]").any()
+    # no raw PII left in any kept caption
+    assert not g["scrubbed_caption"].str.contains("@example.com").any()
+    assert not g["scrubbed_caption"].str.contains(r"\+336", regex=True).any()
+
+
+def test_pixels_preserved_psnr(spark, pipeline_out):
+    """Kept rows carry original bytes; decoded pixels must match the procedural
+    source at PSNR ≥ 40 dB (lossless exact, jpeg ≈ 46 dB)."""
+    from data_quality_check_spark.pipeline.fixtures import _make_image
+
+    out, _, _ = pipeline_out
+    kept = (
+        spark.read.parquet(os.path.join(out, "filtered"))
+        .select("image_id", "bytes", "fmt")
+        .limit(200)
+        .toPandas()
+    )
+    assert len(kept) > 50
+    checked_lossy = 0
+    for _, row in kept.iterrows():
+        orig, _, _, fmt = _make_image(row["image_id"])
+        dec = codecs.decode(row["bytes"])
+        assert dec is not None, row["image_id"]
+        p = codecs.psnr(orig, dec)
+        if fmt == "jpeg":
+            checked_lossy += 1
+            assert p >= 40.0, (row["image_id"], fmt, p)
+        else:
+            assert p == float("inf"), (row["image_id"], fmt, p)
+    assert checked_lossy > 5
+
+
+def test_resume_equals_fresh(spark, fixture_paths, tmp_path_factory, pipeline_out):
+    """Kill-after-k-buckets: run 5 buckets, 'crash', resume; output ≡ fresh run."""
+    _, path = fixture_paths
+    out2 = str(tmp_path_factory.mktemp("out2"))
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt2"))
+
+    s1 = run_filter(spark, path, out2, ckpt2, FilterConfig(), max_buckets=5)
+    assert len(s1["processed_buckets"]) == 5
+    s2 = run_filter(spark, path, out2, ckpt2, FilterConfig())
+    assert len(s2["processed_buckets"]) == 11
+    s3 = run_filter(spark, path, out2, ckpt2, FilterConfig())
+    assert s3["processed_buckets"] == []  # everything checkpointed
+
+    fresh_out, _, _ = pipeline_out
+    a = (
+        spark.read.parquet(os.path.join(fresh_out, "filtered"))
+        .select("image_id", "scrubbed_caption")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(out2, "filtered"))
+        .select("image_id", "scrubbed_caption")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ppl_grouped_equals_map(spark, fixture_paths, tmp_path_factory):
+    """Salted applyInPandas perplexity ≡ map-side perplexity.
+
+    Equality is to 1e-9 relative, not bitwise: np.add.reduceat's pairwise
+    summation blocks depend on where a string sits inside the batch buffer, so
+    regrouping rows can shift the last ~2 ulps. Keep/drop thresholds sit orders
+    of magnitude away from any data point, so labels are unaffected.
+    """
+    _, path = fixture_paths
+    out3 = str(tmp_path_factory.mktemp("out3"))
+    ckpt3 = str(tmp_path_factory.mktemp("ckpt3"))
+    run_filter(spark, path, out3, ckpt3, FilterConfig(ppl_mode="grouped"))
+
+    from data_quality_check_spark.pipeline.run import decide
+
+    df = spark.read.parquet(path).limit(300)
+    m = decide(df, FilterConfig(ppl_mode="map")).select("image_id", "ppl").toPandas()
+    gset = decide(df, FilterConfig(ppl_mode="grouped")).select("image_id", "ppl").toPandas()
+    merged = m.merge(gset, on="image_id", suffixes=("_map", "_grp"))
+    np.testing.assert_allclose(
+        merged["ppl_map"].to_numpy(), merged["ppl_grp"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_metrics_and_manifest(spark, pipeline_out):
+    _, ckpt, _ = pipeline_out
+    manifest = spark.read.parquet(os.path.join(ckpt, "manifest")).toPandas()
+    assert sorted(manifest["bucket"].unique()) == list(range(16))
+    metrics = spark.read.parquet(os.path.join(ckpt, "metrics")).toPandas()
+    assert metrics["rows_in"].sum() >= N_ROWS  # includes duplicate re-appends
+    assert (metrics["rows_kept"] <= metrics["rows_in"]).all()
+    assert metrics["n_scrubbed"].sum() > 0
+
+
+def test_scrub_col_equals_python(spark):
+    from data_quality_check_spark.functions.scrub import scrub_col, scrub_text, make_scrub_udf
+
+    samples = [
+        "contact me at john.doe+spam@mail.example.org please",
+        "call +33 6 12 34 56 78 now",
+        "dial 555-123-4567 or 555.123.4567",
+        "you STUPID idiot",
+        "Stupidity is not toxic",  # substring must NOT match (word boundary)
+        "plain caption with nothing to scrub",
+        "two emails a@b.co c@d.io and +4912345678",
+        None,
+    ]
+    pdf = pd.DataFrame({"caption": samples})
+    sdf = spark.createDataFrame(pdf)
+    got_col = sdf.select(scrub_col("caption").alias("s")).toPandas()["s"].tolist()
+    got_udf = sdf.select(make_scrub_udf()(F.col("caption")).alias("s")).toPandas()["s"].tolist()
+    want = [scrub_text(s) for s in samples]
+    assert got_col == want
+    assert got_udf == want
+    assert want[4] == "Stupidity is not toxic"
