@@ -452,3 +452,146 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double"), "rn")
     )
+
+
+# ═════════════ training-data ops: text analysis / dedup / similarity ═════════════
+
+from data_quality_check_spark.functions import text as TX  # noqa: E402
+from data_quality_check_spark.operators import dedup as DD  # noqa: E402
+from data_quality_check_spark.operators import similarity as SIM  # noqa: E402
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {TX.token_count_sql('text')} AS n_tokens,
+       round({TX.texty_ratio_sql('text')}, 6) AS texty_ratio,
+       {TX.quality_score_sql('text')} AS quality_score,
+       {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+@register("text_stats_documents", _TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        TX.token_count_col(c).alias("n_tokens"),
+        F.round(TX.texty_ratio_col(c), 6).alias("texty_ratio"),
+        TX.quality_score_col(c).alias("quality_score"),
+        TX.fingerprint_col(c).alias("fingerprint"),
+    )
+
+
+_LANG_GUESS_SQL = f"""
+SELECT {TX.lang_guess_sql('text')} AS lang_guess, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+@register("lang_guess_documents", _LANG_GUESS_SQL)
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    return df.groupBy(TX.lang_guess_col(F.col("text")).alias("lang_guess")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_EXACT_DUP_SQL = f"""
+SELECT {TX.fingerprint_sql('text')} AS fingerprint, count(*) AS n, min(doc_id) AS winner
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("exact_dup_groups_documents", _EXACT_DUP_SQL)
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_duplicate_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_T = 0.9
+
+_JACCARD_SQL = DD.jaccard_pairs_sql("documents", "doc_id", "text", _JACCARD_T)
+
+
+@register("jaccard_neardup_documents", _JACCARD_SQL)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T)
+
+
+# MinHash-LSH candidates confirmed by exact Jaccard: at threshold 0.9 with r=4,
+# b=32 the per-pair miss probability is ≤1.4e-15, so the exact brute-force SQL is
+# a valid oracle for the approximate path.
+@register("minhash_neardup_documents", _JACCARD_SQL)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=128, bands=32,
+        threshold=_JACCARD_T,
+    )
+
+
+# SimHash pairs: signature hash not replicable in DuckDB → rows-only driver check;
+# correctness asserted in tests/test_dedup.py against a python reference.
+@register("simhash_near_pairs_documents", None)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+_ANN_K = 5
+
+_ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {_ANN_K}
+"""
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@register("ann_cosine_topk_embeddings", _ANN_SQL)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.cosine_topk(e, _ann_queries(spark, sf_dir), k=_ANN_K)
+
+
+# LSH-bucketed ANN (scale path): rows-only driver check; recall vs brute force
+# asserted in tests/test_similarity.py.
+@register("ann_lsh_topk_embeddings", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.ann_lsh_topk(e, _ann_queries(spark, sf_dir), k=_ANN_K, n_bits=8)
+
+
+_NEARDUP_T = 0.35
+
+_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_NEARDUP_T!r}
+"""
+
+
+@register("embedding_neardup_same_label", _NEARDUP_SQL)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.neardup_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T
+    )

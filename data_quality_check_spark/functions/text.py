@@ -1,0 +1,109 @@
+"""Text-analysis expressions for training-data pipelines (all JVM-side Columns).
+
+Every function here is a pure `pyspark.sql` Column expression (whole-stage
+codegen, no UDF) with an exactly-equivalent DuckDB SQL fragment generator used by
+the driver oracles. Covers: token counting, quality scoring (length / texty-ratio /
+stopword ratio), document fingerprinting, and a stopword-hit language heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from data_quality_check_spark.functions.wordlists import STOPWORDS
+
+HEUR_LANGS = ["de", "en", "es", "fr"]  # langs probed by the stopword heuristic
+QS_LEN_NORM = 200.0  # chars at which the length component saturates
+
+
+def token_count_col(c: Column) -> Column:
+    """Whitespace token count; empty/null-trimmed text counts 0."""
+    t = F.trim(c)
+    return F.when(c.isNull() | (t == ""), F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_sql(c: str) -> str:
+    return (
+        f"CASE WHEN {c} IS NULL OR trim({c}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END"
+    )
+
+
+def texty_ratio_col(c: Column) -> Column:
+    """Fraction of characters that are letters/digits/spaces (doubles as the
+    charset heuristic of the filter pipeline)."""
+    keep = F.length(F.regexp_replace(c, "[^A-Za-zÀ-ÿ0-9 ]", ""))
+    return F.when(
+        c.isNull() | (F.length(c) == 0), F.lit(0.0)
+    ).otherwise(keep.cast("double") / F.length(c))
+
+
+def texty_ratio_sql(c: str) -> str:
+    return (
+        f"CASE WHEN {c} IS NULL OR length({c}) = 0 THEN 0.0 "
+        f"ELSE CAST(length(regexp_replace({c}, '[^A-Za-zÀ-ÿ0-9 ]', '', 'g')) AS DOUBLE) "
+        f"/ length({c}) END"
+    )
+
+
+def stopword_hits_col(c: Column, lang: str) -> Column:
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def stopword_hits_sql(c: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(regexp_split_to_array(lower(trim({c})), '\\s+')), "
+        f"[{words}]))"
+    )
+
+
+def quality_score_col(c: Column) -> Column:
+    """Composite [0,1] quality score: 0.4·length + 0.4·texty + 0.2·stopword-density.
+
+    Single-division/4-dp-round construction so Spark and DuckDB agree bitwise.
+    """
+    length_comp = F.least(F.length(F.coalesce(c, F.lit(""))).cast("double") / QS_LEN_NORM, F.lit(1.0))
+    texty = texty_ratio_col(c)
+    ntok = token_count_col(c)
+    sw = stopword_hits_col(c, "en").cast("double")
+    sw_comp = F.when(ntok == 0, F.lit(0.0)).otherwise(F.least(sw * 4.0 / ntok, F.lit(1.0)))
+    return F.round(length_comp * 0.4 + texty * 0.4 + sw_comp * 0.2, 4)
+
+
+def quality_score_sql(c: str) -> str:
+    length_comp = f"least(CAST(length(coalesce({c}, '')) AS DOUBLE) / {QS_LEN_NORM!r}, 1.0)"
+    texty = texty_ratio_sql(c)
+    ntok = token_count_sql(c)
+    sw = stopword_hits_sql(c, "en")
+    sw_comp = f"CASE WHEN ({ntok}) = 0 THEN 0.0 ELSE least(CAST({sw} AS DOUBLE) * 4.0 / ({ntok}), 1.0) END"
+    return f"round(({length_comp}) * 0.4 + ({texty}) * 0.4 + ({sw_comp}) * 0.2, 4)"
+
+
+def fingerprint_col(c: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5 of the trimmed,
+    whitespace-collapsed text) — the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def fingerprint_sql(c: str) -> str:
+    return f"md5(regexp_replace(trim({c}), '\\s+', ' ', 'g'))"
+
+
+def lang_guess_col(c: Column) -> Column:
+    """Stopword-hit argmax over HEUR_LANGS; ties break to the lexicographically
+    first language; zero hits everywhere → 'und'."""
+    hits = {l: stopword_hits_col(c, l) for l in HEUR_LANGS}
+    best = F.greatest(*[hits[l] for l in HEUR_LANGS])
+    expr = F.when(best <= 0, F.lit("und"))
+    for l in HEUR_LANGS:  # ordered: first max wins
+        expr = expr.when(hits[l] == best, F.lit(l))
+    return expr
+
+
+def lang_guess_sql(c: str) -> str:
+    hits = {l: stopword_hits_sql(c, l) for l in HEUR_LANGS}
+    best = "greatest(" + ", ".join(f"({hits[l]})" for l in HEUR_LANGS) + ")"
+    whens = " ".join(f"WHEN ({hits[l]}) = ({best}) THEN '{l}'" for l in HEUR_LANGS)
+    return f"CASE WHEN ({best}) <= 0 THEN 'und' {whens} END"

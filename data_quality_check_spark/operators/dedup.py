@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+  * exact duplicates — fingerprint groupBy (hash aggregate, map-side combined)
+  * n-gram / word-set Jaccard — token explode + equi-join + group; exact, the
+    brute-force baseline and the verifier for the approximate paths
+  * MinHash + LSH — signature via nested JVM array expressions (no UDF), banded
+    bucket join for candidates, exact-Jaccard confirmation; the 100 TB path: only
+    the banded join shuffles, everything else is map-side
+  * SimHash — 64-bit signature via a vectorized numpy pandas UDF, banded chunk
+    join + Hamming verification with `bit_count(xor)`
+
+At scale: explode-based joins shuffle (token, id) pairs — bounded by corpus token
+count, and the LSH band join shuffles only (band_key, id). Both are the standard
+shapes for web-scale dedup; skew in hot tokens is handled by dropping
+top-frequency tokens (`max_token_df`).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from data_quality_check_spark.functions.text import fingerprint_col
+
+# Mersenne prime 2^31-1: (a·x + b) with a, b, x < 2^31 stays under 2^63 — no
+# int64 overflow under Spark's ANSI arithmetic.
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of rows with identical (whitespace-normalized) text: one row per
+    duplicated fingerprint with the member count and the winner (min id)."""
+    fp = df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("winner"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if distinct:
+        toks = F.array_distinct(toks)
+    return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-set Jaccard ≥ threshold (exact).
+
+    Token-join shape: |pairs sharing ≥1 token| intermediate rows. `max_token_df`
+    drops tokens appearing in more than N docs (stop-token skew guard) — classic
+    prefix-filtering; disabled by default to stay oracle-exact.
+    """
+    toks = _tokens(df, id_col, text_col)
+    if max_token_df:
+        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_sql(table: str, id_col: str, text_col: str, threshold: float = 0.6) -> str:
+    """DuckDB oracle twin of `jaccard_pairs` (no max_token_df)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim({text_col})), '\\s+'))) AS tok
+  FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b USING (tok)
+  WHERE a.id < b.id GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold!r}
+"""
+
+
+# ---------------- MinHash + LSH ----------------
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, MERSENNE31 - 1)), int(rng.randint(0, MERSENNE31 - 1)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_col(text_col: str, num_hashes: int = 128) -> F.Column:
+    """MinHash signature as nested array expressions — pure JVM, no UDF.
+
+    h_i(tok) = (a_i·x + b_i) mod M61 with x = |xxhash64(tok)|; signature element i
+    is the min over the document's distinct tokens.
+    """
+    params = _minhash_params(num_hashes)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % MERSENNE31)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
+            for a, b in params
+        ]
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, confirmed by exact Jaccard.
+
+    rows/bands r = num_hashes/bands; candidate recall at s=threshold is
+    1-(1-s^r)^bands (≈1-1e-15 for s=0.9, r=4, b=32). Only (band_key, id) pairs
+    shuffle — the 10^12-row path; the exact-Jaccard confirm runs only on
+    candidates.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature_col(text_col, num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * r + j] for j in range(r)])).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # confirm with exact Jaccard on the candidate set only
+    toksets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("toks"),
+    )
+    out = (
+        cands.join(toksets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
+        .join(toksets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.size("ta") + F.size("tb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------- SimHash ----------------
+
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches)."""
+
+    @F.pandas_udf("long")
+    def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts.fillna("")):
+                toks = set(t.lower().split())
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for tok in toks:
+                    hv = np.uint64(
+                        zlib.crc32(tok.encode()) | (zlib.crc32(tok.encode()[::-1]) << 32)
+                    )
+                    bits = (hv >> shifts) & np.uint64(1)
+                    acc += np.where(bits == np.uint64(1), 1, -1)
+                val = int("".join("1" if x > 0 else "0" for x in acc[::-1]), 2)
+                out[i] = val - (1 << 64) if val >= (1 << 63) else val
+            yield pd.Series(out)
+
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k: band the 64 bits into 4
+    16-bit chunks (pigeonhole: any pair with ≤3 differing bits shares ≥1 chunk),
+    join on chunk equality, verify with bit_count(xor)."""
+    sh = with_simhash(df, id_col, text_col).select(F.col(id_col).alias("id"), "simhash")
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
