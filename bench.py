@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every registered headline query from `data_quality_check_spark.entry_queries`
+at `$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1) on
+`local[$SPARK_GRAFT_CPUS]` (default 32), plus the image+caption quality-filter
+pipeline on a cached deterministic fixture, and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+All logs go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dqcs-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cached_image_fixture(n: int) -> str:
+    """Generate (once) and reuse the deterministic image+caption parquet fixture."""
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+
+    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_{n}.parquet")
+    if not os.path.exists(cache):
+        log(f"[bench] generating image fixture n={n} -> {cache}")
+        write_images_parquet(cache, n=n)
+    return cache
+
+
+def bench_queries(spark) -> tuple[dict[str, float], float]:
+    from data_quality_check_spark import entry_queries
+
+    qs = entry_queries.queries()
+    # warm up the JVM + parquet footer caches so q1 isn't charged for session start
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        log(f"[bench] {name}: {dt:.3f}s ({len(rows)} rows)")
+    return times, total
+
+
+def bench_pipeline(spark, fixture: str) -> dict:
+    from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
+
+    out = tempfile.mkdtemp(prefix="dqcs_bench_out_")
+    try:
+        t0 = time.perf_counter()
+        summary = run_filter(
+            spark,
+            fixture,
+            os.path.join(out, "data"),
+            os.path.join(out, "ckpt"),
+            cfg=FilterConfig(),
+        )
+        dt = time.perf_counter() - t0
+        rows = summary["rows_in"] or 0
+        return {
+            "images": rows,
+            "sec": round(dt, 3),
+            "images_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+            "rows_kept": summary["rows_kept"],
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    fixture = cached_image_fixture(PIPELINE_ROWS)
+    spark = build_spark(CPUS)
+    try:
+        times, total = bench_queries(spark)
+        pipe = bench_pipeline(spark, fixture)
+    finally:
+        spark.stop()
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_value(SF_DIR),
+        "cpus": CPUS,
+        "pipeline": pipe,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -508,32 +508,38 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_duplicate_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-_JACCARD_T = 0.9
+_JACCARD_T = 0.6
+_SHINGLE_N = 3  # 3-word shingles (Broder-style resemblance) — discriminative at scale
 
-_JACCARD_SQL = DD.jaccard_pairs_sql("documents", "doc_id", "text", _JACCARD_T)
+_JACCARD_SQL = DD.jaccard_pairs_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N)
 
 
 @register("jaccard_neardup_documents", _JACCARD_SQL)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T)
+    return DD.jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    )
 
 
-# MinHash-LSH candidates confirmed by exact Jaccard: at threshold 0.9 with r=4,
-# b=32 the per-pair miss probability is ≤1.4e-15, so the exact brute-force SQL is
-# a valid oracle for the approximate path.
+# MinHash-LSH candidates confirmed by exact Jaccard: with r=3 rows × b=42 bands
+# the candidate-miss probability at s=0.6 is (1-0.6³)^42 ≈ 3.6e-5 (and →0 above),
+# while j≈0 pairs are still pruned; the confirm step removes all false positives,
+# so the exact brute-force SQL remains a valid oracle for the approximate path.
 @register("minhash_neardup_documents", _JACCARD_SQL)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=128, bands=32,
-        threshold=_JACCARD_T,
+        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=126, bands=42,
+        threshold=_JACCARD_T, ngram=_SHINGLE_N,
     )
 
 
 # SimHash pairs: signature hash not replicable in DuckDB → rows-only driver check;
-# correctness asserted in tests/test_dedup.py against a python reference.
+# correctness asserted in tests/test_dedup_similarity.py against a python reference.
 @register("simhash_near_pairs_documents", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_near_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    return DD.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, ngram=_SHINGLE_N
+    )
 
 
 _ANN_K = 5

@@ -42,11 +42,68 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str, distinct: bool = True) -> DataFrame:
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    if distinct:
-        toks = F.array_distinct(toks)
-    return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+def shingles_col(text_col: str, ngram: int = 1) -> F.Column:
+    """Distinct word n-gram shingles as an array column — pure JVM expressions.
+
+    n=1 is the word set; n≥2 (the web-scale default: 3-5 word shingles, cf.
+    Broder '97 resemblance) is far more discriminative on vocabulary-limited
+    corpora. Documents with fewer than `ngram` words yield an empty array.
+
+    Built with zip_with over shifted slices, NOT `transform(sequence, i ->
+    concat(w[i], w[i+1], …))`: higher-order functions bind their array arguments
+    once per row, whereas indexing `w` inside a lambda re-embeds (and
+    re-executes) the regex split per element — ~500× slower on real captions.
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if ngram == 1:
+        return F.array_distinct(w)
+    acc = w
+    for j in range(1, ngram):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips nulls, and the
+        # final slice drops the padded tail positions anyway.
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    sh = F.slice(acc, 1, F.greatest(F.size(w) - (ngram - 1), F.lit(0)))
+    return F.array_distinct(sh)
+
+
+def shingles_sql(text_col: str, ngram: int = 1) -> str:
+    """DuckDB twin of `shingles_col`: a list-of-shingles expression."""
+    if ngram == 1:
+        return f"list_distinct(regexp_split_to_array(lower(trim({text_col})), '\\s+'))"
+    ws = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    joined = " || ' ' || ".join(f"ws[i+{j}]" for j in range(ngram))
+    return (
+        f"(SELECT CASE WHEN len(ws) >= {ngram} THEN "
+        f"list_distinct([{joined} for i in range(1, len(ws)-{ngram}+2)]) "
+        f"ELSE [] END FROM (SELECT {ws} AS ws))"
+    )
+
+
+def _spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition narrow inputs so heavy per-row map work (tokenize / hash /
+    explode) parallelizes even when the source is one small file. No-op when the
+    scan already has ≥ the session's default parallelism (the 100 TB case, where
+    the Parquet scan yields thousands of splits)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _narrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _txt) projection, repartitioned BEFORE any tokenize work so the
+    shuffle moves raw strings and the expensive shingling runs on all cores."""
+    return _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    return _narrow(df, id_col, text_col).select(
+        "id", F.explode(shingles_col("_txt", ngram)).alias("tok")
+    )
 
 
 def jaccard_pairs(
@@ -55,14 +112,17 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = 0.6,
     max_token_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with word-set Jaccard ≥ threshold (exact).
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold (exact).
 
-    Token-join shape: |pairs sharing ≥1 token| intermediate rows. `max_token_df`
-    drops tokens appearing in more than N docs (stop-token skew guard) — classic
-    prefix-filtering; disabled by default to stay oracle-exact.
+    Token-join shape: |pairs sharing ≥1 shingle| intermediate rows. `max_token_df`
+    drops shingles appearing in more than N docs (stop-token skew guard) — classic
+    prefix-filtering; disabled by default to stay oracle-exact. At web scale use
+    `ngram=3`: n-gram shingles keep the shared-shingle pair count near-linear
+    where raw word sets go quadratic on vocabulary-limited corpora.
     """
-    toks = _tokens(df, id_col, text_col)
+    toks = _tokens(df, id_col, text_col, ngram)
     if max_token_df:
         hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
@@ -92,12 +152,14 @@ def jaccard_pairs(
     return out
 
 
-def jaccard_pairs_sql(table: str, id_col: str, text_col: str, threshold: float = 0.6) -> str:
+def jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, threshold: float = 0.6, ngram: int = 1
+) -> str:
     """DuckDB oracle twin of `jaccard_pairs` (no max_token_df)."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
-         unnest(list_distinct(regexp_split_to_array(lower(trim({text_col})), '\\s+'))) AS tok
+         unnest({shingles_sql(text_col, ngram)}) AS tok
   FROM {table}
 ),
 sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
@@ -126,14 +188,14 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature_col(text_col: str, num_hashes: int = 128) -> F.Column:
+def minhash_signature_col(text_col: str, num_hashes: int = 128, ngram: int = 1) -> F.Column:
     """MinHash signature as nested array expressions — pure JVM, no UDF.
 
-    h_i(tok) = (a_i·x + b_i) mod M61 with x = |xxhash64(tok)|; signature element i
-    is the min over the document's distinct tokens.
+    h_i(tok) = (a_i·x + b_i) mod M31 with x = |xxhash64(tok)|; signature element i
+    is the min over the document's distinct shingles.
     """
     params = _minhash_params(num_hashes)
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = shingles_col(text_col, ngram)
     hashes = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % MERSENNE31)
     sig = F.array(
         *[
@@ -148,20 +210,41 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 128,
-    bands: int = 32,
-    threshold: float = 0.9,
+    num_hashes: int = 126,
+    bands: int = 42,
+    threshold: float = 0.6,
+    ngram: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, confirmed by exact Jaccard.
 
-    rows/bands r = num_hashes/bands; candidate recall at s=threshold is
-    1-(1-s^r)^bands (≈1-1e-15 for s=0.9, r=4, b=32). Only (band_key, id) pairs
-    shuffle — the 10^12-row path; the exact-Jaccard confirm runs only on
-    candidates.
+    Signatures are computed as an explode → hash → groupBy(id) min-aggregation:
+    one map-side-combined hash aggregate over (id, shingle-hash) rows, never a
+    nested per-hash re-evaluation of the tokenizer (Catalyst's CollapseProject
+    would re-inline an array-expression signature `num_hashes` times). This is
+    the shape that survives 10^12 rows: tokens shuffle once for the signature
+    agg, then only (band_key, id) pairs shuffle for the LSH join.
+
+    rows/bands r = num_hashes/bands; candidate recall at similarity s is
+    1-(1-s^r)^bands (r=3, b=42: miss ≈3.6e-5 at s=0.6, →0 above). The exact
+    Jaccard confirm on candidates removes all false positives. Documents with no
+    shingles (fewer than `ngram` words) are excluded up front so they can't
+    collide on an empty-signature band key.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature_col(text_col, num_hashes).alias("sig")
+    params = _minhash_params(num_hashes)
+    base = (
+        _narrow(df, id_col, text_col)
+        .select("id", shingles_col("_txt", ngram).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    hashed = base.select("id", F.explode("toks").alias("tok")).withColumn(
+        "x", F.abs(F.xxhash64("tok")) % MERSENNE31
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
     )
     banded = sig.select(
         "id",
@@ -170,7 +253,9 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * r + j] for j in range(r)])).alias("bkey"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col(f"h{bi * r + j}") for j in range(r)])
+                        ).alias("bkey"),
                     )
                     for bi in range(bands)
                 ]
@@ -185,10 +270,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # confirm with exact Jaccard on the candidate set only
-    toksets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("toks"),
-    )
+    toksets = base
     out = (
         cands.join(toksets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
         .join(toksets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
@@ -208,7 +290,7 @@ def minhash_lsh_pairs(
 # ---------------- SimHash ----------------
 
 
-def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def with_simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
     """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches)."""
 
     @F.pandas_udf("long")
@@ -216,7 +298,14 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for texts in batches:
             out = np.zeros(len(texts), dtype=np.int64)
             for i, t in enumerate(texts.fillna("")):
-                toks = set(t.lower().split())
+                words = t.lower().split()
+                if ngram == 1:
+                    toks = set(words)
+                else:
+                    toks = {
+                        " ".join(words[j : j + ngram])
+                        for j in range(len(words) - ngram + 1)
+                    }
                 if not toks:
                     continue
                 acc = np.zeros(64, dtype=np.int64)
@@ -234,11 +323,14 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, ngram: int = 1
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k: band the 64 bits into 4
     16-bit chunks (pigeonhole: any pair with ≤3 differing bits shares ≥1 chunk),
     join on chunk equality, verify with bit_count(xor)."""
-    sh = with_simhash(df, id_col, text_col).select(F.col(id_col).alias("id"), "simhash")
+    narrow = _narrow(df, id_col, text_col)
+    sh = with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash")
     chunks = sh.select(
         "id",
         "simhash",
