@@ -61,14 +61,15 @@ def build_spark(cpus: int):
     return spark
 
 
-def cached_image_fixture(n: int) -> str:
-    """Generate (once) and reuse the deterministic image+caption parquet fixture."""
+def cached_image_fixture(n: int, num_files: int = 32) -> str:
+    """Generate (once) and reuse the deterministic image+caption parquet fixture,
+    written as a multi-file directory so the scan parallelizes like a real table."""
     from data_quality_check_spark.pipeline.fixtures import write_images_parquet
 
-    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_{n}.parquet")
+    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_{n}_f{num_files}")
     if not os.path.exists(cache):
         log(f"[bench] generating image fixture n={n} -> {cache}")
-        write_images_parquet(cache, n=n)
+        write_images_parquet(cache, n=n, num_files=num_files)
     return cache
 
 

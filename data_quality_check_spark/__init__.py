@@ -21,7 +21,10 @@ from data_quality_check_spark.operators.profiler import (
     profile_grouped,
 )
 from data_quality_check_spark.operators.detector import detect_config
+from data_quality_check_spark.operators.report import write_report
 from data_quality_check_spark.operators.scoring import TableScore, ColumnScore, run_scoring
+from data_quality_check_spark.operators.suggestions import suggest_rules
+from data_quality_check_spark.sources.tables import TableIO
 
 __all__ = [
     "get_spark",
@@ -32,6 +35,9 @@ __all__ = [
     "TableScore",
     "ColumnScore",
     "run_scoring",
+    "suggest_rules",
+    "write_report",
+    "TableIO",
 ]
 
 __version__ = "0.1.0"

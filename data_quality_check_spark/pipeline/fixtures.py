@@ -94,32 +94,33 @@ def _make_image(image_id: str) -> tuple[np.ndarray, int, int, str]:
     return arr, w, h, fmt
 
 
+def make_row(i: int) -> dict:
+    """One fixture row, fully determined by the integer index `i` — which is what
+    makes driver-side and Spark-distributed generation produce identical data."""
+    image_id = f"img{i:08d}"
+    g = _g(image_id)
+    arr, w, h, fmt = _make_image(image_id)
+    data = codecs.encode(arr, fmt)
+    phash = codecs.average_hash(arr)
+    lang = _lang_for(image_id)
+    caption = _make_caption(image_id, lang)
+    if g % 50 == 12:  # bad dims defect
+        w = 0 if g % 100 == 12 else w * 9
+    if g % 100 == 13:  # corrupt bytes defect
+        data = data[: max(len(data) // 2, 8)]
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": np.int64(phash),
+    }
+
+
 def generate_images_pdf(n: int = 2000, dup_rate: float = 0.02) -> pd.DataFrame:
-    rows = []
-    for i in range(n):
-        image_id = f"img{i:08d}"
-        g = _g(image_id)
-        arr, w, h, fmt = _make_image(image_id)
-        data = codecs.encode(arr, fmt)
-        phash = codecs.average_hash(arr)
-        lang = _lang_for(image_id)
-        caption = _make_caption(image_id, lang)
-        if g % 50 == 12:  # bad dims defect
-            w = 0 if g % 100 == 12 else w * 9
-        if g % 100 == 13:  # corrupt bytes defect
-            data = data[: max(len(data) // 2, 8)]
-        rows.append(
-            {
-                "image_id": image_id,
-                "bytes": data,
-                "w": np.int32(w),
-                "h": np.int32(h),
-                "fmt": fmt,
-                "caption": caption,
-                "phash": np.int64(phash),
-            }
-        )
-    pdf = pd.DataFrame(rows)
+    pdf = pd.DataFrame([make_row(i) for i in range(n)])
     n_dup = int(n * dup_rate)
     if n_dup:
         dup = pdf.iloc[[(i * 37) % n for i in range(n_dup)]]
@@ -130,13 +131,13 @@ def generate_images_pdf(n: int = 2000, dup_rate: float = 0.02) -> pd.DataFrame:
     return pdf
 
 
-def write_images_parquet(path: str, n: int = 2000, dup_rate: float = 0.02) -> str:
-    """Write the fixture as a single parquet file; returns the path."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+IMAGES_SCHEMA_PA = None  # populated lazily (pyarrow import)
 
-    pdf = generate_images_pdf(n, dup_rate)
-    schema = pa.schema(
+
+def _pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
         [
             ("image_id", pa.string()),
             ("bytes", pa.binary()),
@@ -147,7 +148,81 @@ def write_images_parquet(path: str, n: int = 2000, dup_rate: float = 0.02) -> st
             ("phash", pa.int64()),
         ]
     )
-    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(table, path)
+
+
+def write_images_parquet(
+    path: str, n: int = 2000, dup_rate: float = 0.02, num_files: int = 1
+) -> str:
+    """Write the fixture as parquet; returns the path.
+
+    `num_files > 1` writes a directory of part files — the layout a real
+    Iceberg/warehouse table has. A single large file caps the scan at
+    ceil(bytes / maxPartitionBytes) partitions, which serializes the pre-shuffle
+    UDF stages and ruins scaling measurements; production inputs never look
+    like that.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_images_pdf(n, dup_rate)
+    schema = _pa_schema()
+    if num_files <= 1:
+        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(table, path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(pdf) + num_files - 1) // num_files
+    for i in range(num_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if part.empty:
+            break
+        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{i:05d}.parquet"))
     return path
+
+
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+
+
+def write_images_parquet_spark(
+    spark, path: str, n: int, dup_rate: float = 0.02, num_files: int = 64
+) -> str:
+    """Distributed fixture generation — same rows as `generate_images_pdf` (every
+    row is a pure function of its index via `make_row`), but built on all cores
+    with `mapInPandas`, which is what makes million-row scaling fixtures feasible
+    (driver-side generation runs ~130 rows/s)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([make_row(int(i)) for i in pdf["id"]])
+
+    base = spark.range(n).repartition(num_files).mapInPandas(gen, IMAGES_DDL)
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        dup_ids = spark.createDataFrame([((i * 37) % n,) for i in range(n_dup)], "id long")
+        base = base.unionAll(
+            dup_ids.repartition(max(1, num_files // 16)).mapInPandas(gen, IMAGES_DDL)
+        )
+    # `bytes` is already codec-compressed (png/jpeg): snappy on top costs scan
+    # CPU for ~nothing, exactly as in a production image table.
+    base.write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+    return path
+
+
+def repack_images_parquet(src_file: str, dest_dir: str, num_files: int) -> str:
+    """Split an existing single-file fixture into a multi-file directory."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(src_file)
+    os.makedirs(dest_dir, exist_ok=True)
+    chunk = (table.num_rows + num_files - 1) // num_files
+    for i in range(num_files):
+        part = table.slice(i * chunk, chunk)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, os.path.join(dest_dir, f"part-{i:05d}.parquet"))
+    return dest_dir

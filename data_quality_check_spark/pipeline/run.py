@@ -38,6 +38,7 @@ from data_quality_check_spark.functions.langid import (
     with_langid,
     with_perplexity,
 )
+from data_quality_check_spark.functions.fused import with_model_scores_fused
 from data_quality_check_spark.functions.multimodal import with_decode_check
 from data_quality_check_spark.functions.scrub import scrub_col
 from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, heuristic_ok, with_flags
@@ -50,9 +51,9 @@ class FilterConfig:
     target_langs: list[str] | None = None  # None → all model languages
     min_lang_conf: float = 0.15
     max_ppl: float = 30_000.0
-    num_buckets: int = 16
+    num_buckets: int = 64  # checkpoint/commit granularity; also the write-task fan-out
     salt_buckets: int = 8
-    ppl_mode: str = "map"  # "map" (no shuffle) | "grouped" (salted applyInPandas)
+    ppl_mode: str = "map"  # "map" (fused, no shuffle) | "modular" | "grouped" (salted)
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
 
@@ -101,12 +102,18 @@ def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) ->
         losers = dup_losers(df)
 
     df = with_flags(df)
-    df = with_decode_check(df)
-    df = with_langid(df)
     if cfg.ppl_mode == "grouped":
+        # scale path for oversized per-language models: modular UDFs + salted
+        # applyInPandas shuffle (language keys are Zipfian)
+        df = with_decode_check(df)
+        df = with_langid(df)
         df = perplexity_grouped(df, salt_buckets=cfg.salt_buckets)
-    else:
+    elif cfg.ppl_mode == "modular":
+        df = with_decode_check(df)
+        df = with_langid(df)
         df = with_perplexity(df)
+    else:  # "map" — fused: ONE python crossing for decode+langid+ppl
+        df = with_model_scores_fused(df)
 
     df = df.join(F.broadcast(losers.withColumn("flag_duplicate", F.lit(True))), "image_id", "left")
     df = df.withColumn("flag_duplicate", F.coalesce(F.col("flag_duplicate"), F.lit(False)))
@@ -186,10 +193,16 @@ def run_filter(
         .select(*out_cols)
         .dropDuplicates(["image_id"])  # same-id exact dups collapse; see module doc
     )
+    # dropDuplicates is the ONE shuffle that carries `bytes` (same image_id ⇒
+    # same bucket, so the rows are already grouped correctly for partitionBy —
+    # no extra repartition); on Iceberg bucket(B, image_id) layout this shuffle
+    # is storage-partitioned and disappears entirely.
     (
-        kept.repartition(F.col("_bucket"))
-        .write.mode("overwrite")
+        kept.write.mode("overwrite")
         .partitionBy("_bucket")
+        # rows are bytes-dominated and image bytes are already codec-compressed;
+        # container-level snappy would burn write+read CPU for ~0% size win
+        .option("compression", "uncompressed")
         .parquet(os.path.join(output_dir, "filtered"))
     )
 

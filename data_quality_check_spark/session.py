@@ -26,6 +26,9 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     # Deterministic timestamps across engines (DuckDB oracle runs in UTC too).
     "spark.sql.session.timeZone": "UTC",
+    # UDF-heavy scans want ≥2-4 tasks per core: with the default 128 MB splits a
+    # medium table yields ~1 task wave and any imbalance doubles the stage wall.
+    "spark.sql.files.maxPartitionBytes": "33554432",
     # Quieter driver logs in tests.
     "spark.ui.showConsoleProgress": "false",
 }

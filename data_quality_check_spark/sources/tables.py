@@ -1,0 +1,124 @@
+"""Table IO layer — Iceberg-first with a layout-compatible Parquet fallback.
+
+The north-star job reads and writes Iceberg tables partitioned by
+`bucket(B, image_id)`. The sandbox has no Iceberg runtime jar, so `TableIO`
+exposes ONE api with two backends:
+
+  * Iceberg (when `session.iceberg_available()`): `df.writeTo(cat.name)
+    .partitionedBy(bucket(B, col))` — real hidden partitioning, snapshot
+    commits, partition-pruned reads.
+  * Parquet fallback: an explicit `_bucket = pmod(hash(col), B)` column +
+    `partitionBy("_bucket")` directory layout — the same physical data layout
+    (hash-bucketed files) minus the catalog metadata, so every partition-
+    pruning and resume test exercises the identical pruning behavior.
+
+Either way, readers of a bucketed table can prune to a bucket list before any
+scan work, which is what checkpoint-resume needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_quality_check_spark.session import iceberg_available
+
+
+class TableIO:
+    """Read/write named tables with explicit (bucket) partitioning."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        catalog: str = "local",
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = catalog
+        self.use_iceberg = iceberg_available()
+
+    # ---------- naming ----------
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, *name.split("."))
+
+    # ---------- writes ----------
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str,
+        num_buckets: int,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write `df` partitioned into `num_buckets` hash buckets of `bucket_col`."""
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(name)).partitionedBy(
+                F.bucket(num_buckets, F.col(bucket_col))
+            )
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return
+        out = df.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).cast("int")
+        )
+        (
+            out.repartition(F.col("_bucket"))
+            .write.mode(mode)
+            .partitionBy("_bucket")
+            .parquet(self._path(name))
+        )
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(self._ident(name)).append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def overwrite(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            w = df.writeTo(self._ident(name))
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    # ---------- reads ----------
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(self._ident(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def read_buckets(
+        self, name: str, bucket_col: str, num_buckets: int, buckets: list[int]
+    ) -> DataFrame:
+        """Scan restricted to a bucket list — partition pruning on both backends.
+
+        Iceberg prunes via the hidden bucket transform; the Parquet fallback
+        prunes `_bucket=` directories from the pushed-down isin filter (visible
+        as PartitionFilters in `.explain`).
+        """
+        df = self.read(name)
+        if self.use_iceberg:
+            pred = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).isin(buckets)
+            return df.filter(pred)
+        return df.filter(F.col("_bucket").isin(buckets))
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(name))
+        p = self._path(name)
+        return os.path.exists(p) and bool(os.listdir(p))

@@ -112,10 +112,11 @@ def test_resume_equals_fresh(spark, fixture_paths, tmp_path_factory, pipeline_ou
     out2 = str(tmp_path_factory.mktemp("out2"))
     ckpt2 = str(tmp_path_factory.mktemp("ckpt2"))
 
-    s1 = run_filter(spark, path, out2, ckpt2, FilterConfig(), max_buckets=5)
+    cfg = FilterConfig()
+    s1 = run_filter(spark, path, out2, ckpt2, cfg, max_buckets=5)
     assert len(s1["processed_buckets"]) == 5
-    s2 = run_filter(spark, path, out2, ckpt2, FilterConfig())
-    assert len(s2["processed_buckets"]) == 11
+    s2 = run_filter(spark, path, out2, ckpt2, cfg)
+    assert len(s2["processed_buckets"]) == cfg.num_buckets - 5
     s3 = run_filter(spark, path, out2, ckpt2, FilterConfig())
     assert s3["processed_buckets"] == []  # everything checkpointed
 
@@ -161,10 +162,29 @@ def test_ppl_grouped_equals_map(spark, fixture_paths, tmp_path_factory):
     )
 
 
+def test_fused_equals_modular(spark, fixture_paths):
+    """One-crossing mapInPandas stage ≡ the three chained column UDFs."""
+    _, path = fixture_paths
+    from data_quality_check_spark.pipeline.run import decide
+
+    cols = ["image_id", "flag_decode_failed", "lang", "lang_conf", "ppl", "keep",
+            "drop_reason", "scrubbed_caption"]
+    df = spark.read.parquet(path)
+    a = decide(df, FilterConfig(ppl_mode="map")).select(cols).toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+    b = decide(df, FilterConfig(ppl_mode="modular")).select(cols).toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+    for c in ["image_id", "flag_decode_failed", "lang", "keep", "drop_reason",
+              "scrubbed_caption"]:
+        assert a[c].fillna("∅").tolist() == b[c].fillna("∅").tolist(), c
+    for c in ["lang_conf", "ppl"]:  # batch-layout-dependent last-ulp drift only
+        np.testing.assert_allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=1e-9)
+
+
 def test_metrics_and_manifest(spark, pipeline_out):
     _, ckpt, _ = pipeline_out
     manifest = spark.read.parquet(os.path.join(ckpt, "manifest")).toPandas()
-    assert sorted(manifest["bucket"].unique()) == list(range(16))
+    assert sorted(manifest["bucket"].unique()) == list(range(FilterConfig().num_buckets))
     metrics = spark.read.parquet(os.path.join(ckpt, "metrics")).toPandas()
     assert metrics["rows_in"].sum() >= N_ROWS  # includes duplicate re-appends
     assert (metrics["rows_kept"] <= metrics["rows_in"]).all()

@@ -1,0 +1,59 @@
+"""Tests for the rule-suggestion engine and the report sink."""
+
+import data_quality_check_spark as dqx
+from data_quality_check_spark.operators.report import (
+    score_report_json,
+    score_report_markdown,
+    write_report,
+)
+from data_quality_check_spark.operators.suggestions import suggest_rules
+from data_quality_check_spark.pipeline.demo_fixture import demo_ecommerce
+
+
+def test_suggest_rules_demo(spark):
+    df = demo_ecommerce(spark)
+    rules = suggest_rules(df)
+    by_col = {}
+    for r in rules:
+        by_col.setdefault(r["column"], []).append(r)
+
+    # age has injected negatives (i%15==0 → -5) → high-severity non-negative rule
+    age = [r for r in by_col["age"] if r["operator"] == ">="][0]
+    assert age["severity"] == "high"
+    assert age["condition"] == "`age` >= 0"
+    # price is non-negative exponential → medium severity
+    price = [r for r in by_col["price"] if r["operator"] == ">="][0]
+    assert price["severity"] == "medium"
+    # status has a 5-value domain (case variants + None) → isin rule
+    status = [r for r in by_col["status"] if r["operator"] == "isin"][0]
+    assert set(status["value"]) == {"active", "ACTIVE", "Active", "inactive"}
+    # email column → contains-@ rule
+    assert any(r["operator"] == "contains" for r in by_col["email"])
+
+
+def test_suggested_conditions_evaluable(spark):
+    """Every suggested condition string must run through the profiler's F.expr path."""
+    from pyspark.sql import functions as F
+
+    df = demo_ecommerce(spark)
+    for r in suggest_rules(df):
+        df.filter(~F.expr(r["condition"])).count()  # must not raise
+
+
+def test_report_rendering(spark, tmp_path):
+    df = demo_ecommerce(spark)
+    ts = dqx.run_scoring(df, table_name="demo")
+    md = score_report_markdown(ts)
+    assert "# Data quality report — demo" in md
+    assert "Global score" in md and str(ts.global_score) in md
+    for dim in ["completeness", "uniqueness", "standardization"]:
+        assert dim in md
+    assert "Worst columns" in md
+
+    p = write_report(ts, str(tmp_path / "report.md"))
+    assert open(p).read() == md
+    import json
+
+    j = json.loads(open(str(tmp_path / "report.json")).read())
+    assert j["table_name"] == "demo"
+    assert j["global_score"] == ts.global_score
