@@ -19,6 +19,10 @@ Scale design notes (SURVEY.md §3.4, §4.2):
   * per-language skew: `perplexity_grouped` salts the Zipf-heavy language key
     before its shuffle (ppl_mode="grouped"); the default map-side mode needs no
     shuffle at all.
+  * single heavy pass: the scored rows feed the filtered write, the per-bucket
+    metrics, and the run summary — `scored` is persisted so the scan+UDF pipeline
+    executes once; metrics/manifest are written from the ≤num_buckets collected
+    aggregate rows (driver-side), not by extra cluster scans.
 
 Run via spark-submit:
     spark-submit --py-files dqx.zip -m data_quality_check_spark.pipeline.run \
@@ -29,9 +33,11 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_quality_check_spark.functions.langid import (
     perplexity_grouped,
@@ -44,6 +50,17 @@ from data_quality_check_spark.functions.scrub import scrub_col
 from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, heuristic_ok, with_flags
 
 DATA_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+@contextmanager
+def _step(name: str):
+    """Wall-time a job step to stderr when SPARK_GRAFT_TIMING is set."""
+    import sys
+
+    t0 = time.perf_counter()
+    yield
+    if os.environ.get("SPARK_GRAFT_TIMING"):
+        print(f"[timing] {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -155,6 +172,32 @@ def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) ->
     )
 
 
+def _rows_to_pdf(rows):
+    """Collected Rows → pandas frame with parquet-stable dtypes (int64 counters,
+    UTC-adjusted timestamps so Spark reads TimestampType back, not NTZ)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    for c in pdf.columns:
+        if c == "committed_at":
+            # micros, not pandas-default nanos: Spark rejects TIMESTAMP(NANOS)
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+        elif pdf[c].dtype.kind == "i":
+            pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+def _append_parquet(pdf, dir_path: str, run_id: str) -> None:
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    fname = f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(dir_path, fname))
+
+
 def run_filter(
     spark: SparkSession,
     input_path: str,
@@ -185,28 +228,43 @@ def run_filter(
     work = df.filter(F.col("_bucket").isin(pending))
 
     # dedup winners come from the FULL input so partial runs agree with fresh runs
-    scored = decide(work, cfg, losers=dup_losers(df))
+    losers = dup_losers(df).persist(StorageLevel.MEMORY_AND_DISK)
+    with _step("losers"):
+        losers.count()
+    scored = decide(work, cfg, losers=losers)
+
+    # The scored rows feed THREE actions (filtered write, metrics, summary);
+    # without a persist each one re-executes the whole scan+UDF pipeline, tripling
+    # the job. Locally this caches in memory; at warehouse scale the equivalent is
+    # writing the scored table once (Iceberg) and deriving the views from it.
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
     kept = (
         scored.filter(F.col("keep"))
         .select(*out_cols)
         .dropDuplicates(["image_id"])  # same-id exact dups collapse; see module doc
+        # One file per bucket: without this, partitionBy fans every task out
+        # across all buckets (tasks × buckets files) and the driver-side dynamic
+        # commit renames them serially. image_id determines _bucket, so this
+        # cheap kept-rows-only shuffle loses nothing; on Iceberg bucket(B,
+        # image_id) layout both shuffles are storage-partitioned away entirely.
+        .repartition(cfg.num_buckets, F.col("_bucket"))
     )
-    # dropDuplicates is the ONE shuffle that carries `bytes` (same image_id ⇒
-    # same bucket, so the rows are already grouped correctly for partitionBy —
-    # no extra repartition); on Iceberg bucket(B, image_id) layout this shuffle
-    # is storage-partitioned and disappears entirely.
-    (
-        kept.write.mode("overwrite")
-        .partitionBy("_bucket")
-        # rows are bytes-dominated and image bytes are already codec-compressed;
-        # container-level snappy would burn write+read CPU for ~0% size win
-        .option("compression", "uncompressed")
-        .parquet(os.path.join(output_dir, "filtered"))
-    )
+    with _step("score+write"):
+        (
+            kept.write.mode("overwrite")
+            .partitionBy("_bucket")
+            # rows are bytes-dominated and image bytes are already codec-compressed;
+            # container-level snappy would burn write+read CPU for ~0% size win
+            .option("compression", "uncompressed")
+            .parquet(os.path.join(output_dir, "filtered"))
+        )
 
-    # per-bucket metrics (narrow aggregation — bytes already dropped) + lineage
+    # per-bucket metrics (narrow aggregation — bytes already dropped) + lineage.
+    # ONE distributed action: the ≤num_buckets aggregate rows are collected to the
+    # driver, and the metrics/manifest checkpoint tables are written from those
+    # local rows — three cluster-wide scans replaced by one plus two trivial jobs.
     flag_sums = [F.count_if(F.col(c)).alias(c.replace("flag_", "n_")) for c in FLAG_COLS]
     metrics = (
         scored.drop("bytes")
@@ -224,22 +282,31 @@ def run_filter(
         .withColumn("run_id", F.lit(cfg.run_id))
         .withColumn("committed_at", F.current_timestamp())
     )
-    metrics = metrics.cache()
-    metrics.count()
-    metrics.write.mode("append").parquet(os.path.join(checkpoint_dir, "metrics"))
+    with _step("metrics_collect"):
+        metric_rows = metrics.collect()
+    # The checkpoint tables are ≤num_buckets driver-local rows; writing them with
+    # pyarrow skips a whole Spark job each (scheduler + committer round-trips that
+    # cost more than the data). Files land uniquely-named in the same parquet
+    # dirs Spark reads back for resume.
+    with _step("metrics_write"):
+        if not metric_rows:  # pending buckets held zero rows; nothing to commit
+            scored.unpersist()
+            losers.unpersist()
+            return {"processed_buckets": pending, "rows_in": 0, "rows_kept": 0}
+        metrics_pdf = _rows_to_pdf(metric_rows)
+        _append_parquet(metrics_pdf, os.path.join(checkpoint_dir, "metrics"), cfg.run_id)
 
-    # manifest commit LAST: a bucket is only "done" once data + metrics landed
-    manifest = metrics.select(
-        F.col("_bucket").alias("bucket"), "rows_in", "rows_kept", "run_id", "committed_at"
-    )
-    manifest.write.mode("append").parquet(os.path.join(checkpoint_dir, "manifest"))
+        # manifest commit LAST: a bucket is only "done" once data + metrics landed
+        manifest_pdf = metrics_pdf[["_bucket", "rows_in", "rows_kept", "run_id", "committed_at"]]
+        manifest_pdf = manifest_pdf.rename(columns={"_bucket": "bucket"})
+        _append_parquet(manifest_pdf, os.path.join(checkpoint_dir, "manifest"), cfg.run_id)
 
-    stats = metrics.agg(F.sum("rows_in"), F.sum("rows_kept")).collect()[0]
-    metrics.unpersist()
+    scored.unpersist()
+    losers.unpersist()
     return {
         "processed_buckets": pending,
-        "rows_in": stats[0],
-        "rows_kept": stats[1],
+        "rows_in": sum(r["rows_in"] for r in metric_rows),
+        "rows_kept": sum(r["rows_kept"] for r in metric_rows),
     }
 
 

@@ -31,6 +31,12 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "33554432",
     # Quieter driver logs in tests.
     "spark.ui.showConsoleProgress": "false",
+    # Image tables allocate one byte[] per value at GB/s rates; G1's region
+    # machinery degrades badly past ~16 allocating threads (measured: 3-8x jitter
+    # on a 32-thread scan), while the throughput collector stays flat. UseAVX=2
+    # works around JIT avx-512 arraycopy stub SIGSEGVs on virtualized Xeons.
+    "spark.driver.extraJavaOptions": "-XX:UseAVX=2 -XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:UseAVX=2 -XX:+UseParallelGC",
 }
 
 
