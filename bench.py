@@ -44,18 +44,19 @@ def sf_value(sf_dir: str) -> float:
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    # the package session factory carries the stability-critical JVM options
+    # (UseAVX=2 avoids an avx-512 JIT stub SIGSEGV on this virtualized Xeon;
+    # ParallelGC avoids G1's 32-thread allocation collapse on byte[] churn)
+    from data_quality_check_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("dqcs-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    spark = get_spark(
+        app_name="dqcs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "spark.ui.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark

@@ -110,14 +110,9 @@ def dup_losers(df: DataFrame) -> DataFrame:
     )
 
 
-def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) -> DataFrame:
-    """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason."""
-    from data_quality_check_spark.functions.textmodel import default_model
-
-    target = cfg.target_langs or default_model().langs
-    if losers is None:
-        losers = dup_losers(df)
-
+def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """The heavy per-row stages: heuristic flags + the model UDFs. No shuffle,
+    no dup information — this is the (single) expensive pass worth caching."""
     df = with_flags(df)
     if cfg.ppl_mode == "grouped":
         # scale path for oversized per-language models: modular UDFs + salted
@@ -131,6 +126,22 @@ def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) ->
         df = with_perplexity(df)
     else:  # "map" — fused: ONE python crossing for decode+langid+ppl
         df = with_model_scores_fused(df)
+    return df
+
+
+def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) -> DataFrame:
+    """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason."""
+    if losers is None:
+        losers = dup_losers(df)
+    return finalize(score_rows(df, cfg), cfg, losers)
+
+
+def finalize(df: DataFrame, cfg: FilterConfig, losers: DataFrame) -> DataFrame:
+    """Cheap tail over scored rows: dup broadcast join, keep/drop decision,
+    drop reason, scrub — pure expressions, recomputable from a cached input."""
+    from data_quality_check_spark.functions.textmodel import default_model
+
+    target = cfg.target_langs or default_model().langs
 
     df = df.join(F.broadcast(losers.withColumn("flag_duplicate", F.lit(True))), "image_id", "left")
     df = df.withColumn("flag_duplicate", F.coalesce(F.col("flag_duplicate"), F.lit(False)))
@@ -227,17 +238,21 @@ def run_filter(
     # on a flat file it is a pushed-down filter.
     work = df.filter(F.col("_bucket").isin(pending))
 
-    # dedup winners come from the FULL input so partial runs agree with fresh runs
-    losers = dup_losers(df).persist(StorageLevel.MEMORY_AND_DISK)
-    with _step("losers"):
-        losers.count()
-    scored = decide(work, cfg, losers=losers)
-
     # The scored rows feed THREE actions (filtered write, metrics, summary);
     # without a persist each one re-executes the whole scan+UDF pipeline, tripling
     # the job. Locally this caches in memory; at warehouse scale the equivalent is
     # writing the scored table once (Iceberg) and deriving the views from it.
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    scored_base = score_rows(work, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # dedup winners come from the FULL input (phash groups span buckets, so a
+    # resumed run must crown the same winners a fresh run would) via a narrow
+    # (image_id, phash) columnar scan. Deliberately NOT derived from the scored
+    # cache: that would serialize cache materialization into this small job and
+    # steal the overlap between UDF compute and the filtered write below.
+    losers = dup_losers(df).persist(StorageLevel.MEMORY_AND_DISK)
+    with _step("losers"):
+        losers.count()
+    scored = finalize(scored_base, cfg, losers)
 
     out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
     kept = (
@@ -290,7 +305,7 @@ def run_filter(
     # dirs Spark reads back for resume.
     with _step("metrics_write"):
         if not metric_rows:  # pending buckets held zero rows; nothing to commit
-            scored.unpersist()
+            scored_base.unpersist()
             losers.unpersist()
             return {"processed_buckets": pending, "rows_in": 0, "rows_kept": 0}
         metrics_pdf = _rows_to_pdf(metric_rows)
@@ -301,7 +316,7 @@ def run_filter(
         manifest_pdf = manifest_pdf.rename(columns={"_bucket": "bucket"})
         _append_parquet(manifest_pdf, os.path.join(checkpoint_dir, "manifest"), cfg.run_id)
 
-    scored.unpersist()
+    scored_base.unpersist()
     losers.unpersist()
     return {
         "processed_buckets": pending,
