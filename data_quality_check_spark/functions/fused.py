@@ -64,8 +64,7 @@ def fused_scores_udf(
     for blobs, ws, hs, captions in batches:
         flags = _decode_flags(pd.DataFrame({"bytes": blobs, "w": ws, "h": hs}))
         texts = captions.fillna("").tolist()
-        langs, conf, _ = model.predict(texts)
-        ppl = model.perplexity(texts, list(langs))
+        langs, conf, _, ppl = model.score(texts)  # one encode+gather pass
         yield pd.DataFrame(
             {"flag_decode_failed": flags, "lang": langs, "lang_conf": conf, "ppl": ppl}
         )

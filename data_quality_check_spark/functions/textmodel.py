@@ -145,6 +145,30 @@ class CharTrigramLM:
         conf = np.where(empty, 0.0, conf)
         return langs, conf, counts
 
+    def score(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Fused predict + perplexity: (langs, conf, counts, ppl) in ONE encode +
+        trigram + gather pass. `perplexity(texts, predict(texts))` recomputes the
+        exact per-text log-lik sum that `predict` already built — ppl for the
+        argmax language is just exp(-ll[i, best]/counts[i]) — so the fused form
+        is bit-identical (asserted against the two-call path in tests) at half
+        the cost. The golden-label path deliberately keeps the two-call form,
+        cross-validating the fusion end to end."""
+        ll, counts = self.loglik_matrix(texts)
+        safe = np.maximum(counts, 1)
+        norm = ll / safe[:, None]
+        best = np.argmax(norm, axis=1)
+        z = norm - norm.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        conf = p[np.arange(len(texts)), best]
+        langs = np.array(self.langs, dtype=object)[best]
+        empty = counts < 1
+        langs[empty] = "und"
+        conf = np.where(empty, 0.0, conf)
+        ppl = np.exp(-ll[np.arange(len(texts)), best] / safe)
+        ppl = np.where(empty, 1e9, ppl)
+        return langs, conf, counts, ppl
+
     def perplexity(self, texts, langs) -> np.ndarray:
         """Per-text char-trigram perplexity under each text's assigned language.
         exp(-mean log P(gram|lang)); inf-free: texts with no trigrams → large ppl."""

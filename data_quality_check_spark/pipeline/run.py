@@ -1,28 +1,40 @@
 """The north-star job: image+caption quality filter with checkpointed resume.
 
     read (bucket-pruned) → heuristic flags (pure expressions)
-      → decode-check UDF (map-side, bytes never shuffled)
-      → langid UDF → perplexity UDF (map-side default; salted-group option)
-      → dedup winners (narrow projection, broadcast anti-join of losers)
-      → keep/drop decision + scrub → bucket-partitioned write
-      → per-bucket metrics + checkpoint manifest append
+      → fused decode-check + langid + perplexity UDF (one Python crossing)
+      → dedup decision (narrow broadcast subquery — no separate action)
+      → keep/drop decision + scrub → observe() metrics
+      → bucket-partitioned write → per-bucket metrics + checkpoint manifest
 
 Scale design notes (SURVEY.md §3.4, §4.2):
-  * `bytes` flows only through map stages; every shuffle/groupBy operates on a
-    projection without it. The one exception — the same-image_id duplicate collapse
-    at the end — is a shuffle by image_id which on the production Iceberg layout
-    (`bucket(B, image_id)`) is storage-partitioned and therefore shuffle-free; in
-    the parquet sandbox it shuffles only the ~kept rows of pending buckets.
-  * resume = anti-filter on the manifest's completed-bucket list (partition pruning
-    when the input is already bucket-partitioned). Output uses dynamic partition
-    overwrite so re-processing a bucket after a crash is idempotent.
+  * ONE heavy pass. The whole job is a single Spark action (the filtered write);
+    per-bucket and per-run metrics ride along via `DataFrame.observe` — computed
+    by the very tasks that write the output, so nothing is persisted, re-scanned,
+    or re-decoded. The reference issues O(cols + rules) full-scan jobs for the
+    same information (engine.py:439-553); this plan issues one.
+  * `bytes` flows only through map stages; the single shuffle in the plan
+    (`repartition(num_buckets, _bucket)`) moves only the ~kept fraction of rows,
+    and on the production Iceberg layout (`bucket(B, image_id)`) is
+    storage-partitioned away entirely.
+  * dedup needs no wide shuffle and no second action: a narrow
+    (image_id, phash, rid) aggregation — a columnar scan that never touches
+    `bytes` or `caption` — produces the small "dup decisions" table
+    (phash-losers to drop + the surviving row id for multi-row ids), which joins
+    back as a broadcast. At 10^12 rows this becomes a bucketed intermediate
+    table; the join is storage-partitioned either way.
+  * same-id exact-dup collapse uses a deterministic per-row id
+    (`monotonically_increasing_id`, stable across scans of the same files) to
+    select ONE physical row per image_id instead of a `dropDuplicates` shuffle
+    of kept bytes. The golden `keep` label (both copies keep=true, matching
+    reference semantics where duplicates are id-level) is untouched; selection
+    is a separate `row_selected` column.
+  * resume = anti-filter on the manifest's completed-bucket list (partition
+    pruning when the input is bucket-partitioned). Output uses dynamic partition
+    overwrite so re-processing a bucket after a crash is idempotent. Every
+    pending bucket gets a manifest row (even empty ones), so resume converges.
   * per-language skew: `perplexity_grouped` salts the Zipf-heavy language key
-    before its shuffle (ppl_mode="grouped"); the default map-side mode needs no
+    before its shuffle (ppl_mode="grouped"); the default fused mode needs no
     shuffle at all.
-  * single heavy pass: the scored rows feed the filtered write, the per-bucket
-    metrics, and the run summary — `scored` is persisted so the scan+UDF pipeline
-    executes once; metrics/manifest are written from the ≤num_buckets collected
-    aggregate rows (driver-side), not by extra cluster scans.
 
 Run via spark-submit:
     spark-submit --py-files dqx.zip -m data_quality_check_spark.pipeline.run \
@@ -36,8 +48,7 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from data_quality_check_spark.functions.langid import (
     perplexity_grouped,
@@ -50,6 +61,22 @@ from data_quality_check_spark.functions.scrub import scrub_col
 from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, heuristic_ok, with_flags
 
 DATA_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+# priority-ordered drop reasons; mirrors reference_impl.DROP_PRIORITY
+DROP_REASONS = [
+    "caption_missing",
+    "fake_null",
+    "too_short",
+    "too_long",
+    "low_alpha",
+    "repetitive",
+    "bad_dims",
+    "bytes_implausible",
+    "decode_failed",
+    "language",
+    "perplexity",
+    "duplicate",
+]
 
 
 @contextmanager
@@ -88,31 +115,55 @@ def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
         return []
 
 
-def dup_losers(df: DataFrame) -> DataFrame:
-    """image_ids losing their phash group (winner = min image_id), computed on the
-    (image_id, phash) projection — a narrow columnar scan, no wide rows shuffled.
+def dup_decisions(df: DataFrame) -> DataFrame:
+    """Small table of ids needing dedup action, from a narrow
+    (image_id, phash, rid) columnar scan — `bytes` is never read.
+
+      is_loser  — id loses its phash group (winner = min image_id): drop all rows
+      keep_rid  — for ids stored as >1 physical row, the one row to emit
 
     MUST be computed over the FULL input, not a bucket subset: phash groups span
     buckets, and a resumed run has to pick the same winners a fresh run would.
-    Only ids from multi-id groups are returned (~duplicate rate · n), small enough
-    to broadcast; at 10^12 scale this becomes a bucketed intermediate table keyed
+    Only acting ids are returned (~duplicate-rate · n), small enough to
+    broadcast; at 10^12 scale this becomes a bucketed intermediate table keyed
     by image_id instead of a broadcast.
     """
-    narrow = df.select("image_id", "phash")
-    groups = narrow.groupBy("phash").agg(
-        F.min("image_id").alias("winner"), F.count_distinct("image_id").alias("n_ids")
+    ids = (
+        df.select("image_id", "phash", "rid")
+        .groupBy("image_id")
+        .agg(
+            F.min("phash").alias("phash"),
+            F.min("rid").alias("keep_rid"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    groups = ids.groupBy("phash").agg(
+        F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
     )
     return (
-        narrow.join(groups.filter(F.col("n_ids") > 1), "phash")
-        .filter(F.col("image_id") != F.col("winner"))
-        .select("image_id")
-        .distinct()
+        ids.join(groups, "phash")
+        .filter((F.col("n_ids") > 1) | (F.col("n_rows") > 1))
+        .select(
+            "image_id",
+            (F.col("image_id") != F.col("winner")).alias("is_loser"),
+            "keep_rid",
+        )
     )
+
+
+def with_rid(df: DataFrame) -> DataFrame:
+    """Stable physical row id. `monotonically_increasing_id` is a pure function
+    of (scan partition index, row offset), and leaf file-scan splits are
+    deterministic for the same files + session confs — so the narrow dedup scan
+    and the heavy scoring scan assign identical rids to identical rows. Same-id
+    duplicate rows are verbatim copies, so WHICH copy wins is immaterial to the
+    output; the rid only guarantees exactly one survives."""
+    return df.withColumn("rid", F.monotonically_increasing_id())
 
 
 def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
     """The heavy per-row stages: heuristic flags + the model UDFs. No shuffle,
-    no dup information — this is the (single) expensive pass worth caching."""
+    no dup information — one map-side pass."""
     df = with_flags(df)
     if cfg.ppl_mode == "grouped":
         # scale path for oversized per-language models: modular UDFs + salted
@@ -129,22 +180,26 @@ def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
     return df
 
 
-def decide(df: DataFrame, cfg: FilterConfig, losers: DataFrame | None = None) -> DataFrame:
+def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> DataFrame:
     """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason."""
-    if losers is None:
-        losers = dup_losers(df)
-    return finalize(score_rows(df, cfg), cfg, losers)
+    if "rid" not in df.columns:
+        df = with_rid(df)
+    if dups is None:
+        dups = dup_decisions(df)
+    return finalize(score_rows(df, cfg), cfg, dups)
 
 
-def finalize(df: DataFrame, cfg: FilterConfig, losers: DataFrame) -> DataFrame:
+def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
     """Cheap tail over scored rows: dup broadcast join, keep/drop decision,
-    drop reason, scrub — pure expressions, recomputable from a cached input."""
+    drop reason, scrub, output-row selection — pure expressions."""
     from data_quality_check_spark.functions.textmodel import default_model
 
     target = cfg.target_langs or default_model().langs
 
-    df = df.join(F.broadcast(losers.withColumn("flag_duplicate", F.lit(True))), "image_id", "left")
-    df = df.withColumn("flag_duplicate", F.coalesce(F.col("flag_duplicate"), F.lit(False)))
+    df = df.join(F.broadcast(dups), "image_id", "left")
+    df = df.withColumn("flag_duplicate", F.coalesce(F.col("is_loser"), F.lit(False))).drop(
+        "is_loser"
+    )
 
     lang_ok = F.col("lang").isin(list(target)) & (F.col("lang_conf") >= cfg.min_lang_conf)
     ppl_ok = F.col("ppl") <= cfg.max_ppl
@@ -158,44 +213,49 @@ def finalize(df: DataFrame, cfg: FilterConfig, losers: DataFrame) -> DataFrame:
     df = df.withColumn("keep", keep)
 
     # first-match drop reason, priority-ordered (mirrors reference_impl.DROP_PRIORITY)
-    reason = F.lit(None).cast("string")
-    pairs = [
-        ("caption_missing", F.col("flag_caption_missing")),
-        ("fake_null", F.col("flag_fake_null")),
-        ("too_short", F.col("flag_too_short")),
-        ("too_long", F.col("flag_too_long")),
-        ("low_alpha", F.col("flag_low_alpha")),
-        ("repetitive", F.col("flag_repetitive")),
-        ("bad_dims", F.col("flag_bad_dims")),
-        ("bytes_implausible", F.col("flag_bytes_implausible")),
-        ("decode_failed", F.col("flag_decode_failed")),
-        ("language", ~lang_ok),
-        ("perplexity", ~ppl_ok),
-        ("duplicate", F.col("flag_duplicate")),
-    ]
+    cond_of = {
+        "language": ~lang_ok,
+        "perplexity": ~ppl_ok,
+        "duplicate": F.col("flag_duplicate"),
+    }
+    pairs = [(r, cond_of.get(r, F.col(f"flag_{r}"))) for r in DROP_REASONS]
     expr = F.when(pairs[0][1], pairs[0][0])
     for name, cond in pairs[1:]:
         expr = expr.when(cond, name)
     df = df.withColumn("drop_reason", expr)
+
+    # exactly one physical row per kept image_id reaches the output; the keep
+    # LABEL (reference semantics: id-level) stays true on every copy
+    row_selected = F.col("keep") & (
+        F.col("keep_rid").isNull() | (F.col("rid") == F.col("keep_rid"))
+    )
+    df = df.withColumn("row_selected", row_selected).drop("keep_rid")
     return df.withColumn(
         "scrubbed_caption",
         F.when(F.col("keep"), scrub_col(F.trim(F.col("caption")))),
     )
 
 
-def _rows_to_pdf(rows):
-    """Collected Rows → pandas frame with parquet-stable dtypes (int64 counters,
-    UTC-adjusted timestamps so Spark reads TimestampType back, not NTZ)."""
-    import pandas as pd
-
-    pdf = pd.DataFrame([r.asDict() for r in rows])
-    for c in pdf.columns:
-        if c == "committed_at":
-            # micros, not pandas-default nanos: Spark rejects TIMESTAMP(NANOS)
-            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize("UTC").astype("datetime64[us, UTC]")
-        elif pdf[c].dtype.kind == "i":
-            pdf[c] = pdf[c].astype("int64")
-    return pdf
+def _bucket_metric_aggs(pending: list[int]) -> list:
+    """observe() aggregates: per-pending-bucket (rows_in, rows_kept, n_scrubbed)
+    + per-run global drop-reason and flag breakdowns. All plain conditional
+    counts (observe forbids distinct aggregates — which `row_selected` makes
+    unnecessary: output rows = count_if(row_selected), exactly)."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(F.col("row_selected")).alias("rows_kept"),
+        F.count_if(F.col("_scrub_changed")).alias("n_scrubbed"),
+    ]
+    for r in DROP_REASONS:
+        aggs.append(F.count_if(F.col("drop_reason") == r).alias(f"n_{r}"))
+    for c in FLAG_COLS:
+        aggs.append(F.count_if(F.col(c)).alias(c.replace("flag_", "nf_")))
+    for b in pending:
+        m = F.col("_bucket") == b
+        aggs.append(F.count_if(m).alias(f"b{b}_rows_in"))
+        aggs.append(F.count_if(m & F.col("row_selected")).alias(f"b{b}_kept"))
+        aggs.append(F.count_if(m & F.col("_scrub_changed")).alias(f"b{b}_scrubbed"))
+    return aggs
 
 
 def _append_parquet(pdf, dir_path: str, run_id: str) -> None:
@@ -207,6 +267,49 @@ def _append_parquet(pdf, dir_path: str, run_id: str) -> None:
     os.makedirs(dir_path, exist_ok=True)
     fname = f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(dir_path, fname))
+
+
+def _write_checkpoint(checkpoint_dir: str, cfg: FilterConfig, pending: list[int], m: dict) -> None:
+    """Metrics + manifest from the observe() row — ≤num_buckets driver-local rows;
+    pyarrow appends skip a whole Spark job each. Manifest commit LAST: a bucket
+    is only "done" once data + metrics landed."""
+    import pandas as pd
+
+    now = pd.Timestamp.now(tz="UTC").as_unit("us")
+    metrics_pdf = pd.DataFrame(
+        {
+            "bucket": pending,
+            "rows_in": [m[f"b{b}_rows_in"] for b in pending],
+            "rows_kept": [m[f"b{b}_kept"] for b in pending],
+            "n_scrubbed": [m[f"b{b}_scrubbed"] for b in pending],
+        }
+    )
+    for c in ["rows_in", "rows_kept", "n_scrubbed"]:
+        metrics_pdf[c] = metrics_pdf[c].astype("int64")
+    metrics_pdf["run_id"] = cfg.run_id
+    metrics_pdf["committed_at"] = now
+    _append_parquet(metrics_pdf, os.path.join(checkpoint_dir, "metrics"), cfg.run_id)
+
+    run_pdf = pd.DataFrame(
+        [
+            {
+                "run_id": cfg.run_id,
+                "rows_in": m["rows_in"],
+                "rows_kept": m["rows_kept"],
+                "n_scrubbed": m["n_scrubbed"],
+                **{f"n_{r}": m[f"n_{r}"] for r in DROP_REASONS},
+                **{c.replace("flag_", "nf_"): m[c.replace("flag_", "nf_")] for c in FLAG_COLS},
+                "committed_at": now,
+            }
+        ]
+    )
+    for c in run_pdf.columns:
+        if run_pdf[c].dtype.kind == "i":
+            run_pdf[c] = run_pdf[c].astype("int64")
+    _append_parquet(run_pdf, os.path.join(checkpoint_dir, "run_metrics"), cfg.run_id)
+
+    manifest_pdf = metrics_pdf[["bucket", "rows_in", "rows_kept", "run_id", "committed_at"]]
+    _append_parquet(manifest_pdf, os.path.join(checkpoint_dir, "manifest"), cfg.run_id)
 
 
 def run_filter(
@@ -225,7 +328,9 @@ def run_filter(
     cfg = cfg or FilterConfig()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    df = spark.read.parquet(input_path).withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
+    df = with_rid(spark.read.parquet(input_path)).withColumn(
+        "_bucket", bucket_col(num_buckets=cfg.num_buckets)
+    )
 
     done = completed_buckets(spark, checkpoint_dir)
     pending = [b for b in range(cfg.num_buckets) if b not in done]
@@ -238,32 +343,28 @@ def run_filter(
     # on a flat file it is a pushed-down filter.
     work = df.filter(F.col("_bucket").isin(pending))
 
-    # The scored rows feed THREE actions (filtered write, metrics, summary);
-    # without a persist each one re-executes the whole scan+UDF pipeline, tripling
-    # the job. Locally this caches in memory; at warehouse scale the equivalent is
-    # writing the scored table once (Iceberg) and deriving the views from it.
-    scored_base = score_rows(work, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # dedup decisions come from the FULL input (phash groups span buckets) via a
+    # narrow columnar scan, executed as the broadcast build of the join inside
+    # the one write action below — no separate driver-blocking job.
+    dups = dup_decisions(df)
 
-    # dedup winners come from the FULL input (phash groups span buckets, so a
-    # resumed run must crown the same winners a fresh run would) via a narrow
-    # (image_id, phash) columnar scan. Deliberately NOT derived from the scored
-    # cache: that would serialize cache materialization into this small job and
-    # steal the overlap between UDF compute and the filtered write below.
-    losers = dup_losers(df).persist(StorageLevel.MEMORY_AND_DISK)
-    with _step("losers"):
-        losers.count()
-    scored = finalize(scored_base, cfg, losers)
+    scored = finalize(score_rows(work, cfg), cfg, dups).withColumn(
+        "_scrub_changed",
+        F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(F.trim(F.col("caption"))),
+    )
+
+    obs = Observation(f"metrics-{cfg.run_id}")
+    scored = scored.observe(obs, *_bucket_metric_aggs(pending))
 
     out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
     kept = (
-        scored.filter(F.col("keep"))
+        scored.filter(F.col("row_selected"))
         .select(*out_cols)
-        .dropDuplicates(["image_id"])  # same-id exact dups collapse; see module doc
         # One file per bucket: without this, partitionBy fans every task out
         # across all buckets (tasks × buckets files) and the driver-side dynamic
         # commit renames them serially. image_id determines _bucket, so this
         # cheap kept-rows-only shuffle loses nothing; on Iceberg bucket(B,
-        # image_id) layout both shuffles are storage-partitioned away entirely.
+        # image_id) layout it is storage-partitioned away entirely.
         .repartition(cfg.num_buckets, F.col("_bucket"))
     )
     with _step("score+write"):
@@ -276,52 +377,14 @@ def run_filter(
             .parquet(os.path.join(output_dir, "filtered"))
         )
 
-    # per-bucket metrics (narrow aggregation — bytes already dropped) + lineage.
-    # ONE distributed action: the ≤num_buckets aggregate rows are collected to the
-    # driver, and the metrics/manifest checkpoint tables are written from those
-    # local rows — three cluster-wide scans replaced by one plus two trivial jobs.
-    flag_sums = [F.count_if(F.col(c)).alias(c.replace("flag_", "n_")) for c in FLAG_COLS]
-    metrics = (
-        scored.drop("bytes")
-        .groupBy("_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            # distinct ids: same-id exact-dup rows collapse to one output row
-            F.count_distinct(F.when(F.col("keep"), F.col("image_id"))).alias("rows_kept"),
-            F.count_if(F.col("flag_duplicate")).alias("n_duplicate"),
-            F.count_if(~F.col("keep") & (F.col("drop_reason") == "language")).alias("n_language"),
-            F.count_if(~F.col("keep") & (F.col("drop_reason") == "perplexity")).alias("n_perplexity"),
-            F.count_if(F.col("scrubbed_caption") != F.trim(F.col("caption"))).alias("n_scrubbed"),
-            *flag_sums,
-        )
-        .withColumn("run_id", F.lit(cfg.run_id))
-        .withColumn("committed_at", F.current_timestamp())
-    )
-    with _step("metrics_collect"):
-        metric_rows = metrics.collect()
-    # The checkpoint tables are ≤num_buckets driver-local rows; writing them with
-    # pyarrow skips a whole Spark job each (scheduler + committer round-trips that
-    # cost more than the data). Files land uniquely-named in the same parquet
-    # dirs Spark reads back for resume.
     with _step("metrics_write"):
-        if not metric_rows:  # pending buckets held zero rows; nothing to commit
-            scored_base.unpersist()
-            losers.unpersist()
-            return {"processed_buckets": pending, "rows_in": 0, "rows_kept": 0}
-        metrics_pdf = _rows_to_pdf(metric_rows)
-        _append_parquet(metrics_pdf, os.path.join(checkpoint_dir, "metrics"), cfg.run_id)
+        m = obs.get
+        _write_checkpoint(checkpoint_dir, cfg, pending, m)
 
-        # manifest commit LAST: a bucket is only "done" once data + metrics landed
-        manifest_pdf = metrics_pdf[["_bucket", "rows_in", "rows_kept", "run_id", "committed_at"]]
-        manifest_pdf = manifest_pdf.rename(columns={"_bucket": "bucket"})
-        _append_parquet(manifest_pdf, os.path.join(checkpoint_dir, "manifest"), cfg.run_id)
-
-    scored_base.unpersist()
-    losers.unpersist()
     return {
         "processed_buckets": pending,
-        "rows_in": sum(r["rows_in"] for r in metric_rows),
-        "rows_kept": sum(r["rows_kept"] for r in metric_rows),
+        "rows_in": int(m["rows_in"]),
+        "rows_kept": int(m["rows_kept"]),
     }
 
 
