@@ -67,7 +67,9 @@ def cached_image_fixture(n: int, num_files: int = 32) -> str:
     written as a multi-file directory so the scan parallelizes like a real table."""
     from data_quality_check_spark.pipeline.fixtures import write_images_parquet
 
-    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_{n}_f{num_files}")
+    # v2: near-dup-realistic phash fixture (block-pattern images) — key versioned
+    # so stale caches from the gradient-image generator never get reused
+    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_v2_{n}_f{num_files}")
     if not os.path.exists(cache):
         log(f"[bench] generating image fixture n={n} -> {cache}")
         write_images_parquet(cache, n=n, num_files=num_files)

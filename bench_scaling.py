@@ -4,7 +4,8 @@
 The north rule requires ≥0.8 throughput scaling efficiency between N and 4N
 executors. This sandbox has no multi-node cluster, so the evidence is the same
 job on the same input at two REAL executor counts via Spark's local-cluster
-mode — local-cluster[1,8,16g] (N=1 executor) vs local-cluster[4,8,16g] (4N) —
+mode — local-cluster[1,C,8g] (N=1 executor) vs local-cluster[4,C,8g] (4N),
+C=4-core executors on half the host (see CORES_PER_EXEC note) —
 each level in its own fresh driver process, executors in their own JVMs with
 their own GC/shuffle-server/python workers, measuring only the `run_filter`
 wall time (session startup excluded). Efficiency = (thr_4N / thr_N) / 4.
@@ -54,7 +55,13 @@ def fixture_path(rows: int) -> str:
     from data_quality_check_spark.pipeline.fixtures import write_images_parquet_spark
     from data_quality_check_spark.session import get_spark
 
-    cache = os.path.join(SCRATCH, f"dqcs_bench_images_{rows}_f{NUM_FILES}u")
+    from data_quality_check_spark.pipeline.run import FilterConfig
+
+    nb = FilterConfig().num_buckets
+    # b{nb}: production layout — partitioned by bucket(nb, image_id), so the
+    # measured job is the Iceberg-shaped one (partition-pruned resume, shuffle-
+    # free bucketed write), not the flat-file fallback.
+    cache = os.path.join(SCRATCH, f"dqcs_bench_images_{rows}_f{NUM_FILES}u_b{nb}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         print(f"[scale] generating fixture n={rows} on all cores", file=sys.stderr, flush=True)
         # 32 concurrent uncompressed parquet writer tasks buffer row groups in the
@@ -65,14 +72,28 @@ def fixture_path(rows: int) -> str:
         )
         spark.sparkContext.setLogLevel("ERROR")
         try:
-            write_images_parquet_spark(spark, cache, n=rows, num_files=NUM_FILES)
+            write_images_parquet_spark(
+                spark, cache, n=rows, num_files=NUM_FILES, bucket_by_id=nb
+            )
         finally:
             spark.stop()
     return cache
 
 
-CORES_PER_EXEC = 8
-EXEC_MEM_MB = 16384
+# 4-core executors — the most common production size — chosen so the 4N level
+# occupies HALF the 32-core host. At full occupancy the host's shared L3/memory
+# fabric (which real separate nodes do not share) becomes the measured
+# bottleneck: a pure JVM parquet scan — definitionally linear on a real
+# cluster — scales at only 0.63 with 8-core executors filling the box, putting
+# a hardware ceiling under every software number. At half occupancy the fabric
+# has headroom and the measurement reflects the JOB's scaling again.
+CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_CORES_PER_EXEC", "4"))
+# 8g/executor: the job streams 128MB splits through 4096-row Arrow
+# batches and aggregates tiny state, so a bigger heap only ADDS cost — with 4
+# executors, 4×16g of lazily-grown ParallelGC heap plus the 13g tmpfs fixture
+# and ~9g of tmpfs output pushed the box into page-reclaim storms (no swap) that
+# a real cluster, where each node owns its RAM, never sees; reps swung 2-4x.
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "8192"))
 
 
 def child(n_exec: int, fixture: str) -> None:
@@ -89,7 +110,15 @@ def child(n_exec: int, fixture: str) -> None:
     from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
 
     cpus = n_exec * CORES_PER_EXEC
-    jvm_opts = "-XX:UseAVX=2 " + os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+    # ParallelGCThreads: each executor JVM sizes its GC pool from the cpuset it
+    # can SEE (all `cpus` cores), not the few it is entitled to — at 4N that is
+    # 4 oversized GC pools colliding, a stop-the-world convoy a real cluster
+    # (each node sees only its own cores) never has. Pin to cores/exec.
+    jvm_opts = (
+        "-XX:UseAVX=2 "
+        + os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+        + f" -XX:ParallelGCThreads={CORES_PER_EXEC}"
+    )
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]")
         .appName(f"dqcs-scale-{n_exec}x{CORES_PER_EXEC}")
@@ -100,7 +129,11 @@ def child(n_exec: int, fixture: str) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # 128MB splits: at 32MB the heavy stage becomes 511 ~25MB tasks whose
+        # serial driver-side dispatch is a CONSTANT cost the big level pays 4x
+        # relative to its wall time; 128MB keeps >3 waves per core at both
+        # levels with 4x fewer dispatches.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.executor.extraJavaOptions", jvm_opts)
@@ -154,16 +187,17 @@ def child(n_exec: int, fixture: str) -> None:
 
 
 def _cpuset(n_exec: int) -> str:
-    """CPU pinning that makes the small level honest: without it, the N=1
-    '8-core' executor spills its GC threads, shuffle/compression work, and
-    python workers onto the box's 24 idle cores — silicon a real 8-core node
-    does not have — inflating thr_N and destroying the measured efficiency.
-    Each level gets executors·8 cores + 2 for the driver (a real cluster's
-    driver is a separate node), capped at the box; the cap means the BIG level
-    shares its cores with the driver while the small level does not — an
-    asymmetry that penalizes 4N, so the reported efficiency is a lower bound."""
+    """CPU pinning that makes the comparison honest in BOTH directions. Without
+    any pinning the small level spills its GC threads, python workers and
+    shuffle work onto the box's idle cores — silicon a real small cluster does
+    not have. And granting the small level bonus driver cores (an earlier
+    +2-cores-for-the-driver policy) hands it 1.25x silicon per advertised core
+    while the big level's driver shares executor cores — measured as a ~10%
+    efficiency penalty on the ratio. So: each level gets EXACTLY
+    executors x cores_per_exec cpus, and the driver (near-idle during the
+    single heavy stage) overlaps them identically at both levels."""
     ncpu = os.cpu_count() or 32
-    return f"0-{min(n_exec * CORES_PER_EXEC + 2, ncpu) - 1}"
+    return f"0-{min(n_exec * CORES_PER_EXEC, ncpu) - 1}"
 
 
 def run_child(n_exec: int, fixture: str) -> dict:
@@ -187,15 +221,34 @@ def update_bench_md(result: dict) -> None:
 
 North-rule criterion: ≥0.8 throughput scaling efficiency between N and 4N
 executors. Sandbox proxy (no real cluster): identical `run_filter` job, same
-input parquet ({result["rows"]} image+caption rows, deterministic fixture),
-run at two REAL executor counts with Spark local-cluster mode — every executor
-its own JVM (own heap/GC/shuffle server/python workers), exactly the multi-node
-execution model; `spark.sql.shuffle.partitions` = total cores; one warmup run
+input parquet ({result["rows"]} image+caption rows, deterministic bucketed
+fixture — the production bucket(64, image_id) layout), run at two REAL
+executor counts with Spark local-cluster mode — every executor its own JVM
+(own heap/GC/shuffle server/python workers), exactly the multi-node execution
+model; `spark.sql.shuffle.partitions` = total cores; one warmup run
 (JIT/codegen/python-worker spin-up — amortized to nothing on a 100 TB job), then
 best of 4 measured reps. Scratch (input, output, checkpoints, shuffle dirs) is
 RAM-backed: the sandbox's single shared virtio disk neither scales with
 executor count (cluster nodes bring their own SSDs) nor measures repeatably
 (±2-3x writeback jitter between identical runs).
+
+Measurement design (each choice measured, see bench_scaling.py comments):
+* **4-core executors, big level at HALF host occupancy.** With the big level
+  filling all 32 cores, the host's shared L3/memory fabric — which real
+  separate nodes do not share — becomes the measured bottleneck: a pure JVM
+  parquet scan (definitionally linear on a real cluster) scales at only 0.63
+  box-filling, capping every software number. At half occupancy the fabric has
+  headroom and the ratio measures the JOB again.
+* **Symmetric CPU pinning.** Each level is pinned to EXACTLY
+  executors×cores cpus (driver overlapped identically); pinning the small
+  level stops it borrowing idle silicon, and granting it bonus driver cores
+  (an earlier +2 policy) handed it 1.25x silicon per advertised core — a ~10%
+  artifact on the ratio.
+* **Per-executor GC pools pinned to executor size** (ParallelGCThreads=cores):
+  JVMs size GC pools from the cpuset they can SEE, so the 4N level otherwise
+  runs 4 oversized colliding pools no real node ever has.
+* **128MB splits**: 25MB tasks made serial driver dispatch a constant cost the
+  big level paid 4x relative to wall time.
 
 | cluster size | wall sec (best of {len(small["rep_secs"])}) | images/sec |
 | --- | --- | --- |
@@ -221,7 +274,20 @@ def main() -> None:
         child(cpus, fixture)
         return
     fixture = fixture_path(ROWS)
-    runs = [run_child(N_SMALL, fixture), run_child(N_BIG, fixture)]
+    # Big level FIRST: after the small level's ~12-minute run the kernel's
+    # memory is fragmented enough (THP/compaction debt from 12G of heap churn)
+    # to cost the next child ~25% — measured 42.9s isolated vs 51.9s run
+    # second. The small level is insensitive to order (140-141s either way:
+    # at 4 cores it never stresses the box). Compaction between children
+    # (best-effort, needs root) plus this ordering keeps both levels at their
+    # isolated-run numbers.
+    big = run_child(N_BIG, fixture)
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+    runs = [run_child(N_SMALL, fixture), big]
     eff = (runs[1]["images_per_sec"] / runs[0]["images_per_sec"]) / (N_BIG / N_SMALL)
     result = {
         "metric": "scaling_efficiency",

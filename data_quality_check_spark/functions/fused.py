@@ -35,6 +35,11 @@ FUSED_SCHEMA = StructType(
         StructField("lang", StringType()),
         StructField("lang_conf", DoubleType()),
         StructField("ppl", DoubleType()),
+        # scrub_text(caption.strip()) for EVERY row (keep-masking happens later,
+        # JVM-side): the caption is already in Python for the language model, so
+        # scrubbing here costs one compiled-re trigger scan instead of a JVM
+        # regexp_replace chain over all kept rows (~12s → ~1s, 32c / 8M rows)
+        StructField("scrubbed", StringType()),
     ]
 )
 
@@ -58,6 +63,7 @@ def _decode_flags(pdf: pd.DataFrame) -> list[bool]:
 def fused_scores_udf(
     batches: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.DataFrame]:
+    from data_quality_check_spark.functions.scrub import scrub_series
     from data_quality_check_spark.functions.textmodel import default_model
 
     model = default_model()  # cached per worker process
@@ -66,7 +72,13 @@ def fused_scores_udf(
         texts = captions.fillna("").tolist()
         langs, conf, _, ppl = model.score(texts)  # one encode+gather pass
         yield pd.DataFrame(
-            {"flag_decode_failed": flags, "lang": langs, "lang_conf": conf, "ppl": ppl}
+            {
+                "flag_decode_failed": flags,
+                "lang": langs,
+                "lang_conf": conf,
+                "ppl": ppl,
+                "scrubbed": scrub_series(captions),
+            }
         )
 
 
@@ -83,9 +95,18 @@ def with_model_scores_fused(
     Semantics identical to `with_decode_check` + `with_langid` +
     `with_perplexity` (multimodal.py / langid.py).
     """
-    m = fused_scores_udf(F.col(bytes_col), F.col(w_col), F.col(h_col), F.col(caption_col))
+    # asNondeterministic is an optimizer fence, not a semantics statement: the
+    # UDF is pure, but without the fence Catalyst pushes the downstream keep/
+    # row_selected filter through this projection and DUPLICATES the UDF call —
+    # two ArrowEvalPython nodes, the whole decode+langid+ppl stage run twice per
+    # row (visible in explain(); ~2x the dominant cost). The fence pins the
+    # filter above the single evaluation. The job's partition-prune filter runs
+    # structurally before this stage, so nothing needed pushdown through it.
+    udf = fused_scores_udf.asNondeterministic()
+    m = udf(F.col(bytes_col), F.col(w_col), F.col(h_col), F.col(caption_col))
     return (
         df.withColumn("_m", m)
         .select("*", "_m.flag_decode_failed", "_m.lang", "_m.lang_conf", "_m.ppl")
+        .withColumn("_scrubbed_all", F.col("_m.scrubbed"))
         .drop("_m")
     )

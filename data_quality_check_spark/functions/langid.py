@@ -43,15 +43,21 @@ def perplexity_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[p
 
 
 def with_langid(df, caption_col: str = "caption"):
-    """Adds `lang` and `lang_conf` columns (map-side; no shuffle)."""
-    s = langid_udf(F.col(caption_col))
+    """Adds `lang` and `lang_conf` columns (map-side; no shuffle).
+
+    asNondeterministic = optimizer fence (pure UDF): stops Catalyst pushing a
+    downstream filter through this projection and re-evaluating the model UDF
+    once per reference (see fused.py for the measured 2x)."""
+    s = langid_udf.asNondeterministic()(F.col(caption_col))
     return df.withColumn("_lid", s).select("*", "_lid.lang", "_lid.lang_conf").drop("_lid")
 
 
 def with_perplexity(df, caption_col: str = "caption", lang_col: str = "lang"):
     """Adds `ppl` (map-side; per-language model rows are all in the broadcast-free
     in-process table — see perplexity_grouped for the salted shuffle variant)."""
-    return df.withColumn("ppl", perplexity_udf(F.col(caption_col), F.col(lang_col)))
+    return df.withColumn(
+        "ppl", perplexity_udf.asNondeterministic()(F.col(caption_col), F.col(lang_col))
+    )
 
 
 def perplexity_grouped(df, caption_col: str = "caption", lang_col: str = "lang",

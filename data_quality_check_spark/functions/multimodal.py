@@ -64,7 +64,9 @@ def with_decode_check(df: DataFrame, bytes_col: str = "bytes",
 
     Map-side only — `bytes` is read, never shuffled.
     """
-    dec = decode_check_udf(F.col(bytes_col))
+    # optimizer fence — pure UDF, but keeps Catalyst from cloning the decode
+    # pass through pushed-down filters (see fused.py)
+    dec = decode_check_udf.asNondeterministic()(F.col(bytes_col))
     df = df.withColumn("_dec", dec)
     mismatch = (F.col("_dec.dec_w") != F.col(w_col)) | (F.col("_dec.dec_h") != F.col(h_col))
     return df.withColumn(

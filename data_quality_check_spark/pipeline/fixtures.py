@@ -6,7 +6,9 @@ Schema per BASELINE.json input_hint:
 Every defect is gated on crc32 of the image_id (label-derivable, seed-free per row),
 pixel content is procedural RGB from a per-row seeded RNG, and encodings use the
 deterministic codecs in `pipeline/codecs.py`, so the PSNR invariant is real.
-Duplicate rows (2%) are re-appended verbatim. No external data.
+Duplicate rows (2%) are re-appended verbatim; ~2% of ids are near-dups (another
+id's pixels re-encoded → shared phash, distinct accidental collisions ≈ 0).
+No external data.
 """
 
 from __future__ import annotations
@@ -82,16 +84,39 @@ def _make_image(image_id: str) -> tuple[np.ndarray, int, int, str]:
     rng = np.random.RandomState(g & 0x7FFFFFFF)
     w = SIZES[g % len(SIZES)]
     h = SIZES[(g >> 3) % len(SIZES)]
-    # per-row random base color + gradient direction + noise: every image gets a
-    # distinct perceptual hash (no accidental phash collisions), still compresses
+    # random 8×8 block pattern + gradient + noise. The block pattern matters:
+    # `average_hash` thresholds 8×8 cell means against their global mean, and a
+    # smooth gradient alone yields half-plane bit patterns that collide for ~40%
+    # of rows (measured 11k distinct hashes over 20k images — phash groups of
+    # 200+). Random per-cell block means make the 64 hash bits independent, so
+    # accidental collisions vanish (~8M²/2⁶⁵ expected pairs) and the only shared
+    # phashes are the deliberately injected near-dups below.
     yy, xx = np.mgrid[0:h, 0:w]
-    base = rng.randint(0, 256, size=3)[None, None, :]
-    slopes = rng.uniform(-5, 5, size=(2, 3))
+    base = rng.randint(0, 128, size=3)[None, None, :]
+    blocks = rng.randint(0, 128, size=(8, 8, 3))
+    by = (yy * 8 // h).clip(0, 7)
+    bx = (xx * 8 // w).clip(0, 7)
+    pattern = blocks[by, bx]
+    slopes = rng.uniform(-3, 3, size=(2, 3))
     grad = xx[:, :, None] * slopes[0][None, None, :] + yy[:, :, None] * slopes[1][None, None, :]
     noise = rng.randint(-20, 21, size=(h, w, 3))
-    arr = np.clip(base + grad + noise, 0, 255).astype(np.uint8)
+    arr = np.clip(base + pattern + grad + noise, 0, 255).astype(np.uint8)
     fmt = FMTS[g % len(FMTS)]
     return arr, w, h, fmt
+
+
+# ~2% of ids are near-dups: they reuse the pixels of their 40-block "leader"
+# (re-encoded in their own format — the classic same-image-different-encoding
+# web duplicate), so they share the leader's phash and lose the dedup vote to
+# it (leader id = block minimum, and min image_id wins).
+NEAR_DUP_BLOCK = 40
+
+
+def _near_dup_source(image_id: str, i: int) -> int | None:
+    leader = i - (i % NEAR_DUP_BLOCK)
+    if leader != i and _g(image_id, "near") % 50 == 3:
+        return leader
+    return None
 
 
 def make_row(i: int) -> dict:
@@ -100,6 +125,9 @@ def make_row(i: int) -> dict:
     image_id = f"img{i:08d}"
     g = _g(image_id)
     arr, w, h, fmt = _make_image(image_id)
+    src = _near_dup_source(image_id, i)
+    if src is not None:
+        arr, w, h, _ = _make_image(f"img{src:08d}")  # leader's pixels, own fmt
     data = codecs.encode(arr, fmt)
     phash = codecs.average_hash(arr)
     lang = _lang_for(image_id)
@@ -188,13 +216,27 @@ IMAGES_DDL = (
 
 
 def write_images_parquet_spark(
-    spark, path: str, n: int, dup_rate: float = 0.02, num_files: int = 64
+    spark,
+    path: str,
+    n: int,
+    dup_rate: float = 0.02,
+    num_files: int = 64,
+    bucket_by_id: int | None = None,
 ) -> str:
     """Distributed fixture generation — same rows as `generate_images_pdf` (every
     row is a pure function of its index via `make_row`), but built on all cores
     with `mapInPandas`, which is what makes million-row scaling fixtures feasible
-    (driver-side generation runs ~130 rows/s)."""
+    (driver-side generation runs ~130 rows/s).
+
+    `bucket_by_id=B` writes the production layout the north rule names — a table
+    partitioned by `bucket(B, image_id)` (`_bucket=NN/` dirs, the parquet
+    stand-in for Iceberg's bucket transform). On this layout `run_filter`'s
+    resume filter is partition pruning and its bucketed output needs NO
+    shuffle, which is precisely the property the Iceberg design is for; the
+    flat layout keeps exercising the repartition fallback."""
     import pandas as pd  # noqa: F811 (worker-side import)
+
+    from pyspark.sql import functions as F
 
     def gen(batches):
         for pdf in batches:
@@ -209,7 +251,19 @@ def write_images_parquet_spark(
         )
     # `bytes` is already codec-compressed (png/jpeg): snappy on top costs scan
     # CPU for ~nothing, exactly as in a production image table.
-    base.write.mode("overwrite").option("compression", "uncompressed").parquet(path)
+    writer = base.write.mode("overwrite").option("compression", "uncompressed")
+    if bucket_by_id:
+        from data_quality_check_spark.pipeline.run import bucket_col
+
+        salt = F.pmod(F.xxhash64("image_id", F.lit(1)), F.lit(max(1, num_files // bucket_by_id)))
+        base = (
+            base.withColumn("_bucket", bucket_col(num_buckets=bucket_by_id))
+            .repartition(num_files, F.col("_bucket"), salt)  # ~num_files files, bucket-aligned
+        )
+        writer = base.write.mode("overwrite").option("compression", "uncompressed")
+        writer.partitionBy("_bucket").parquet(path)
+    else:
+        writer.parquet(path)
     return path
 
 

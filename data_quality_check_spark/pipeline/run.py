@@ -12,16 +12,19 @@ Scale design notes (SURVEY.md §3.4, §4.2):
     by the very tasks that write the output, so nothing is persisted, re-scanned,
     or re-decoded. The reference issues O(cols + rules) full-scan jobs for the
     same information (engine.py:439-553); this plan issues one.
-  * `bytes` flows only through map stages; the single shuffle in the plan
-    (`repartition(num_buckets, _bucket)`) moves only the ~kept fraction of rows,
-    and on the production Iceberg layout (`bucket(B, image_id)`) is
-    storage-partitioned away entirely.
-  * dedup needs no wide shuffle and no second action: a narrow
-    (image_id, phash, rid) aggregation — a columnar scan that never touches
-    `bytes` or `caption` — produces the small "dup decisions" table
-    (phash-losers to drop + the surviving row id for multi-row ids), which joins
-    back as a broadcast. At 10^12 rows this becomes a bucketed intermediate
-    table; the join is storage-partitioned either way.
+  * `bytes` never shuffles on the production layout: a pre-bucketed input
+    (`bucket(B, image_id)` — discovered `_bucket` partition column) makes the
+    bucketed output write shuffle-free and the resume filter partition pruning.
+    Flat inputs fall back to one kept-rows-only `repartition(num_buckets,
+    _bucket)` before the write.
+  * dedup needs no wide shuffle and no second action: one long-key phash
+    aggregation finds dup phashes (map-side combine, tiny result), a broadcast
+    semi-join restricts the id-level logic to the ~dup-rate fraction of a
+    narrow (image_id, phash, rid) scan — `bytes`/`caption` never read — and
+    the resulting small "dup decisions" table (phash-losers to drop + the
+    surviving row id for multi-row ids) joins back as a broadcast. At 10^12
+    rows decisions become a bucketed intermediate table; the join is
+    storage-partitioned either way.
   * same-id exact-dup collapse uses a deterministic per-row id
     (`monotonically_increasing_id`, stable across scans of the same files) to
     select ONE physical row per image_id instead of a `dropDuplicates` shuffle
@@ -127,15 +130,28 @@ def dup_decisions(df: DataFrame) -> DataFrame:
     Only acting ids are returned (~duplicate-rate · n), small enough to
     broadcast; at 10^12 scale this becomes a bucketed intermediate table keyed
     by image_id instead of a broadcast.
+
+    Every id needing action sits in a phash group holding >1 physical row:
+    near-dup losers share a phash with another id by definition, and same-id
+    copies are verbatim (same phash) by construction. So stage 1 finds dup
+    phashes with ONE long-key aggregation (no strings, map-side combine, tiny
+    result), and the id-level logic — two groupBys + a join, which cost 3 full
+    8M-row shuffles when run over everything — only ever touches the ~dup-rate
+    fraction of rows surviving the broadcast semi-join (measured 12.9s → ~3s
+    at 32 cores / 8M rows).
     """
-    ids = (
-        df.select("image_id", "phash", "rid")
-        .groupBy("image_id")
-        .agg(
-            F.min("phash").alias("phash"),
-            F.min("rid").alias("keep_rid"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    narrow = df.select("image_id", "phash", "rid")
+    dup_ph = (
+        narrow.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("phash")
+    )
+    cand = narrow.join(F.broadcast(dup_ph), "phash")
+    ids = cand.groupBy("image_id").agg(
+        F.min("phash").alias("phash"),
+        F.min("rid").alias("keep_rid"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     groups = ids.groupBy("phash").agg(
         F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
@@ -230,9 +246,14 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
         F.col("keep_rid").isNull() | (F.col("rid") == F.col("keep_rid"))
     )
     df = df.withColumn("row_selected", row_selected).drop("keep_rid")
-    return df.withColumn(
-        "scrubbed_caption",
-        F.when(F.col("keep"), scrub_col(F.trim(F.col("caption")))),
+    # fused path pre-computed scrub inside the model UDF (one compiled-re pass
+    # on rows already in Python); modular/grouped paths scrub JVM-side
+    if "_scrubbed_all" in df.columns:
+        scrubbed = F.col("_scrubbed_all")
+    else:
+        scrubbed = scrub_col(F.trim(F.col("caption")))
+    return df.withColumn("scrubbed_caption", F.when(F.col("keep"), scrubbed)).drop(
+        "_scrubbed_all"
     )
 
 
@@ -328,9 +349,18 @@ def run_filter(
     cfg = cfg or FilterConfig()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    df = with_rid(spark.read.parquet(input_path)).withColumn(
-        "_bucket", bucket_col(num_buckets=cfg.num_buckets)
-    )
+    raw = spark.read.parquet(input_path)
+    # A `_bucket` column discovered from the layout means the input already IS
+    # the production table — partitioned by bucket(num_buckets, image_id), the
+    # parquet stand-in for the Iceberg bucket transform (cfg.num_buckets must
+    # match the layout). Then the resume filter below is partition pruning and
+    # the bucketed output write needs no shuffle at all: every scan task holds
+    # rows of exactly one bucket. A flat input falls back to computing the
+    # bucket and repartitioning before the write.
+    prebucketed = "_bucket" in raw.columns
+    if not prebucketed:
+        raw = raw.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
+    df = with_rid(raw)
 
     done = completed_buckets(spark, checkpoint_dir)
     pending = [b for b in range(cfg.num_buckets) if b not in done]
@@ -357,23 +387,25 @@ def run_filter(
     scored = scored.observe(obs, *_bucket_metric_aggs(pending))
 
     out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
-    kept = (
-        scored.filter(F.col("row_selected"))
-        .select(*out_cols)
-        # One file per bucket: without this, partitionBy fans every task out
-        # across all buckets (tasks × buckets files) and the driver-side dynamic
-        # commit renames them serially. image_id determines _bucket, so this
-        # cheap kept-rows-only shuffle loses nothing; on Iceberg bucket(B,
-        # image_id) layout it is storage-partitioned away entirely.
-        .repartition(cfg.num_buckets, F.col("_bucket"))
-    )
+    kept = scored.filter(F.col("row_selected")).select(*out_cols)
+    if not prebucketed:
+        # Flat input: tasks hold a mix of buckets, so without this partitionBy
+        # fans every task out across all buckets (tasks × buckets files) and the
+        # driver-side dynamic commit renames them serially. image_id determines
+        # _bucket, so this kept-rows-only shuffle loses nothing. Pre-bucketed
+        # input skips it — the storage-partitioned-join property the Iceberg
+        # bucket layout exists for, and the bytes column never shuffles at all.
+        kept = kept.repartition(cfg.num_buckets, F.col("_bucket"))
     with _step("score+write"):
         (
             kept.write.mode("overwrite")
             .partitionBy("_bucket")
             # rows are bytes-dominated and image bytes are already codec-compressed;
-            # container-level snappy would burn write+read CPU for ~0% size win
+            # container-level snappy would burn write+read CPU for ~0% size win,
+            # and dictionary encoding would hash every multi-KB blob into a
+            # dictionary that always overflows — pure wasted CPU on this schema
             .option("compression", "uncompressed")
+            .option("parquet.enable.dictionary", "false")
             .parquet(os.path.join(output_dir, "filtered"))
         )
 

@@ -192,7 +192,12 @@ def test_metrics_and_manifest(spark, pipeline_out):
 
 
 def test_scrub_col_equals_python(spark):
-    from data_quality_check_spark.functions.scrub import scrub_col, scrub_text, make_scrub_udf
+    from data_quality_check_spark.functions.scrub import (
+        make_scrub_udf,
+        scrub_col,
+        scrub_series,
+        scrub_text,
+    )
 
     samples = [
         "contact me at john.doe+spam@mail.example.org please",
@@ -212,3 +217,45 @@ def test_scrub_col_equals_python(spark):
     assert got_col == want
     assert got_udf == want
     assert want[4] == "Stupidity is not toxic"
+    # the fused-stage vectorized twin = scrub_text ∘ strip, None-preserving
+    padded = ["  " + s + " " if s else s for s in samples]
+    got_series = scrub_series(pd.Series(padded, dtype=object)).tolist()
+    want_stripped = [scrub_text(s.strip()) if s is not None else None for s in padded]
+    assert [None if pd.isna(g) else g for g in got_series] == want_stripped
+
+
+def test_prebucketed_input_equals_flat(spark, fixture_paths, pipeline_out, tmp_path_factory):
+    """The production layout — input partitioned by bucket(B, image_id) — must
+    produce byte-identical results to the flat layout, with NO exchange in the
+    write plan (the storage-partitioned property the Iceberg design is for)."""
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet_spark
+
+    cfg = FilterConfig()
+    bdir = str(tmp_path_factory.mktemp("bucketed_in"))
+    write_images_parquet_spark(
+        spark, bdir, n=N_ROWS, num_files=cfg.num_buckets, bucket_by_id=cfg.num_buckets
+    )
+    raw = spark.read.parquet(bdir)
+    assert "_bucket" in raw.columns  # discovered partition column
+    out = str(tmp_path_factory.mktemp("out_b"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_b"))
+    summary = run_filter(spark, bdir, out, ckpt, cfg)
+
+    flat_out, _, flat_summary = pipeline_out
+    assert summary["rows_in"] == flat_summary["rows_in"]
+    assert summary["rows_kept"] == flat_summary["rows_kept"]
+    a = (
+        spark.read.parquet(os.path.join(out, "filtered"))
+        .select("image_id", "scrubbed_caption", "lang")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(flat_out, "filtered"))
+        .select("image_id", "scrubbed_caption", "lang")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
