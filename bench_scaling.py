@@ -252,8 +252,8 @@ Measurement design (each choice measured, see bench_scaling.py comments):
 
 | cluster size | wall sec (best of {len(small["rep_secs"])}) | images/sec |
 | --- | --- | --- |
-| local-cluster[{small["executors"]},8,16g] (N={small["executors"]} executors, {small["cpus"]} cores) | {small["sec"]} | {small["images_per_sec"]} |
-| local-cluster[{big["executors"]},8,16g] (4N={big["executors"]} executors, {big["cpus"]} cores) | {big["sec"]} | {big["images_per_sec"]} |
+| local-cluster[{small["executors"]},{small["cores_per_executor"]},{EXEC_MEM_MB}m] (N={small["executors"]} executors, {small["cpus"]} cores) | {small["sec"]} | {small["images_per_sec"]} |
+| local-cluster[{big["executors"]},{big["cores_per_executor"]},{EXEC_MEM_MB}m] (4N={big["executors"]} executors, {big["cpus"]} cores) | {big["sec"]} | {big["images_per_sec"]} |
 
 All reps (sec): N: {small["rep_secs"]}; 4N: {big["rep_secs"]}.
 
