@@ -25,6 +25,7 @@ from data_quality_check_spark.plans.quality_scores import (
     scores_df,
     scores_duck_sql,
 )
+from data_quality_check_spark.session import parallelize_scan
 
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 AS_OF = "2026-01-01 00:00:00"
@@ -41,8 +42,16 @@ def register(name: str, sql: str | None):
     return deco
 
 
+# Broadcast-side dims: a repartition would only add a stage in front of the
+# broadcast exchange.
+_SMALL_DIMS = {"region", "nation", "supplier"}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The sandbox fixtures are single-row-group files — one task per scan no
+    # matter the split config. No-op on well-laid-out (production) inputs.
+    return df if name in _SMALL_DIMS else parallelize_scan(df)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -242,9 +251,10 @@ _OUTLIER_SQL = (
 @register("outlier_stats_lineitem", _OUTLIER_SQL)
 def q_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "lineitem")
-    q = df.agg(
-        *[F.percentile(F.col(c), F.lit(0.25)).alias(f"q1__{c}") for c in _LI_NUM],
-        *[F.percentile(F.col(c), F.lit(0.75)).alias(f"q3__{c}") for c in _LI_NUM],
+    ps = F.array(F.lit(0.25), F.lit(0.75))
+    q = df.agg(*[F.percentile(F.col(c), ps).alias(f"q__{c}") for c in _LI_NUM]).select(
+        *[F.col(f"q__{c}")[0].alias(f"q1__{c}") for c in _LI_NUM],
+        *[F.col(f"q__{c}")[1].alias(f"q3__{c}") for c in _LI_NUM],
     )
     aggs = []
     for c in _LI_NUM:

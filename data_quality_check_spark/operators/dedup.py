@@ -17,7 +17,6 @@ top-frequency tokens (`max_token_df`).
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from data_quality_check_spark.functions.text import fingerprint_col
+from data_quality_check_spark.session import parallelize_scan
 
 # Mersenne prime 2^31-1: (a·x + b) with a, b, x < 2^31 stays under 2^63 — no
 # int64 overflow under Spark's ANSI arithmetic.
@@ -85,11 +85,7 @@ def _spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     explode) parallelizes even when the source is one small file. No-op when the
     scan already has ≥ the session's default parallelism (the 100 TB case, where
     the Parquet scan yields thousands of splits)."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return parallelize_scan(df, min_parts)
 
 
 def _narrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -291,34 +287,48 @@ def minhash_lsh_pairs(
 
 
 def with_simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
-    """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches)."""
+    """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches).
+
+    The whole batch's shingles are hashed in one `pd.util.hash_array` call
+    (deterministic 64-bit hash), the ±1 bit contributions are accumulated per
+    document with a single `np.add.reduceat` over the flattened (token × 64-bit)
+    matrix, and signatures are packed with one weighted sum — no per-token
+    Python in the hot path (only the cheap per-row shingle split)."""
 
     @F.pandas_udf("long")
     def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
         for texts in batches:
-            out = np.zeros(len(texts), dtype=np.int64)
+            n = len(texts)
+            counts = np.zeros(n, dtype=np.int64)
+            tok_lists: list[list[str]] = []
             for i, t in enumerate(texts.fillna("")):
                 words = t.lower().split()
                 if ngram == 1:
-                    toks = set(words)
+                    toks = list(set(words))
                 else:
-                    toks = {
-                        " ".join(words[j : j + ngram])
-                        for j in range(len(words) - ngram + 1)
-                    }
-                if not toks:
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for tok in toks:
-                    hv = np.uint64(
-                        zlib.crc32(tok.encode()) | (zlib.crc32(tok.encode()[::-1]) << 32)
+                    toks = list(
+                        {" ".join(words[j : j + ngram]) for j in range(len(words) - ngram + 1)}
                     )
-                    bits = (hv >> shifts) & np.uint64(1)
-                    acc += np.where(bits == np.uint64(1), 1, -1)
-                val = int("".join("1" if x > 0 else "0" for x in acc[::-1]), 2)
-                out[i] = val - (1 << 64) if val >= (1 << 63) else val
-            yield pd.Series(out)
+                counts[i] = len(toks)
+                tok_lists.append(toks)
+            out = np.zeros(n, dtype=np.uint64)
+            total = int(counts.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for toks in tok_lists:
+                    flat[pos : pos + len(toks)] = toks
+                    pos += len(toks)
+                hv = pd.util.hash_array(flat)  # uint64, deterministic key
+                contrib = (2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int32)) - 1
+                ends = np.cumsum(counts)
+                nz = counts > 0
+                starts = (ends - counts)[nz]
+                sums = np.add.reduceat(contrib, starts, axis=0)
+                out[nz] = ((sums > 0) * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.Series(out.view(np.int64))
 
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
