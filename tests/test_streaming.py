@@ -1,0 +1,124 @@
+"""Structured Streaming surface: incremental filter ingest + windowed metrics.
+
+Covers:
+  * stream ≡ batch: draining a landing dir through `run_stream_filter` in one
+    micro-batch produces exactly the batch job's kept ids + scrubbed captions;
+  * exactly-once incremental resume: new files landing after a drain are the
+    only thing the next drain processes (streaming checkpoint, no manifest);
+  * windowed metrics: the same watermarked plan over a stream (availableNow,
+    complete mode into a memory sink) matches the batch groupBy(window) run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
+from data_quality_check_spark.streaming import (
+    run_stream_filter,
+    windowed_quality_metrics,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def fixture_files(tmp_path):
+    """A 600-row image fixture as 6 part files in a staging dir."""
+    staging = tmp_path / "staging"
+    write_images_parquet(str(staging), n=600, num_files=6)
+    return sorted(os.listdir(staging)), staging
+
+
+def _kept(spark, out_dir):
+    df = spark.read.parquet(os.path.join(str(out_dir), "filtered"))
+    return {
+        r["image_id"]: r["scrubbed_caption"]
+        for r in df.select("image_id", "scrubbed_caption").collect()
+    }
+
+
+def test_stream_filter_matches_batch(spark, fixture_files, tmp_path):
+    files, staging = fixture_files
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in files:
+        shutil.copy(staging / f, landing / f)
+
+    cfg = FilterConfig(num_buckets=8)
+    summary = run_stream_filter(
+        spark, str(landing), str(tmp_path / "s_out"), str(tmp_path / "s_ckpt"), cfg
+    )
+    assert summary["batches"] == 1  # availableNow, no maxFilesPerTrigger cap
+    assert summary["rows_in"] == 612  # 600 + 2% injected duplicate rows
+
+    run_filter(spark, str(staging), str(tmp_path / "b_out"), str(tmp_path / "b_ckpt"), cfg)
+    stream_kept = _kept(spark, tmp_path / "s_out")
+    batch_kept = _kept(spark, tmp_path / "b_out")
+    assert stream_kept == batch_kept  # ids AND scrubbed captions identical
+
+    # per-batch metrics landed
+    m = spark.read.parquet(str(tmp_path / "s_ckpt" / "run_metrics")).collect()
+    assert len(m) == 1 and m[0]["rows_kept"] == summary["rows_kept"]
+
+
+def test_stream_filter_incremental_resume(spark, fixture_files, tmp_path):
+    files, staging = fixture_files
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    first, rest = files[:4], files[4:]
+    for f in first:
+        shutil.copy(staging / f, landing / f)
+
+    cfg = FilterConfig(num_buckets=8)
+    args = (spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg)
+    s1 = run_stream_filter(*args)
+    assert s1["rows_in"] > 0
+
+    # drain again with nothing new: checkpoint says all files are processed
+    s2 = run_stream_filter(*args)
+    assert s2["rows_in"] == 0
+
+    # new files land; only they are processed
+    for f in rest:
+        shutil.copy(staging / f, landing / f)
+    s3 = run_stream_filter(*args)
+    assert s1["rows_in"] + s3["rows_in"] == 612
+    total_rows = spark.read.parquet(str(tmp_path / "out" / "filtered")).count()
+    assert total_rows == s1["rows_kept"] + s3["rows_kept"]
+
+
+def test_windowed_metrics_stream_matches_batch(spark, tmp_path):
+    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    rules = [{"name": "value_nonneg", "condition": "value >= 0"}]
+    kw = dict(
+        ts_col="ts",
+        window_duration="6 hours",
+        check_cols=["user_id", "value"],
+        rules=rules,
+    )
+    expected = {
+        tuple(r): None for r in windowed_quality_metrics(batch, **kw).collect()
+    }
+
+    events_dir = tmp_path / "events_landing"  # file source wants a directory
+    events_dir.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), events_dir / "events.parquet")
+    stream_src = spark.readStream.schema(batch.schema).parquet(str(events_dir))
+    q = (
+        windowed_quality_metrics(stream_src, **kw)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r): None for r in spark.sql("SELECT * FROM win_metrics").collect()}
+    assert got == expected and len(got) > 0
