@@ -141,6 +141,35 @@ for _table in ["customer", "lineitem", "events", "documents", "orders"]:
     _REGISTRY[f"profile_scores_{_table}"] = (_fn, _sql)
 
 
+# ───────────── per-group score table (north rule: per-partition metrics) ─────────────
+
+_EVT_GROUP = ["event_type"]
+_EVT_RULES = [{"name": "value_cap", "condition": "value <= 1000000000.0", "severity": "low"}]
+
+
+def _events_grouped_spec() -> ScoreSpec:
+    spec = ScoreSpec.from_parquet(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        as_of=AS_OF,
+        date_cols=["ts"],
+        rules=_EVT_RULES,
+    )
+    # group keys are dimensions, not measured columns
+    for attr in ("columns", "numeric_cols", "string_cols", "neg_check_cols", "date_cols"):
+        setattr(spec, attr, [c for c in getattr(spec, attr) if c not in _EVT_GROUP])
+    return spec
+
+
+@register(
+    "grouped_scores_events_by_type",
+    scores_duck_sql("events", _events_grouped_spec(), group_cols=_EVT_GROUP),
+)
+def q_grouped_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.plans.quality_scores import grouped_scores_df
+
+    return grouped_scores_df(t(spark, sf_dir, "events"), _EVT_GROUP, _events_grouped_spec())
+
+
 # ───────────── A2: batched per-column null counts, single pass ─────────────
 
 _CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]

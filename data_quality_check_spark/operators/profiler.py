@@ -493,8 +493,9 @@ def profile_grouped(
 ) -> DataFrame:
     """Per-group metric table: same fused aggregates, one row per group.
 
-    Skips quantile-dependent distribution metrics (those need per-group fences; see
-    `plans.quality_scores.grouped_scores_df` for the full 2-stage variant). Used for
+    Skips quantile-dependent distribution metrics (those need per-group fences;
+    `plans.quality_scores.grouped_scores_df` is the full quantile-inclusive
+    variant, DuckDB-oracle-checked via `grouped_scores_events_by_type`). Used for
     the per-partition keep/drop/scrub metric tables of the filter pipeline.
     """
     cfg = cfg or ProfileConfig()

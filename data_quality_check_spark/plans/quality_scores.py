@@ -304,6 +304,43 @@ def scores_df(df: DataFrame, spec: ScoreSpec | None = None) -> DataFrame:
     return joined.select(*_score_exprs(spec))
 
 
+def grouped_scores_df(
+    df: DataFrame, group_cols: list[str], spec: ScoreSpec | None = None
+) -> DataFrame:
+    """Per-group 9-dimension score table: one row per group key — the full
+    (quantile-inclusive) variant of `profiler.profile_grouped`, and the shape
+    the north rule's per-partition metric tables take.
+
+    Same ≤3-scan structure as `scores_df`, each pass a `groupBy(group_cols)`:
+    metrics, per-group quantiles, then per-group IQR-fence outlier counts with
+    the (small, one row per group) quantile table broadcast back onto the rows.
+    Groups with a NULL key are dropped by the inner metric↔outlier join, in both
+    engines, when numeric columns are present."""
+    gcols = list(group_cols)
+    spec = spec or ScoreSpec.from_df(df.drop(*gcols))
+    df = parallelize_scan(df)
+    p1 = df.groupBy(*gcols).agg(*_metric_aggs(spec))
+    if spec.numeric_cols:
+        q = df.groupBy(*gcols).agg(*_quantile_aggs(spec)).select(
+            *gcols,
+            *[F.col(f"q__{c}")[0].alias(f"q1__{c}") for c in spec.numeric_cols],
+            *[F.col(f"q__{c}")[1].alias(f"q3__{c}") for c in spec.numeric_cols],
+        )
+        o = (
+            df.join(F.broadcast(q), gcols)
+            .groupBy(*gcols)
+            .agg(
+                *_outlier_aggs_from_fences(spec),
+                *[F.first(f"q1__{c}").alias(f"q1__{c}") for c in spec.numeric_cols],
+                *[F.first(f"q3__{c}").alias(f"q3__{c}") for c in spec.numeric_cols],
+            )
+        )
+        joined = p1.join(o, gcols)
+    else:
+        joined = p1
+    return joined.select(*gcols, *_score_exprs(spec))
+
+
 # ─────────────────────────── DuckDB oracle side ───────────────────────────
 
 
@@ -311,8 +348,9 @@ def _d(x: float) -> str:
     return repr(float(x))
 
 
-def scores_duck_sql(table: str, spec: ScoreSpec) -> str:
-    """DuckDB SQL computing the identical one-row score set.
+def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = None) -> str:
+    """DuckDB SQL computing the identical score set — one row (default) or one
+    row per group key (`group_cols`, the twin of `grouped_scores_df`).
 
     Generated from the same ScoreSpec as `scores_df`, so column names, inclusion
     rules and formula structure cannot drift between engines.
@@ -488,10 +526,30 @@ def scores_duck_sql(table: str, spec: ScoreSpec) -> str:
     glob = " + ".join(f"({dims[d]}) * {_d(w)}" for d, w in WEIGHTS.items())
     selects.append(f"CAST(round({glob}, 1) AS DOUBLE) AS global_score")
 
-    ctes = [f"p1 AS (SELECT {', '.join(m)} FROM {table})"]
+    if not group_cols:
+        ctes = [f"p1 AS (SELECT {', '.join(m)} FROM {table})"]
+        from_clause = "p1"
+        if spec.numeric_cols:
+            ctes.append(f"q AS (SELECT {', '.join(q)} FROM {table})")
+            ctes.append(f"o AS (SELECT {', '.join(o)} FROM {table} t, q)")
+            from_clause = "p1, q, o"
+        return f"WITH {', '.join(ctes)} SELECT {', '.join(selects)} FROM {from_clause}"
+
+    g = ", ".join(f'"{c}"' for c in group_cols)
+    using = ", ".join(f'"{c}"' for c in group_cols)
+    on = " AND ".join(f't."{c}" = qq."{c}"' for c in group_cols)
+    tg = ", ".join(f't."{c}"' for c in group_cols)
+    ctes = [f"p1 AS (SELECT {g}, {', '.join(m)} FROM {table} GROUP BY {g})"]
     from_clause = "p1"
     if spec.numeric_cols:
-        ctes.append(f"q AS (SELECT {', '.join(q)} FROM {table})")
-        ctes.append(f"o AS (SELECT {', '.join(o)} FROM {table} t, q)")
-        from_clause = "p1, q, o"
-    return f"WITH {', '.join(ctes)} SELECT {', '.join(selects)} FROM {from_clause}"
+        # the outlier FILTER predicates reference q.* per-row (legal: FILTER is
+        # evaluated pre-aggregation), so only the group key needs GROUP BY
+        oq = [e.replace('q."', 'qq."') for e in o]
+        ctes.append(f"q AS (SELECT {g}, {', '.join(q)} FROM {table} GROUP BY {g})")
+        ctes.append(
+            f"o AS (SELECT {tg}, {', '.join(oq)} FROM {table} t JOIN q qq ON {on} GROUP BY {tg})"
+        )
+        from_clause = f"p1 JOIN q USING ({using}) JOIN o USING ({using})"
+    return (
+        f"WITH {', '.join(ctes)} SELECT {g}, {', '.join(selects)} FROM {from_clause}"
+    )
