@@ -1,0 +1,95 @@
+"""Property tests (SURVEY.md §5.2): score bounds on arbitrary data; engine
+invariance under row order and partition count; model-stage invariance under
+partition count (the scale property — `local[8]` and `local[32]` runs of the
+same input must agree row-for-row).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+
+DIMS = [
+    "completeness",
+    "uniqueness",
+    "freshness",
+    "consistency",
+    "distribution",
+    "validity",
+    "correlation",
+    "volumetry",
+    "standardization",
+]
+
+_cell_num = st.one_of(
+    st.none(), st.integers(min_value=-10**6, max_value=10**6).map(float), st.just(float("nan"))
+)
+_cell_str = st.one_of(
+    st.none(), st.sampled_from(["a", "B", " x ", "n/a", "", "dup", "user@x.co", "bad@@"])
+)
+
+
+@st.composite
+def _frames(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    amount = [draw(_cell_num) for _ in range(n)]
+    email = [draw(_cell_str) for _ in range(n)]
+    note = [draw(_cell_str) for _ in range(n)]
+    return pd.DataFrame({"amount": amount, "email": email, "note": note})
+
+
+def _score_dict(ts):
+    return {d: getattr(ts, d) for d in DIMS} | {"global": ts.global_score}
+
+
+@given(pdf=_frames())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_scores_bounded_and_order_invariant(spark, pdf):
+    cfg = ProfileConfig(table_name="t", email_columns=["email"])
+    df = spark.createDataFrame(pdf)
+    base = _score_dict(profile(df, cfg).table_score)
+    for v in base.values():
+        assert not math.isnan(v) and 0.0 <= v <= 100.0
+    # row order must not matter (every metric is order-insensitive)
+    perm = spark.createDataFrame(pdf.iloc[::-1].reset_index(drop=True))
+    assert _score_dict(profile(perm, cfg).table_score) == base
+
+
+def test_scores_partition_invariant(spark, sf_dir):
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cfg = ProfileConfig(table_name="customer")
+    one = _score_dict(profile(df.repartition(1), cfg).table_score)
+    many = _score_dict(profile(df.repartition(13), cfg).table_score)
+    assert one == many
+
+
+def test_model_stage_partition_invariant(spark, tmp_path):
+    """langid/ppl/scrub must be pure per-row: any partitioning of the same
+    input yields identical per-id outputs (what makes N vs 4N executors agree)."""
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+    from data_quality_check_spark.functions.fused import with_model_scores_fused
+
+    fix = str(tmp_path / "images")
+    write_images_parquet(fix, n=300, num_files=3)
+    src = spark.read.parquet(fix)
+
+    def run(parts):
+        out = with_model_scores_fused(src.repartition(parts)).select(
+            "image_id", "lang", "lang_conf", "ppl"
+        )
+        rows = out.collect()
+        return sorted((r["image_id"], r["lang"], round(r["lang_conf"], 9), round(r["ppl"], 6)) for r in rows)
+
+    assert run(2) == run(11)
