@@ -39,17 +39,24 @@ Scale design notes (SURVEY.md §3.4, §4.2):
     before its shuffle (ppl_mode="grouped"); the default fused mode needs no
     shuffle at all.
 
-Run via spark-submit:
-    spark-submit --py-files dqx.zip -m data_quality_check_spark.pipeline.run \
+Run via spark-submit (the application file is this module; the package ships
+as the --py-files zip so executors can import it):
+    spark-submit --py-files dqx.zip data_quality_check_spark/pipeline/run.py \
         --input <parquet/iceberg> --output <dir> --checkpoint <dir>
 """
 
 from __future__ import annotations
 
 import os
+import sys
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+
+if __package__ in (None, ""):  # spark-submit runs this file as a plain script;
+    # make the enclosing package importable without requiring the --py-files
+    # zip on the driver's own path
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
@@ -420,6 +427,27 @@ def run_filter(
     }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor python workers when the job was
+    launched without `--py-files` (plain `python run.py` / notebook): zip the
+    installed package dir and `addPyFile` it — exactly what --py-files does."""
+    import shutil
+    import tempfile
+
+    import data_quality_check_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if not os.path.isdir(pkg_dir):  # already running from a zip
+        return
+    z = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="dqx_pyfiles_"), "dqx"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(z)
+
+
 def main() -> None:  # pragma: no cover - CLI wrapper
     import argparse
 
@@ -435,6 +463,7 @@ def main() -> None:  # pragma: no cover - CLI wrapper
     args = p.parse_args()
 
     spark = get_spark(app_name="quality-filter", master=args.master)
+    _ship_package(spark)
     cfg = FilterConfig(ppl_mode=args.ppl_mode)
     summary = run_filter(spark, args.input, args.output, args.checkpoint, cfg, args.max_buckets)
     print(summary)
