@@ -615,7 +615,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LSH-bucketed ANN (scale path): rows-only driver check; recall vs brute force
-# asserted in tests/test_similarity.py.
+# asserted in tests/test_dedup_similarity.py::test_ann_lsh_recall.
 @register("ann_lsh_topk_embeddings", None)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
