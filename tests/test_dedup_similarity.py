@@ -140,6 +140,29 @@ def test_ann_lsh_recall(vectors):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_ann_ivf_recall(vectors):
+    """IVF-cell ANN: probing 3 of 8 cells on 4-cluster data must recover nearly
+    all true neighbors (near-dup neighbors share the query's cluster cell)."""
+    pdf, df = vectors
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = _np_cosine_topk(pdf, list(range(8)), 5)
+    approx = SIM.ann_ivf_topk(
+        df.select("vec_id", "embedding"), queries, k=5, n_centroids=8, nprobe=3
+    ).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 5 for q in range(8)]
+    assert np.mean(recalls) >= 0.8, recalls
+    # determinism: retraining on the same table yields the same result set
+    again = SIM.ann_ivf_topk(
+        df.select("vec_id", "embedding"), queries, k=5, n_centroids=8, nprobe=3
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_neardup_blocked(vectors):
     pdf, df = vectors
     got = SIM.neardup_pairs_blocked(df, threshold=0.98).collect()
