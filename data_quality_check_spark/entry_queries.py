@@ -412,7 +412,39 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ───────────── joins: broadcast-dim equi-joins + grouped revenue ─────────────
 
-_TOPCUST_SQL = """
+# Semi-structured parse (beyond-reference; SURVEY §2.8 notes the reference has
+# no JSON functions, but a web-scale event pipeline needs them): declared-schema
+# `from_json` stays fully JVM-side inside whole-stage codegen — never a Python
+# JSON loop — and degrades malformed rows to NULL (try-cast semantics, matching
+# the reference's errors="coerce" convention). Exact integer sums + one double
+# division for hash-stable cross-engine values.
+_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, count(k) AS n_parsed,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+
+@register("json_props_events", _JSON_PROPS_SQL)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return df.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+    )
+
+
+_TOPCUST_SQL ="""
 SELECT c.c_custkey, c.c_name,
        CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
        count(*) AS order_count
