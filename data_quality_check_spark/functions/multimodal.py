@@ -1,6 +1,6 @@
-"""Multimodal column plumbing: binary image payloads + typed metadata.
+"""Multimodal column plumbing: binary image/video payloads + typed metadata.
 
-Images travel as opaque `binary` columns. Decode / feature-extraction runs inside
+Images and videos travel as opaque `binary` columns. Decode / feature-extraction runs inside
 Arrow-batched pandas UDFs (`mapInPandas`-compatible shapes); the per-element codec
 call is inherent to decoding (same as PIL/fastText in production). Real image
 libraries are absent in this sandbox, so the codec is the deterministic in-repo
@@ -73,6 +73,93 @@ def with_decode_check(df: DataFrame, bytes_col: str = "bytes",
         "flag_decode_failed",
         ~F.col("_dec.decode_ok") | F.coalesce(mismatch, F.lit(True)),
     ).drop("_dec")
+
+
+def feature_vector_udf(grid: int = 4):
+    """Decode → grid-block mean-luma feature vector (`array<float>`, length
+    grid², values in [0,1]) — the image-side input to the similarity operators
+    (`cosine_topk` / `ann_ivf_topk` / `neardup_pairs_blocked`): re-encoded or
+    lightly-degraded copies land at cosine ≈ 1. Map-side only; swap the decode
+    for PIL/CLIP-style embedders in production, the plumbing is identical."""
+
+    @F.pandas_udf("array<float>")
+    def _feat(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in batches:
+            out = []
+            for b in blobs:
+                arr = codecs.decode(b)
+                if arr is None:
+                    out.append(None)
+                    continue
+                gray = arr.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = np.arange(grid + 1) * h // grid
+                xs = np.arange(grid + 1) * w // grid
+                out.append(
+                    [
+                        float(
+                            gray[
+                                ys[i] : max(ys[i + 1], ys[i] + 1),
+                                xs[j] : max(xs[j + 1], xs[j] + 1),
+                            ].mean()
+                            / 255.0
+                        )
+                        for i in range(grid)
+                        for j in range(grid)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return _feat
+
+
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 3,
+    id_col: str = "video_id",
+    bytes_col: str = "video_bytes",
+) -> DataFrame:
+    """Uniform deterministic frame sampling from binary video containers:
+    1 video row → ≤ n_frames rows (video_id, frame_idx, frame_bytes).
+
+    `mapInPandas` because the fan-out is per-row variable; the projection keeps
+    ONLY (id, bytes) on the Python boundary, so Arrow never ships columns the
+    sampler doesn't need. Frame blobs come out still image-encoded (the
+    container walk reads length prefixes, no pixel decode) — downstream stages
+    (`decode_check_udf`, `feature_vector_udf`) decide what to decode. Undecodable
+    or empty containers yield zero rows, the dataflow analogue of try-cast."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            blobs: list = []
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                n = codecs.video_frame_count(data)
+                if not n:
+                    continue
+                for i in np.unique(
+                    np.linspace(0, n - 1, min(n_frames, n)).astype(int)
+                ):
+                    frame = codecs.video_frame(data, int(i))
+                    if frame is not None:
+                        ids.append(vid)
+                        idxs.append(int(i))
+                        blobs.append(frame)
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.array(ids, dtype="string"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": blobs if blobs else pd.array([], dtype=object),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, FRAME_SAMPLE_SCHEMA
+    )
 
 
 def resize_udf(target: int = 8):

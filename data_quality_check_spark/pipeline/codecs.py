@@ -67,6 +67,54 @@ def decode(data: bytes) -> np.ndarray | None:
         return None
 
 
+VIDEO_MAGIC = b"FVID"
+
+
+def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Deterministic fake video container (no pyav/ffmpeg in this sandbox —
+    this is the clearly-marked stand-in for real video decode; the Spark-side
+    plumbing over it is real): magic | n_frames uint32 LE | per frame
+    (len uint32 LE | image-codec blob)."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        blob = encode(f, fmt)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def video_frame_count(data: bytes) -> int | None:
+    """Frame count from the container header (no payload decode)."""
+    try:
+        if data is None or len(data) < 8 or bytes(data[:4]) != VIDEO_MAGIC:
+            return None
+        return struct.unpack("<I", bytes(data[4:8]))[0]
+    except Exception:
+        return None
+
+
+def video_frame(data: bytes, idx: int) -> bytes | None:
+    """The idx-th frame's still-encoded image blob — an O(frames) header walk
+    over length prefixes, no pixel decode (sampling shouldn't pay for decoding
+    frames it skips)."""
+    n = video_frame_count(data)
+    if n is None or not 0 <= idx < n:
+        return None
+    try:
+        pos = 8
+        buf = bytes(data)
+        for i in range(n):
+            (ln,) = struct.unpack("<I", buf[pos : pos + 4])
+            pos += 4
+            if i == idx:
+                blob = buf[pos : pos + ln]
+                return blob if len(blob) == ln else None
+            pos += ln
+        return None
+    except Exception:
+        return None
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:

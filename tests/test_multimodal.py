@@ -1,0 +1,96 @@
+"""Multimodal plumbing: video frame sampling and image feature extraction.
+
+The video "decode" is the repo's deterministic container (codecs.encode_video —
+the clearly-marked stand-in for pyav/ffmpeg); what these tests pin down is the
+REAL Spark-side plumbing: mapInPandas fan-out schema and batch shape, Arrow
+boundary projection, determinism under repartitioning, and the feature-vector →
+similarity-operator integration.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.functions import multimodal as MM
+from data_quality_check_spark.operators import similarity as SIM
+from data_quality_check_spark.pipeline import codecs
+
+
+def _img(seed: int, h: int = 24, w: int = 32) -> np.ndarray:
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def videos(spark):
+    rows = []
+    for vid, n in [("v0", 7), ("v1", 2), ("v2", 1)]:
+        frames = [_img(hash(vid) % 1000 + i) for i in range(n)]
+        rows.append((vid, bytearray(codecs.encode_video(frames))))
+    rows.append(("v_bad", bytearray(b"not a video")))
+    rows.append(("v_null", None))
+    return spark.createDataFrame(rows, "video_id string, video_bytes binary")
+
+
+def test_sample_frames_schema_and_fanout(videos):
+    out = MM.sample_frames(videos, n_frames=3).collect()
+    assert {f.name for f in MM.sample_frames(videos).schema.fields} == {
+        "video_id",
+        "frame_idx",
+        "frame_bytes",
+    }
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.video_id, []).append(r.frame_idx)
+    # 7 frames → linspace picks {0, 3, 6}; short videos keep every frame;
+    # corrupt/null containers contribute zero rows (try-cast analogue)
+    assert by_vid == {"v0": [0, 3, 6], "v1": [0, 1], "v2": [0]}
+
+
+def test_sampled_frame_decodes_to_original(videos):
+    out = {
+        (r.video_id, r.frame_idx): bytes(r.frame_bytes)
+        for r in MM.sample_frames(videos, n_frames=3).collect()
+    }
+    # png frames are lossless: the sampled blob decodes bit-equal to the source
+    want = _img(hash("v0") % 1000 + 3)
+    got = codecs.decode(out[("v0", 3)])
+    assert got is not None and np.array_equal(got, want)
+
+
+def test_sample_frames_partition_invariant(videos):
+    a = sorted(
+        (r.video_id, r.frame_idx) for r in MM.sample_frames(videos, 3).collect()
+    )
+    b = sorted(
+        (r.video_id, r.frame_idx)
+        for r in MM.sample_frames(videos.repartition(5), 3).collect()
+    )
+    assert a == b
+
+
+def test_feature_vectors_drive_similarity(spark):
+    """Feature vectors feed the similarity operators: a jpeg re-encode of an
+    image is its top-1 cosine neighbor; unrelated images score far lower."""
+    imgs = {i: _img(100 + i) for i in range(6)}
+    rows = [(f"img{i}", bytearray(codecs.encode(a, "png"))) for i, a in imgs.items()]
+    rows.append(("img0_jpeg", bytearray(codecs.encode(imgs[0], "jpeg"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    feats = df.select(
+        "image_id", MM.feature_vector_udf(grid=4)(F.col("bytes")).alias("embedding")
+    )
+    assert feats.schema["embedding"].dataType.simpleString() == "array<float>"
+    q = feats.filter(F.col("image_id") == "img0_jpeg").select(
+        F.col("image_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = SIM.cosine_topk(
+        feats, q, k=1, id_col="image_id", vec_col="embedding"
+    ).collect()
+    assert top[0].image_id == "img0" and top[0].cosine >= 0.999
+
+
+def test_feature_vector_null_on_corrupt(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"xx"))], "image_id string, bytes binary"
+    )
+    row = df.select(MM.feature_vector_udf()(F.col("bytes")).alias("f")).first()
+    assert row.f is None

@@ -122,3 +122,73 @@ def test_windowed_metrics_stream_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r): None for r in spark.sql("SELECT * FROM win_metrics").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stateful_running_metrics_accumulate(spark, tmp_path):
+    """applyInPandasWithState: per-event-type counters must accumulate ACROSS
+    micro-batches (2 files → 2 batches via maxFilesPerTrigger=1) and the final
+    update per group must equal a plain batch groupBy over all the data."""
+    import pandas as pd
+
+    from data_quality_check_spark.streaming import running_group_metrics
+
+    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    half = batch.count() // 2
+    landing = tmp_path / "ev_landing"
+    landing.mkdir()
+    # split with Spark (not pandas) so the parquet types match the stream schema
+    ordered = batch.orderBy("event_id")
+    ordered.limit(half).coalesce(1).write.parquet(str(landing / "p0"))
+    ordered.subtract(ordered.limit(half)).coalesce(1).write.parquet(str(landing / "p1"))
+    for i, sub in enumerate(["p0", "p1"]):
+        src = next(f for f in os.listdir(landing / sub) if f.endswith(".parquet"))
+        shutil.move(str(landing / sub / src), str(landing / f"part-{i}.parquet"))
+        shutil.rmtree(landing / sub)
+
+    def with_rule(df):
+        return df.withColumn("value_ok", F.expr("value >= 0").cast("boolean"))
+
+    stream_src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    q = (
+        running_group_metrics(
+            with_rule(stream_src), "event_type", ["user_id", "value"], "value_ok"
+        )
+        .writeStream.format("memory")
+        .queryName("running_metrics")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM running_metrics").toPandas()
+    # update mode appends one row per (group, batch); keep each group's LAST
+    final = (
+        got.sort_values(["group", "batches"]).groupby("group").tail(1).set_index("group")
+    )
+    assert (final["batches"] >= 2).any()  # state really crossed a batch boundary
+
+    want = (
+        with_rule(batch)
+        .groupBy(F.col("event_type").alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            (F.count_if(F.col("user_id").isNull()) + F.count_if(F.col("value").isNull())).alias(
+                "nulls_total"
+            ),
+            F.count_if(~F.coalesce(F.col("value_ok"), F.lit(True))).alias("violations_total"),
+        )
+        .toPandas()
+        .set_index("group")
+    )
+    for g, row in want.iterrows():
+        for c in ["rows_total", "nulls_total", "violations_total"]:
+            assert final.loc[g, c] == row[c], (g, c)
+    pd.testing.assert_series_equal(
+        final["null_rate"],
+        (final["nulls_total"] / (final["rows_total"] * 2)).rename("null_rate"),
+    )
