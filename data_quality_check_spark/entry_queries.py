@@ -413,14 +413,26 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ───────────── joins: broadcast-dim equi-joins + grouped revenue ─────────────
 
 # Semi-structured parse (beyond-reference; SURVEY §2.8 notes the reference has
-# no JSON functions, but a web-scale event pipeline needs them): declared-schema
-# `from_json` stays fully JVM-side inside whole-stage codegen — never a Python
-# JSON loop — and degrades malformed rows to NULL (try-cast semantics, matching
-# the reference's errors="coerce" convention). Exact integer sums + one double
-# division for hash-stable cross-engine values.
-_JSON_PROPS_SQL = """
+# no JSON functions, but a web-scale event pipeline needs them): JVM-side
+# codegen'd JSON path extraction — never a Python JSON loop — degrading
+# malformed JSON and non-integer values to NULL (try-cast semantics, the
+# reference's errors="coerce" convention). Extraction is get_json_object +
+# try_cast rather than declared-schema `from_json(…, "k INT")` because the
+# latter's token-level strictness (a quoted "7" parses to NULL) has no ANSI-SQL
+# twin; string-path extraction + TRY_CAST has identical semantics in both
+# engines for every token shape (int, quoted int, float, missing, malformed).
+# One residual dialect gap: DuckDB's VARCHAR→INT cast ROUNDS numeric strings
+# ('1.5' → 2) where Spark's ANSI try_cast yields NULL, so the oracle gates the
+# cast on integer format (verified divergence-free over adversarial tokens:
+# int / quoted / float / text / missing / malformed / null / whitespace /
+# overflow). Exact integer sums + one double division for hash-stable values.
+_JSON_PROPS_SQL = r"""
 WITH e AS (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                        AND regexp_matches(json_extract_string(props, '$.k'),
+                                           '^\s*[+-]?\d+\s*$')
+                       THEN json_extract_string(props, '$.k') END AS INT) AS k
   FROM events
 )
 SELECT event_type, count(*) AS n_events, count(k) AS n_parsed,
@@ -433,7 +445,7 @@ FROM e GROUP BY event_type
 @register("json_props_events", _JSON_PROPS_SQL)
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k INT")["k"]
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return df.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("k").alias("n_parsed"),
@@ -692,8 +704,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query, partition-prunable at scale): rows-only driver check; recall vs brute
 # force asserted in tests/test_dedup_similarity.py::test_ann_ivf_recall.
 # Centroid count is tuned to the table's natural cluster structure (10 labels):
-# 10 cells / probe 4 measures 0.76 recall@5 on sf0.01 while searching ~40% of
-# the data; over-segmenting (16 cells) splits clusters and halves recall.
+# 10 cells / probe 4 measures 0.88 recall@5 on sf0.01 while searching ~40% of
+# the data (0.96 at nprobe=5); over-segmenting (16 cells) splits clusters and
+# costs recall. Hash-ordered centroid sampling (vs a sorted-id head) was worth
+# +0.12 recall by itself — the head sample under-represented later clusters.
 @register("ann_ivf_topk_embeddings", None)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

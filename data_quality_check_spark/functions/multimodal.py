@@ -141,14 +141,12 @@ def sample_frames(
                 n = codecs.video_frame_count(data)
                 if not n:
                     continue
-                for i in np.unique(
-                    np.linspace(0, n - 1, min(n_frames, n)).astype(int)
-                ):
-                    frame = codecs.video_frame(data, int(i))
-                    if frame is not None:
-                        ids.append(vid)
-                        idxs.append(int(i))
-                        blobs.append(frame)
+                take = np.unique(np.linspace(0, n - 1, min(n_frames, n)).astype(int))
+                frames = codecs.video_frames_at(data, [int(i) for i in take])
+                for i in sorted(frames):
+                    ids.append(vid)
+                    idxs.append(i)
+                    blobs.append(frames[i])
             yield pd.DataFrame(
                 {
                     "video_id": pd.array(ids, dtype="string"),

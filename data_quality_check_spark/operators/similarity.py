@@ -44,6 +44,21 @@ def cosine_col(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
+                 qid_col: str, qvec_col: str) -> DataFrame:
+    """Shared exact-rerank tail of every top-k operator (brute force and both
+    ANN paths): rounded cosine, rank per query with deterministic tie-break on
+    id, keep rank ≤ k. One definition so the rounding/tie-break contract cannot
+    drift between operators."""
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -56,13 +71,7 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (brute force; broadcast the
     query side — the candidate side streams, no shuffle until the final top-k)."""
     joined = df.crossJoin(F.broadcast(queries)).filter(F.col(id_col) != F.col(qid_col))
-    scored = joined.select(
-        F.col(qid_col),
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
 
 
 def neardup_pairs_blocked(
@@ -101,10 +110,22 @@ def srp_bucket_col(vec_col: str, n_bits: int = 16, dim: int = 64, seed: int = 11
     return bucket
 
 
-def _unit_rows(series: pd.Series) -> np.ndarray:
-    """Stack an Arrow batch of array<float> into a row-normalized float64 matrix."""
-    x = np.asarray(series.tolist(), dtype=np.float64)
-    return x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+def _unit_rows(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Stack an Arrow batch of array<float> into a row-normalized float64 matrix.
+
+    Null entries and dimension-mismatched rows (e.g. `feature_vector_udf`'s NULL
+    for an undecodable image) are excluded rather than crashing the batch:
+    returns (matrix over valid rows, boolean valid-mask aligned to the series).
+    Dimension = the batch's modal vector length."""
+    vals = series.tolist()
+    lens = [len(v) if v is not None else -1 for v in vals]
+    pos = [n for n in lens if n > 0]
+    if not pos:
+        return np.zeros((0, 0)), np.zeros(len(vals), dtype=bool)
+    dim = int(pd.Series(pos).mode().iloc[0])
+    mask = np.array([n == dim for n in lens])
+    x = np.asarray([v for v, ok in zip(vals, mask) if ok], dtype=np.float64)
+    return x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None), mask
 
 
 def ivf_train_centroids(
@@ -117,14 +138,21 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Spherical k-means (cosine) centroids, trained driver-side on a
-    deterministic sample (sorted-id head, so retraining on the same table yields
-    the same cells regardless of partitioning). Training data is a few thousand
-    vectors no matter the table size — at 10^12 rows you still pull only
-    `sample_size` rows to the driver; the quality of IVF cells depends on the
-    sample being representative, not exhaustive. Returns unit-norm centroids
-    (n_centroids × dim)."""
-    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
-    x = _unit_rows(pdf[vec_col])
+    deterministic sample. The sample is the head of a HASH ordering
+    (`xxhash64(id)`) — deterministic for the same table regardless of
+    partitioning, but uncorrelated with ingest order, so every region of the
+    table is represented (a sorted-id head would be one ingest batch and leave
+    later clusters cell-less). Training data stays a few thousand vectors no
+    matter the table size — at 10^12 rows you still pull only `sample_size`
+    rows to the driver. Returns unit-norm centroids (n_centroids × dim)."""
+    pdf = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    x, _ = _unit_rows(pdf[vec_col])
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
     for _ in range(iters):
@@ -144,7 +172,11 @@ def ivf_assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        return pd.Series((_unit_rows(vecs) @ cents.T).argmax(axis=1).astype("int32"))
+        x, mask = _unit_rows(vecs)
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if len(x) and x.shape[1] == cents.shape[1]:
+            out[mask] = (x @ cents.T).argmax(axis=1).astype("int32")
+        return pd.Series(out)
 
     return assign
 
@@ -156,9 +188,13 @@ def ivf_probe_udf(centroids: np.ndarray, nprobe: int):
 
     @pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
-        sims = _unit_rows(vecs) @ cents.T
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.astype("int32").tolist() for row in top])
+        x, mask = _unit_rows(vecs)
+        out: list = [None] * len(vecs)
+        if len(x) and x.shape[1] == cents.shape[1]:
+            top = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
+            for i, row in zip(np.flatnonzero(mask), top):
+                out[i] = row.astype("int32").tolist()
+        return pd.Series(out)
 
     return probe
 
@@ -188,18 +224,14 @@ def ann_ivf_topk(
     cents = ivf_train_centroids(
         df, n_centroids, sample_size, seed=seed, id_col=id_col, vec_col=vec_col
     )
+    # null/ragged embeddings get a NULL cell and fall out of the inner join —
+    # same degrade-to-absent behavior as the JVM-side cosine path
     cand = df.withColumn("cell", ivf_assign_udf(cents)(F.col(vec_col)))
     q = queries.withColumn(
         "cell", F.explode(ivf_probe_udf(cents, nprobe)(F.col(qvec_col)))
     )
     joined = cand.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(qid_col))
-    scored = joined.select(
-        F.col(qid_col),
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
 
 
 def ann_lsh_topk(
@@ -219,10 +251,4 @@ def ann_lsh_topk(
     cand = df.withColumn("bucket", srp_bucket_col(vec_col, n_bits, dim))
     q = queries.withColumn("bucket", srp_bucket_col(qvec_col, n_bits, dim))
     joined = cand.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
-    scored = joined.select(
-        F.col(qid_col),
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)

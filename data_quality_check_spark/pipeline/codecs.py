@@ -93,26 +93,38 @@ def video_frame_count(data: bytes) -> int | None:
         return None
 
 
-def video_frame(data: bytes, idx: int) -> bytes | None:
-    """The idx-th frame's still-encoded image blob — an O(frames) header walk
-    over length prefixes, no pixel decode (sampling shouldn't pay for decoding
-    frames it skips)."""
+def video_frames_at(data: bytes, idxs: list[int]) -> dict[int, bytes]:
+    """Still-encoded image blobs for the requested frame indices, in ONE
+    O(frames) header walk over the length prefixes — no pixel decode, and no
+    per-index re-walk (sampling shouldn't pay for frames it skips, nor walk the
+    container once per sampled frame). Missing/corrupt indices are absent from
+    the result."""
     n = video_frame_count(data)
-    if n is None or not 0 <= idx < n:
-        return None
+    want = {i for i in idxs if n is not None and 0 <= i < n}
+    if not want:
+        return {}
+    out: dict[int, bytes] = {}
     try:
         pos = 8
         buf = bytes(data)
         for i in range(n):
             (ln,) = struct.unpack("<I", buf[pos : pos + 4])
             pos += 4
-            if i == idx:
+            if i in want:
                 blob = buf[pos : pos + ln]
-                return blob if len(blob) == ln else None
+                if len(blob) == ln:
+                    out[i] = blob
+                if len(out) == len(want):
+                    break
             pos += ln
-        return None
     except Exception:
-        return None
+        pass
+    return out
+
+
+def video_frame(data: bytes, idx: int) -> bytes | None:
+    """Single-frame convenience wrapper over `video_frames_at`."""
+    return video_frames_at(data, [idx]).get(idx)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

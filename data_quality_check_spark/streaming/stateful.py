@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "batches long, rows long, nulls long, violations long"
+# `group` is the stringified key so one output schema serves any key type
+# (source string, language string, bucket int, …)
 OUT_SCHEMA = (
     "group string, batches long, rows_total long, nulls_total long, "
     "violations_total long, null_rate double, violation_rate double"
@@ -53,8 +55,10 @@ def running_group_metrics(
             rows += len(pdf)
             nulls += int(pdf[check_cols].isna().sum().sum())
             if rule_col is not None:
-                ok = pdf[rule_col]
-                viols += int((~ok.fillna(True)).sum())
+                # nullable booleans arrive as object dtype; normalize BEFORE
+                # inverting (object-dtype ~True is int -2, not False)
+                ok = pdf[rule_col].fillna(True).astype(bool)
+                viols += int((~ok).sum())
         b0, r0, n0, v0 = state.get if state.exists else (0, 0, 0, 0)
         b, r, n, v = b0 + 1, r0 + rows, n0 + nulls, v0 + viols
         state.update((b, r, n, v))
@@ -62,7 +66,7 @@ def running_group_metrics(
         yield pd.DataFrame(
             [
                 {
-                    "group": key[0],
+                    "group": None if key[0] is None else str(key[0]),
                     "batches": b,
                     "rows_total": r,
                     "nulls_total": n,

@@ -163,6 +163,26 @@ def test_ann_ivf_recall(vectors):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_ann_ivf_null_and_ragged_safe(spark, vectors):
+    """NULL / dimension-mismatched embeddings (feature_vector_udf emits NULL for
+    undecodable images) must degrade to absent — never crash the GEMM batch."""
+    pdf, df = vectors
+    base = df.select("vec_id", "embedding")
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [(9001, None), (9002, [0.5, 0.5])], "vec_id long, embedding array<double>"
+        ).selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+    )
+    queries = dirty.filter(F.col("vec_id").isin(0, 9001)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = SIM.ann_ivf_topk(dirty, queries, k=3, n_centroids=8, nprobe=3).collect()
+    ids = {r.query_id for r in got}
+    assert 0 in ids  # valid query still answered
+    assert 9001 not in ids  # null query yields no rows, no crash
+    assert all(r.vec_id not in (9001, 9002) for r in got)  # dirty candidates absent
+
+
 def test_neardup_blocked(vectors):
     pdf, df = vectors
     got = SIM.neardup_pairs_blocked(df, threshold=0.98).collect()

@@ -146,7 +146,15 @@ def test_stateful_running_metrics_accumulate(spark, tmp_path):
         shutil.rmtree(landing / sub)
 
     def with_rule(df):
-        return df.withColumn("value_ok", F.expr("value >= 0").cast("boolean"))
+        # every 7th event gets a NULL rule verdict: exercises the null ⇒ no
+        # violation convention through the object-dtype pandas fold
+        return df.withColumn(
+            "value_ok",
+            F.expr(
+                "CASE WHEN pmod(event_id, 7) = 0 THEN CAST(NULL AS BOOLEAN) "
+                "ELSE value >= 0 END"
+            ),
+        )
 
     stream_src = (
         spark.readStream.schema(batch.schema)
@@ -192,3 +200,25 @@ def test_stateful_running_metrics_accumulate(spark, tmp_path):
         final["null_rate"],
         (final["nulls_total"] / (final["rows_total"] * 2)).rename("null_rate"),
     )
+
+    # non-string group keys must work too (schema stringifies the key)
+    stream2 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+        .withColumn("bucket_id", F.pmod(F.col("event_id"), F.lit(3)))
+    )
+    q2 = (
+        running_group_metrics(stream2, "bucket_id", ["value"])
+        .writeStream.format("memory")
+        .queryName("running_metrics_int")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rm2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = spark.sql("SELECT * FROM running_metrics_int").toPandas()
+    final2 = got2.sort_values(["group", "batches"]).groupby("group").tail(1)
+    assert set(final2["group"]) == {"0", "1", "2"}
+    assert final2["rows_total"].sum() == batch.count()
