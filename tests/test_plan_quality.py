@@ -54,3 +54,39 @@ def test_profile_plan_is_jvm_only(spark):
         df = EQ.queries()[name](spark, SF_DIR)
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_json_query_is_jvm_side_and_pruned(spark):
+    """get_json_object + try_cast must stay in codegen (no Python eval node)
+    and the scan must read only (event_type, props) of the 6 event columns."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["json_props_events"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "props" in read and "event_type" in read
+    for absent in ["value", "user_id", '"ts"']:
+        assert absent not in read
+
+
+def test_rollup_uses_expand_with_partial_agg(spark):
+    """df.rollup compiles to one Expand + partial/final hash aggregation —
+    one scan produces every grouping level (no per-level re-scan)."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["rollup_metrics_documents"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    read = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" not in read  # unused column pruned from the scan
+
+
+def test_ann_paths_broadcast_the_query_side(spark):
+    """Both ANN scale paths must broadcast the (small) query side — a shuffled
+    or sort-merge join here would move the full candidate table."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    for name in ["ann_ivf_topk_embeddings", "ann_lsh_topk_embeddings"]:
+        plan = _plan(EQ.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+        assert "SortMergeJoin" not in plan, name

@@ -84,6 +84,24 @@ def test_run_scoring_matches_reference_with_custom_rules(spark, demo_pdf):
     assert ours.global_score == pytest.approx(ref.global_score, abs=0.5)
 
 
+def test_run_scoring_matches_reference_spark_engine(spark, demo_pdf):
+    """Same comparison against the reference's PySparkScorer path (spark handle
+    passed) — the engine whose regex dialect we adopted as canonical. Measured
+    exact agreement on every dimension (reference issues O(cols+rules) jobs for
+    what our plan computes in ≤3)."""
+    import data_quality_check_spark as dqx
+
+    eng = _ref_engine()
+    sdf = spark.createDataFrame(demo_pdf)
+    ref = eng.run_scoring(sdf, table_name="demo", spark=spark)
+    ours = dqx.run_scoring(sdf, table_name="demo")
+    assert ref.engine == "pyspark"
+    for d in DIMS:
+        assert getattr(ours, d) == pytest.approx(getattr(ref, d), abs=0.051), d
+    assert ours.freshness == pytest.approx(ref.freshness, abs=0.5)
+    assert ours.global_score == pytest.approx(ref.global_score, abs=0.5)
+
+
 def test_column_scores_match_reference(spark, demo_pdf):
     import data_quality_check_spark as dqx
 
