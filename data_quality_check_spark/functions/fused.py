@@ -44,9 +44,9 @@ FUSED_SCHEMA = StructType(
 )
 
 
-def _decode_flags(pdf: pd.DataFrame) -> list[bool]:
+def _decode_flags(blobs: pd.Series, ws: pd.Series, hs: pd.Series) -> list[bool]:
     flags = []
-    for b, w, h in zip(pdf["bytes"], pdf["w"], pdf["h"]):
+    for b, w, h in zip(blobs, ws, hs):
         arr = codecs.decode(b)
         bad = (
             arr is None
@@ -68,7 +68,7 @@ def fused_scores_udf(
 
     model = default_model()  # cached per worker process
     for blobs, ws, hs, captions in batches:
-        flags = _decode_flags(pd.DataFrame({"bytes": blobs, "w": ws, "h": hs}))
+        flags = _decode_flags(blobs, ws, hs)
         texts = captions.fillna("").tolist()
         langs, conf, _, ppl = model.score(texts)  # one encode+gather pass
         yield pd.DataFrame(

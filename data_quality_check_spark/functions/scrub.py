@@ -7,10 +7,14 @@ Two equivalent implementations, tested for exact string equality:
     set per batch (the path the north_star names; preferable when the pattern set
     grows beyond what a regexp_replace chain should inline).
 
-Patterns are written in the Java/PCRE/RE2-common subset (no lookaround, no
-backrefs) so the Spark (Java regex), python `re` (golden labels) and DuckDB RE2
-(oracles) engines agree. Seeds: the reference's validation regexes engine.py:477-478
-and its `clean()` char-folding precedent app_v3.py:507-512.
+Patterns are written so the Spark (Java regex) and python `re` (golden labels)
+engines agree on EVERY input: character classes are explicit ASCII, and word
+boundaries are spelled as ASCII lookarounds rather than `\b` — Java's `\b` is
+ASCII-`\w`-based while Python's is Unicode, so `\b` itself would disagree next
+to accented letters ('stupidé'). No DuckDB oracle consumes these patterns, so
+RE2's lack of lookaround doesn't constrain them. Seeds: the reference's
+validation regexes engine.py:477-478 and its `clean()` char-folding precedent
+app_v3.py:507-512.
 """
 
 from __future__ import annotations
@@ -22,13 +26,18 @@ import pandas as pd
 from pyspark.sql import Column, functions as F
 
 from data_quality_check_spark.functions.wordlists import TOXIC_WORDS
+from data_quality_check_spark.pipeline.heuristics import WS_CHARS
+
+# ASCII word boundaries, byte-identical semantics in Java regex and python re
+_BL = r"(?<![A-Za-z0-9_])"
+_BR = r"(?![A-Za-z0-9_])"
 
 # order matters: emails before phones (an email's digits must not phone-match)
 SCRUB_PATTERNS: list[tuple[str, str]] = [
     (r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
     (r"\+[0-9][0-9 ().\-]{6,18}[0-9]", "[PHONE]"),
-    (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
-    (r"(?i)\b(" + "|".join(TOXIC_WORDS) + r")\b", "[TOXIC]"),
+    (_BL + r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}" + _BR, "[PHONE]"),
+    (r"(?i)" + _BL + r"(" + "|".join(TOXIC_WORDS) + r")" + _BR, "[TOXIC]"),
 ]
 
 _COMPILED = [(re.compile(p), r) for p, r in SCRUB_PATTERNS]
@@ -69,7 +78,7 @@ def scrub_series(s: "pd.Series") -> "pd.Series":
     fires. Inside the fused model stage this makes scrub cost one cheap regex
     scan per row instead of a JVM regexp_replace chain over every kept row
     (measured ~12s → ~1s at 32 cores / 8M rows). None stays None."""
-    out = s.str.strip()
+    out = s.str.strip(WS_CHARS)  # canonical ASCII set — twin of trim_col
     mask = out.notna()
     vals = out[mask]
     trig = vals.str.contains(_TRIGGER_RE, regex=True)

@@ -131,8 +131,28 @@ def validate_rules(df: DataFrame, rules: list[dict]) -> tuple[list[tuple[int, di
     return valid, invalid
 
 
-def pass1_aggs(df: DataFrame, cfg: ProfileConfig) -> list[Column]:
-    """Every global aggregate except quantile-dependent ones, fused into one pass."""
+def _runtime_bad_rules(df: DataFrame, rules: list[dict], excluded: set[int]) -> set[int]:
+    """Identify analysis-valid rules that throw during execution: one
+    try/except-wrapped full-scan count per remaining rule — the reference's
+    per-rule cost (engine.py:445), paid only on the already-failing path."""
+    valid, _ = validate_rules(df, rules)
+    bad: set[int] = set()
+    for i, rule in valid:
+        if i in excluded:
+            continue
+        try:
+            df.agg(_cif(~F.expr(rule["condition"]))).collect()
+        except Exception:
+            bad.add(i)
+    return bad
+
+
+def pass1_aggs(
+    df: DataFrame, cfg: ProfileConfig, exclude_rules: frozenset[int] = frozenset()
+) -> list[Column]:
+    """Every global aggregate except quantile-dependent ones, fused into one pass.
+    `exclude_rules`: indices of custom rules that failed at RUNTIME (not analysis)
+    in a previous attempt — see the degrade loop in `profile`."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
 
     # A2 — per-column null counts.
@@ -152,6 +172,8 @@ def pass1_aggs(df: DataFrame, cfg: ProfileConfig) -> list[Column]:
     # A5 — custom-rule violation counts (rule DSL = Spark SQL expression strings).
     valid_rules, _ = validate_rules(df, cfg.custom_rules)
     for i, rule in valid_rules:
+        if i in exclude_rules:
+            continue
         aggs.append(_cif(~F.expr(rule["condition"])).alias(f"rule__{i}"))
 
     # A10 — correlation (two-column invariant) checked/violation counts.
@@ -182,10 +204,17 @@ def pass1_aggs(df: DataFrame, cfg: ProfileConfig) -> list[Column]:
         aggs.append(_distinct(col, cfg.exact_distinct).alias(f"nu__{c}"))
         aggs.append(_distinct(folded, cfg.exact_distinct).alias(f"nl__{c}"))
 
-    # A4 — max timestamp per declared date column (try-cast semantics).
+    # A4 — max timestamp per declared date column. try_to_timestamp, NOT
+    # to_timestamp: under Spark 4's default ANSI mode a single malformed value
+    # in a detector-admitted date column (70% parse-rate threshold) would abort
+    # the whole fused pass. Emitted as epoch MICROSECONDS (a long), because
+    # collect() renders TimestampType through the driver OS timezone
+    # (datetime.fromtimestamp) — epoch math is timezone-free.
     for c in cfg.date_columns:
         if c in df.columns:
-            aggs.append(F.max(F.to_timestamp(F.col(c))).alias(f"maxd__{c}"))
+            aggs.append(
+                F.unix_micros(F.max(F.try_to_timestamp(F.col(c)))).alias(f"maxd__{c}")
+            )
 
     # A14 — distinct count per column for per-column uniqueness scores
     # (string columns reuse nu__; add the rest).
@@ -245,7 +274,22 @@ def profile(df: DataFrame, cfg: ProfileConfig | None = None, now: datetime | Non
 
     # A single-row-group input would serialize the whole fused pass onto one core.
     df = parallelize_scan(df)
-    m = df.agg(*pass1_aggs(df, cfg)).collect()[0].asDict()
+
+    # Degrade-don't-fail for rules that ANALYZE but fail at RUNTIME (common
+    # under Spark 4 ANSI: e.g. `cast(code as int) < 500` over one non-numeric
+    # value). The reference paid one try/except-wrapped job per rule always
+    # (engine.py:244-246); we keep the fused single pass and only on failure
+    # probe rules individually to find and exclude the offenders, then retry.
+    excluded: set[int] = set()
+    while True:
+        try:
+            m = df.agg(*pass1_aggs(df, cfg, frozenset(excluded))).collect()[0].asDict()
+            break
+        except Exception:
+            bad = _runtime_bad_rules(df, cfg.custom_rules, excluded)
+            if not bad:
+                raise  # not a rule problem — surface the real error
+            excluded |= bad
 
     num_cols = numeric_columns(df)
     fences: dict[str, tuple[float, float]] = {}
@@ -288,8 +332,9 @@ def _assemble(
             )
     r.completeness = scoring.completeness_score(total_nulls, row_count, len(cols)) if row_count else 0.0
 
-    # uniqueness
-    dup = row_count - m["distinct_rows"]
+    # uniqueness — clamp at 0: in approx mode (exact_distinct=False) the HLL
+    # estimate can exceed row_count, which would otherwise push the score >100
+    dup = max(0, row_count - m["distinct_rows"])
     dup_pct = dup / row_count * 100 if row_count else 0.0
     if dup_pct > 5:
         issues.append(
@@ -302,13 +347,15 @@ def _assemble(
         )
     r.uniqueness = scoring.uniqueness_score(dup, row_count)
 
-    # freshness
+    # freshness — epoch-microsecond arithmetic on both sides (timezone-free;
+    # `now` is naive UTC by contract of `profile`)
+    now_us = now.replace(tzinfo=timezone.utc).timestamp() * 1e6
     lags = []
     for c in cfg.date_columns:
         maxd = m.get(f"maxd__{c}")
         if maxd is None:
             continue
-        lag = (now - maxd).total_seconds() / 3600.0
+        lag = (now_us - maxd) / 3_600_000_000.0
         lags.append(lag)
         if lag > cfg.freshness_threshold_hours:
             issues.append(
@@ -337,13 +384,13 @@ def _assemble(
                 }
             )
     for i, rule in enumerate(cfg.custom_rules):
-        if f"rule__{i}" not in m:  # didn't analyze against this schema → skipped
+        if f"rule__{i}" not in m:  # failed analysis OR failed at runtime → skipped
             issues.append(
                 {
                     "dimension": "consistency",
                     "severity": "low",
                     "column": rule.get("column", "?"),
-                    "message": f"rule not applicable to this dataset: {rule.get('name', '')}",
+                    "message": f"rule not evaluable on this dataset: {rule.get('name', '')}",
                 }
             )
             continue
@@ -479,7 +526,7 @@ def _assemble(
     for c in cols:
         cp = round((1 - m[f"nulls__{c}"] / max(row_count, 1)) * 100, 1)
         nd = m[f"nu__{c}"] if c in strset else m[f"nd__{c}"]
-        uq = round(nd / max(row_count, 1) * 100, 1)
+        uq = min(100.0, round(nd / max(row_count, 1) * 100, 1))  # HLL can overshoot
         r.columns.append(
             ColumnScore(name=c, completeness=cp, uniqueness=uq, overall=scoring.column_overall(cp, uq))
         )

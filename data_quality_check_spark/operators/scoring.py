@@ -86,8 +86,16 @@ def uniqueness_score(duplicate_rows: int, row_count: int) -> float:
 
 
 def freshness_score(lag_hours: list[float], threshold_hours: float) -> float:
-    """Mean over date columns of max(0, 100 - lag/threshold*100)."""
-    scores = [max(0.0, 100.0 - (lag / threshold_hours) * 100.0) for lag in lag_hours]
+    """Mean over date columns of max(0, 100 - lag/threshold*100), capped at 100.
+
+    The cap is ours, not the reference's (engine.py:426-431 has no upper
+    clamp): future-dated rows give a negative lag and would score >100,
+    breaking the documented [0, 100] bounds property. For any past-dated data
+    the cap is inactive and the formulas agree exactly."""
+    scores = [
+        min(100.0, max(0.0, 100.0 - (lag / threshold_hours) * 100.0))
+        for lag in lag_hours
+    ]
     if not scores:
         return DEFAULT_FRESHNESS
     return round(sum(scores) / len(scores), 1)

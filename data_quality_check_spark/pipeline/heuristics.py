@@ -33,6 +33,12 @@ ALPHA_CHARS = (
     + "".join(chr(i) for i in range(0xC0, 0x100))  # À-ÿ, same range the regex spans
 )
 
+# Canonical whitespace for trim/tokenize — exactly Java regex \s
+# ([ \t\n\x0B\f\r]). Spark's F.trim strips ONLY the space character and
+# Python's str.strip()/\s are Unicode-wide, so each engine must use this
+# explicit set or keep labels drift on tab/newline/U+00A0-padded captions.
+WS_CHARS = " \t\n\r\x0b\x0c"
+
 FLAG_COLS = [
     "flag_caption_missing",
     "flag_fake_null",
@@ -50,8 +56,14 @@ def _nvl(c: Column, default: bool) -> Column:
     return F.coalesce(c, F.lit(default))
 
 
+def trim_col(c: Column) -> Column:
+    """Trim the canonical WS_CHARS set (Python twin: `str.strip(WS_CHARS)`)."""
+    return F.btrim(c, F.lit(WS_CHARS))
+
+
 def caption_flags(caption: Column) -> dict[str, Column]:
-    trimmed = F.trim(caption)
+    trimmed = trim_col(caption)
+    # Java \s ≡ WS_CHARS exactly, so the split stays a plain regex
     tokens = F.split(trimmed, r"\s+")
     n_tok = F.size(tokens)
     texty = F.length(caption) - F.length(F.translate(caption, ALPHA_CHARS, ""))

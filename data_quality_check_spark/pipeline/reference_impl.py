@@ -22,6 +22,7 @@ from data_quality_check_spark.operators.profiler import FAKE_NULLS
 from data_quality_check_spark.pipeline import codecs
 from data_quality_check_spark.pipeline.heuristics import (
     ALPHA_CLASS,
+    WS_CHARS,
     BYTES_SLACK,
     MAX_ASPECT,
     MAX_CAPTION_CHARS,
@@ -32,7 +33,7 @@ from data_quality_check_spark.pipeline.heuristics import (
 )
 
 _ALPHA_RX = re.compile(ALPHA_CLASS)
-_WS_RX = re.compile(r"\s+")
+_WS_RX = re.compile(f"[{WS_CHARS}]+")  # ASCII class == Java \\s, NOT Python unicode \\s
 
 DROP_PRIORITY = [
     "caption_missing",
@@ -53,7 +54,7 @@ DROP_PRIORITY = [
 def _caption_flags_row(c) -> dict:
     if c is None or (isinstance(c, float) and pd.isna(c)):
         return {"caption_missing": True}
-    t = c.strip()
+    t = c.strip(WS_CHARS)
     if t == "":
         return {"caption_missing": True}
     out = {"caption_missing": False}
@@ -125,7 +126,7 @@ def compute_golden(
                 break
 
     scrubbed = [
-        scrub_text(c.strip()) if (k and c is not None) else None
+        scrub_text(c.strip(WS_CHARS)) if (k and c is not None) else None
         for c, k in zip(caps, keep)
     ]
     out = pdf.copy()

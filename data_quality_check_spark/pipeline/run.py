@@ -68,7 +68,12 @@ from data_quality_check_spark.functions.langid import (
 from data_quality_check_spark.functions.fused import with_model_scores_fused
 from data_quality_check_spark.functions.multimodal import with_decode_check
 from data_quality_check_spark.functions.scrub import scrub_col
-from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, heuristic_ok, with_flags
+from data_quality_check_spark.pipeline.heuristics import (
+    FLAG_COLS,
+    heuristic_ok,
+    trim_col,
+    with_flags,
+)
 
 DATA_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
@@ -258,7 +263,7 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
     if "_scrubbed_all" in df.columns:
         scrubbed = F.col("_scrubbed_all")
     else:
-        scrubbed = scrub_col(F.trim(F.col("caption")))
+        scrubbed = scrub_col(trim_col(F.col("caption")))
     return df.withColumn("scrubbed_caption", F.when(F.col("keep"), scrubbed)).drop(
         "_scrubbed_all"
     )
@@ -387,7 +392,7 @@ def run_filter(
 
     scored = finalize(score_rows(work, cfg), cfg, dups).withColumn(
         "_scrub_changed",
-        F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(F.trim(F.col("caption"))),
+        F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
     )
 
     obs = Observation(f"metrics-{cfg.run_id}")

@@ -114,7 +114,9 @@ def _metric_aggs(spec: ScoreSpec) -> list[Column]:
         a.append(F.count_distinct(col).alias(f"nu__{c}"))
         a.append(F.count_distinct(folded).alias(f"nl__{c}"))
     for c in spec.date_cols:
-        a.append(F.max(F.to_timestamp(F.col(c))).alias(f"maxd__{c}"))
+        # try_to_timestamp: ANSI-safe null-on-malformed (the DuckDB twin already
+        # uses try_cast); the score expr consumes it JVM-side, no collect() tz risk
+        a.append(F.max(F.try_to_timestamp(F.col(c))).alias(f"maxd__{c}"))
     return a
 
 
@@ -180,7 +182,16 @@ def _score_exprs(spec: ScoreSpec) -> list[Column]:
             per_col.append(
                 F.when(
                     F.col(f"maxd__{c}").isNotNull(),
-                    F.greatest(F.lit(0.0), F.lit(100.0) - lag_h / spec.freshness_threshold_hours * 100.0),
+                    # least-cap: future-dated rows (negative lag) must not
+                    # score >100 (bounds property; duck twin mirrors this)
+                    F.least(
+                        F.lit(100.0),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.lit(100.0)
+                            - lag_h / spec.freshness_threshold_hours * 100.0,
+                        ),
+                    ),
                 )
             )
         cnt = sum([F.when(p.isNotNull(), 1).otherwise(0) for p in per_col], F.lit(0))
@@ -427,8 +438,9 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
                 " / 3600000000.0"
             )
             per.append(
-                f'CASE WHEN "maxd__{c}" IS NOT NULL THEN greatest(0.0, 100.0 - {lag} '
-                f"/ {_d(spec.freshness_threshold_hours)} * 100.0) ELSE 0.0 END"
+                f'CASE WHEN "maxd__{c}" IS NOT NULL THEN least(100.0, greatest(0.0, '
+                f"100.0 - {lag} / {_d(spec.freshness_threshold_hours)} * 100.0)) "
+                "ELSE 0.0 END"
             )
             inc.append(f'CASE WHEN "maxd__{c}" IS NOT NULL THEN 1 ELSE 0 END')
         freshness = (

@@ -40,7 +40,7 @@ from data_quality_check_spark.pipeline.run import (
     score_rows,
     with_rid,
 )
-from data_quality_check_spark.pipeline.heuristics import FLAG_COLS
+from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, trim_col
 
 OUT_COLS = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
 
@@ -89,7 +89,7 @@ def run_stream_filter(
         scored = finalize(score_rows(df, cfg), cfg, dups).withColumn(
             "_scrub_changed",
             F.col("row_selected")
-            & ~F.col("scrubbed_caption").eqNullSafe(F.trim(F.col("caption"))),
+            & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
         )
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
         aggs = [

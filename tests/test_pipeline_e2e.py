@@ -208,6 +208,12 @@ def test_scrub_col_equals_python(spark):
         "plain caption with nothing to scrub",
         "two emails a@b.co c@d.io and +4912345678",
         None,
+        # ASCII-lookaround boundaries must agree between Java regex and python
+        # re next to non-ASCII letters (plain \b diverges: Java \b is ASCII-\w,
+        # python \b is Unicode)
+        "you stupidé person",
+        "åstupid prefix accent",
+        "call 555-123-4567é now",
     ]
     pdf = pd.DataFrame({"caption": samples})
     sdf = spark.createDataFrame(pdf)
@@ -259,3 +265,52 @@ def test_prebucketed_input_equals_flat(spark, fixture_paths, pipeline_out, tmp_p
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_whitespace_captions_agree_with_golden(spark):
+    """Tab/newline/U+00A0-padded captions: Spark trim_col and the golden
+    str.strip(WS_CHARS) must make identical keep/scrub decisions (Spark F.trim
+    strips only ' '; python str.strip() strips all Unicode whitespace — both
+    were drift bugs until the canonical WS_CHARS set)."""
+    import numpy as np
+
+    from data_quality_check_spark.pipeline import codecs
+    from data_quality_check_spark.pipeline.reference_impl import compute_golden
+    from data_quality_check_spark.pipeline.run import FilterConfig, decide
+
+    captions = [
+        "\tN/A",                    # strips to a fake null -> drop
+        "A red car parked outside the station\n",  # kept, scrub must not keep the \n
+        "  the cat sat on the mat warm\x0c",
+        " padded with nbsp the quick brown fox",  # U+00A0 is NOT in WS_CHARS
+        "a MOSTLY normal caption about the weather today",
+    ]
+    rows = []
+    for i, cap in enumerate(captions):
+        arr = np.random.RandomState(i).randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"img{i:03d}",
+                "bytes": codecs.encode(arr, "png"),
+                "w": 8,
+                "h": 8,
+                "fmt": "png",
+                "caption": cap,
+                "phash": codecs.average_hash(arr),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    golden = compute_golden(pdf)
+    sdf = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], r["fmt"], r["caption"], r["phash"]) for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {
+        r.image_id: (r.keep, r.scrubbed_caption)
+        for r in decide(sdf, FilterConfig()).collect()
+    }
+    for _, g in golden.iterrows():
+        keep, scrub = got[g["image_id"]]
+        assert keep == g["keep"], g["image_id"]
+        assert scrub == g["scrubbed_caption"], g["image_id"]
+    assert not golden[golden["caption"] == "\tN/A"]["keep"].iloc[0]

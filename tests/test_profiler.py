@@ -184,3 +184,61 @@ def test_profile_job_count(demo, spark):
     sc.setJobGroup(None, None)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert len(jobs) <= 3, f"profile() ran {len(jobs)} jobs, expected ≤3"
+
+
+def test_malformed_date_values_degrade_not_crash(spark):
+    """A detector-admitted date column (70% parse-rate) legally contains
+    malformed values; under Spark 4 ANSI the old F.to_timestamp aggregate
+    aborted the whole fused pass. try_to_timestamp must degrade them to null
+    and score freshness from the parseable values."""
+    from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+
+    rows = [("2026-01-01 00:00:00",), ("2026-01-02 00:00:00",), ("N/A",), ("soon",)]
+    df = spark.createDataFrame(rows, "created_at string")
+    from datetime import datetime
+
+    res = profile(
+        df,
+        ProfileConfig(date_columns=["created_at"]),
+        now=datetime(2026, 1, 2, 12, 0, 0),
+    )
+    # lag = 12h vs threshold 24h -> 100 - 50 = 50.0
+    assert res.table_score.freshness == 50.0
+
+
+def test_runtime_failing_rule_degrades_not_crashes(spark):
+    """A rule that ANALYZES but throws at runtime (ANSI cast on a bad value)
+    must cost only that rule — not the whole profile (reference behavior,
+    engine.py:244-246)."""
+    from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+
+    df = spark.createDataFrame(
+        [("200", 1.0), ("404", 2.0), ("oops", 3.0)], "code string, v double"
+    )
+    rules = [
+        {"name": "code_ok", "condition": "cast(code as int) < 500", "severity": "high"},
+        {"name": "v_pos", "condition": "v > 0", "severity": "low"},
+    ]
+    res = profile(df, ProfileConfig(custom_rules=rules))
+    ts = res.table_score
+    assert ts.row_count == 3  # pass 1 completed
+    assert "rule__1" in res.metrics and res.metrics["rule__1"] == 0  # good rule counted
+    assert "rule__0" not in res.metrics  # bad rule excluded, not fatal
+    assert any("not evaluable" in i["message"] for i in ts.issues)
+
+
+def test_freshness_capped_at_100_for_future_dates(spark):
+    """Future-dated rows (negative lag) must not push freshness above 100."""
+    from datetime import datetime
+
+    from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+    from data_quality_check_spark.operators.scoring import freshness_score
+
+    assert freshness_score([-48.0], 24.0) == 100.0
+    df = spark.createDataFrame([("2027-06-01 00:00:00",)], "created_at string")
+    res = profile(
+        df,
+        ProfileConfig(date_columns=["created_at"]),
+        now=datetime(2026, 1, 1),
+    )
+    assert res.table_score.freshness == 100.0
