@@ -22,9 +22,21 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from data_quality_check_spark.functions.text import fingerprint_col
 from data_quality_check_spark.session import parallelize_scan
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a signature/token DataFrame that feeds both sides of a self-join.
+
+    Without this, Catalyst plans the tokenize/signature lineage once per join
+    side (ReusedExchange can't fire across a broadcast + shuffle pair), so the
+    expensive shingle/hash work runs 2-4x. MEMORY_AND_DISK spills cleanly; at
+    10^12-row scale the same role is played by materializing signatures to an
+    intermediate bucketed table instead of executor memory."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 # Mersenne prime 2^31-1: (a·x + b) with a, b, x < 2^31 stays under 2^63 — no
 # int64 overflow under Spark's ANSI arithmetic.
@@ -122,6 +134,8 @@ def jaccard_pairs(
     if max_token_df:
         hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    # not pinned: the exploded token table is wide and cheap to recompute
+    # (JVM split+explode); caching it costs more than the 3x recompute
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -258,6 +272,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkey")
+    banded = _pin(banded)  # the 126-min signature agg must not run once per join side
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, ["band", "bkey"])
@@ -340,7 +355,9 @@ def simhash_near_pairs(
     16-bit chunks (pigeonhole: any pair with ≤3 differing bits shares ≥1 chunk),
     join on chunk equality, verify with bit_count(xor)."""
     narrow = _narrow(df, id_col, text_col)
-    sh = with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash")
+    # pin the signatures: the pandas-UDF stage (and its python-worker spin-up)
+    # must run once, not once per self-join side
+    sh = _pin(with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash"))
     chunks = sh.select(
         "id",
         "simhash",
