@@ -566,6 +566,35 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-row heuristic keep/drop decision (the north-rule quality-filter semantics,
+# SURVEY.md §7.1) exposed on the gate's documents table: every caption flag from
+# pipeline/heuristics.py as a boolean column plus the combined `keep` decision.
+# Pure expressions — single codegen'd projection, no shuffle, no UDF.
+from data_quality_check_spark.pipeline import heuristics as H  # noqa: E402
+
+_QFLAG_EXPRS = H.caption_flags_sql("text")
+_QFLAG_DROPPING = [k for k in _QFLAG_EXPRS if k != "flag_untrimmed"]
+_QFLAGS_SQL = (
+    "SELECT doc_id,\n"
+    + ",\n".join(f"       {e} AS {k}" for k, e in _QFLAG_EXPRS.items())
+    + ",\n       NOT ("
+    + " OR ".join(_QFLAG_EXPRS[k] for k in _QFLAG_DROPPING)
+    + ") AS keep\nFROM documents"
+)
+
+
+@register("quality_flags_documents", _QFLAGS_SQL)
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    flags = H.caption_flags(F.col("text"))
+    keep = F.lit(True)
+    for k in _QFLAG_DROPPING:
+        keep = keep & ~flags[k]
+    return df.select(
+        "doc_id", *[flags[k].alias(k) for k in _QFLAG_EXPRS], keep.alias("keep")
+    )
+
+
 # ROLLUP metric roll-up reporting (SURVEY.md §2.4 closing note: grouping
 # sets/rollup for metric reporting). One scan produces (source, lang) cells,
 # per-source subtotals, and the grand total; `grouping_id` (same bitmask

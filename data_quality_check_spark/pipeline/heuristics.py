@@ -107,6 +107,41 @@ def with_flags(df: DataFrame, caption_col: str = "caption") -> DataFrame:
     return df.withColumns(flags)
 
 
+# ── DuckDB SQL twins (oracle side of the driver contract) ──
+# Kept next to the Column builders so thresholds/charsets can't drift.
+# DuckDB string literals don't process backslash escapes, so whitespace chars go
+# in via chr(); the regex class keeps its backslashes because RE2 interprets
+# them (and RE2's \s lacks \x0B, so the class is spelled out — it must equal
+# WS_CHARS exactly, like Java's \s does on the Spark side).
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+_WS_RE_SQL = r"'[ \t\n\r\x0B\f]+'"
+
+
+def caption_flags_sql(c: str) -> dict[str, str]:
+    """DuckDB expression per caption flag, semantics identical to `caption_flags`
+    (same COALESCE defaults, same charset arithmetic, float division in both)."""
+    trimmed = f"trim({c}, {_WS_SQL})"
+    toks = f"string_split_regex({trimmed}, {_WS_RE_SQL})"
+    fakes = ", ".join(f"'{v}'" for v in FAKE_NULLS)
+    texty = f"(length({c}) - length(translate({c}, '{ALPHA_CHARS}', '')))"
+    return {
+        "flag_caption_missing": f"({c} IS NULL OR {trimmed} = '')",
+        "flag_fake_null": f"COALESCE(lower({trimmed}) IN ({fakes}), FALSE)",
+        "flag_untrimmed": f"COALESCE({c} <> {trimmed}, FALSE)",
+        "flag_too_short": (
+            f"COALESCE({trimmed} <> '' AND length({trimmed}) < {MIN_CAPTION_CHARS}, FALSE)"
+        ),
+        "flag_too_long": f"COALESCE(length({c}) > {MAX_CAPTION_CHARS}, FALSE)",
+        "flag_low_alpha": (
+            f"COALESCE(length({c}) > 0 AND {texty} / length({c}) < {MIN_ALPHA_RATIO}, FALSE)"
+        ),
+        "flag_repetitive": (
+            f"COALESCE(len({toks}) >= {REPETITION_MIN_TOKENS}"
+            f" AND len(list_distinct({toks})) / len({toks}) < {MAX_REPETITION}, FALSE)"
+        ),
+    }
+
+
 def heuristic_ok() -> Column:
     """True when no heuristic flag fired (untrimmed alone does NOT drop — it is
     normalized instead, mirroring the reference where whitespace is a

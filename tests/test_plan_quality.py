@@ -90,3 +90,17 @@ def test_ann_paths_broadcast_the_query_side(spark):
         plan = _plan(EQ.queries()[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_quality_flags_is_one_codegen_projection(spark):
+    """The per-row keep/drop decision (north-rule semantics on the gate table)
+    must be a single map-side projection: no shuffle, no Python eval node."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["quality_flags_documents"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only allowed exchange is parallelize_scan's round-robin split of the
+    # single-row-group sandbox file — no key shuffle (hash/range) anywhere
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "lang" not in read and "n_chars" not in read  # scan pruned to doc_id,text
