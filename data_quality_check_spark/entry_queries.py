@@ -629,6 +629,24 @@ def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Model-stage UDF path on the gate table: hashed char-trigram langid + n-gram
+# perplexity (Arrow-batched iterator pandas UDFs, the north-rule scoring stages).
+# Not SQL-expressible → no oracle; the driver records the rows-only check, and
+# exact-value parity vs the pure-python twin is pinned in tests/test_properties.py.
+@register("model_scores_documents", None)
+def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions import langid as LID
+
+    df = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = LID.with_perplexity(LID.with_langid(df, "text"), "text", "lang")
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round("lang_conf", 6).alias("lang_conf"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 _LANG_GUESS_SQL = f"""
 SELECT {TX.lang_guess_sql('text')} AS lang_guess, count(*) AS n
 FROM documents GROUP BY 1
