@@ -629,6 +629,55 @@ def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Event-time windowed quality metrics (streaming/windows.py — the SAME plan runs
+# under readStream with a watermark; here batch mode proves value semantics).
+# Timestamps compare as integer microseconds per the module convention; hourly
+# buckets align identically (Spark windows align to the epoch, DuckDB
+# time_bucket's 2000-01-01 origin is on an hour boundary). Null-ts rows produce
+# no window in Spark, mirrored by the WHERE in the oracle.
+_WINDOWED_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, value,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT epoch_us(w) AS window_start_us,
+       epoch_us(w + INTERVAL 1 HOUR) AS window_end_us,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE value IS NULL) AS nulls__value,
+       count(*) FILTER (WHERE NOT COALESCE(value <= 100.0, TRUE)) AS viol__value_cap,
+       count(*) FILTER (WHERE NOT COALESCE(k_val < 95, TRUE)) AS viol__k_range
+FROM b GROUP BY w
+"""
+
+
+@register("windowed_metrics_events", _WINDOWED_SQL)
+def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.streaming.windows import windowed_quality_metrics
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k_val", F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    )
+    out = windowed_quality_metrics(
+        ev,
+        "ts",
+        window_duration="1 hour",
+        check_cols=["value"],
+        rules=[
+            {"name": "value_cap", "condition": "value <= 100.0"},
+            {"name": "k_range", "condition": "k_val < 95"},
+        ],
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        F.col("rows").alias("n_rows"),
+        "nulls__value",
+        "viol__value_cap",
+        "viol__k_range",
+    )
+
+
 # Model-stage UDF path on the gate table: hashed char-trigram langid + n-gram
 # perplexity (Arrow-batched iterator pandas UDFs, the north-rule scoring stages).
 # Not SQL-expressible → no oracle; the driver records the rows-only check, and
