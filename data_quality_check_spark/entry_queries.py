@@ -734,6 +734,21 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup CLUSTERS: iterative min-label connected components over the pair
+# edges — the step a dedup pipeline runs after pair generation (pairs →
+# clusters → one winner per cluster). Oracle = DuckDB recursive CTE computing
+# the same min-reachable-id labeling, so the distributed iteration is value-
+# checked end to end.
+@register(
+    "neardup_clusters_documents",
+    DD.neardup_clusters_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.neardup_clusters(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    )
+
+
 # MinHash-LSH candidates confirmed by exact Jaccard: with r=3 rows × b=42 bands
 # the candidate-miss probability at s=0.6 is (1-0.6³)^42 ≈ 3.6e-5 (and →0 above),
 # while j≈0 pairs are still pruned; the confirm step removes all false positives,

@@ -385,3 +385,103 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------- near-dup clusters (connected components) ----------------
+
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, component) for every vertex appearing in `edges`, where component =
+    the minimum vertex id reachable through the (undirected) edge set.
+
+    Min-label propagation: each round every vertex takes the min of its own
+    label and its neighbors' labels (one equi-join + one map-side-combined min
+    aggregate per round); converges in O(graph diameter) rounds — near-dup
+    clusters are dense and shallow, so typically 2-4. `localCheckpoint`
+    truncates the per-round lineage (at cluster scale: `checkpoint` to the
+    reliable store, or alternate label tables on disk). Raises after `max_iter`
+    rounds rather than returning a partial labeling.
+
+    This is the step a dedup pipeline runs AFTER pair generation
+    (jaccard/minhash/simhash): pairs → clusters → keep one winner per cluster.
+    """
+    sym = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)  # reused every round: scan once
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    ngram: int = 1,
+) -> DataFrame:
+    """Near-duplicate clusters over exact shingle-Jaccard pairs: one row per
+    clustered document with its component id (min doc id in the cluster) and the
+    cluster size. Singletons (no near-dup partner) are excluded — a training
+    pipeline keeps them unconditionally and keeps `component` per cluster."""
+    pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold, ngram=ngram)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "comp")
+        .select(F.col("id").alias(id_col), F.col("comp").alias("component"), "csize")
+    )
+
+
+def neardup_clusters_sql(
+    table: str, id_col: str, text_col: str, threshold: float = 0.6, ngram: int = 1
+) -> str:
+    """DuckDB oracle twin of `neardup_clusters`: the jaccard-pair CTE feeding a
+    recursive min-label reachability (component = min reachable id)."""
+    pair_sql = jaccard_pairs_sql(table, id_col, text_col, threshold, ngram)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, count(*) AS csize FROM labels GROUP BY comp)
+SELECT l.id AS {id_col}, l.comp AS component, s.csize AS csize
+FROM labels l JOIN sizes s USING (comp)
+"""

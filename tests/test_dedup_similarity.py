@@ -192,3 +192,38 @@ def test_neardup_blocked(vectors):
     for r in got:
         assert lab[r.id_a] == lab[r.id_b]
         assert r.cosine >= 0.98
+
+
+def test_connected_components_topologies(spark):
+    """Chain (forces multi-round propagation), triangle, and an isolated pair:
+    component = min id reachable, regardless of edge direction/order."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in DD.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        DD.connected_components(edges, max_iter=1)
+
+
+def test_neardup_clusters_transitive_and_excludes_singletons(spark):
+    docs = spark.createDataFrame(
+        [
+            # a-b and b-c are near-dups; a-c only via transitivity → one cluster of 3
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a quick brown fox jumps over the lazy dog today"),
+            (4, "completely unrelated text about spark aggregation plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = DD.neardup_clusters(docs, "doc_id", "text", threshold=0.5, ngram=3).collect()
+    by_id = {r.doc_id: (r.component, r.csize) for r in got}
+    assert set(by_id) == {1, 2, 3}  # singleton 4 excluded
+    assert by_id[1] == by_id[2] == by_id[3] == (1, 3)
