@@ -678,6 +678,92 @@ def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of join (custom temporal operator Spark lacks — operators/temporal.py):
+# each click matched to the user's latest signup at-or-before it. Spark side is
+# the union + one-shuffle + window carry-forward formulation; oracle is DuckDB's
+# native ASOF LEFT JOIN. Signups pre-aggregated unique per (user_id, ts) so tie
+# choice can't differ between engines.
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+su AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(su.ts) AS signup_ts_us,
+       round(su.signup_value, 6) AS signup_value
+FROM clicks c ASOF LEFT JOIN su ON c.user_id = su.user_id AND c.ts >= su.ts
+"""
+
+
+@register("asof_last_signup_events", _ASOF_SQL)
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(clicks, signups, ts_col="ts", by="user_id", matched_ts_alias="signup_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("signup_ts").alias("signup_ts_us"),
+        F.round("signup_value", 6).alias("signup_value"),
+    )
+
+
+# Range join (bucketized interval containment, operators/temporal.py): clicks
+# landing inside the 30-minute window after an error by the same user. Spark
+# side equi-joins on (user_id, time bucket) then filters exact containment —
+# linear, AQE-splittable; oracle is the plain (quadratic) inequality join.
+_RANGE_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errs AS (
+  SELECT event_id AS error_id, user_id, ts AS start_ts,
+         ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, e.error_id, c.user_id,
+       epoch_us(c.ts) AS ts_us, epoch_us(e.start_ts) AS error_ts_us
+FROM clicks c JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.start_ts AND c.ts < e.end_ts
+"""
+
+
+@register("range_clicks_after_error_events", _RANGE_SQL)
+def q_range_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.temporal import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    out = range_join_bucketed(
+        clicks, errs, ts_col="ts", start_col="start_ts", end_col="end_ts",
+        by="user_id", bucket="30 minutes",
+    )
+    return out.select(
+        "event_id",
+        "error_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("start_ts").alias("error_ts_us"),
+    )
+
+
 # Model-stage UDF path on the gate table: hashed char-trigram langid + n-gram
 # perplexity (Arrow-batched iterator pandas UDFs, the north-rule scoring stages).
 # Not SQL-expressible → no oracle; the driver records the rows-only check, and

@@ -104,3 +104,14 @@ def test_quality_flags_is_one_codegen_projection(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     read = plan.split("ReadSchema")[1][:300]
     assert "lang" not in read and "n_chars" not in read  # scan pruned to doc_id,text
+
+
+def test_asof_join_is_one_shuffle_no_join_node(spark):
+    """The as-of join must compile to union + ONE hash exchange on the key +
+    window — never a join operator (an inequality join would be O(n·m))."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["asof_last_signup_events"](spark, SF_DIR))
+    for node in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"]:
+        assert node not in plan
+    assert "Window" in plan
