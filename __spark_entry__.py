@@ -1,6 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-`entry(spark)` runs the flagship fused pricing-summary query at sf0.001;
+`entry(spark)` runs the flagship query at sf0.001: the fused 9-dimension
+quality-score profile (the reference's core scoring engine, engine.py:346-557,
+collapsed from O(cols+rules) full-scan jobs into ≤3 fused passes);
 `queries()` / `oracle_sql()` expose every implemented operator from SURVEY.md §2
 (and the training-data ops) with DuckDB oracles. Implementations live in
 `data_quality_check_spark.entry_queries`.
@@ -21,7 +23,7 @@ from data_quality_check_spark import entry_queries  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return entry_queries.q_pricing_summary(spark, "/root/testdata/sf0.001")
+    return entry_queries.queries()["profile_scores_customer"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -263,8 +263,17 @@ All reps (sec): N: {small["rep_secs"]}; 4N: {big["rep_secs"]}.
 Reproduce: `python bench_scaling.py` (env: SPARK_GRAFT_SCALE_IMAGES,
 SPARK_GRAFT_SCALE_N). Headline per-query timings: `python bench.py`.
 """
+    # preserve everything from the headline-queries section on (hand-maintained
+    # findings live there; only the scaling section is machine-rewritten)
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        marker = "\n## Headline queries"
+        if marker in old:
+            tail = marker + old.split(marker, 1)[1]
     with open(path, "w") as f:
-        f.write(section)
+        f.write(section + tail)
 
 
 def main() -> None:
