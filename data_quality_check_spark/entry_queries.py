@@ -546,6 +546,7 @@ from data_quality_check_spark.operators import similarity as SIM  # noqa: E402
 _TEXT_STATS_SQL = f"""
 SELECT doc_id,
        {TX.token_count_sql('text')} AS n_tokens,
+       {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
        round({TX.texty_ratio_sql('text')}, 6) AS texty_ratio,
        {TX.quality_score_sql('text')} AS quality_score,
        {TX.fingerprint_sql('text')} AS fingerprint
@@ -560,6 +561,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         TX.token_count_col(c).alias("n_tokens"),
+        TX.bpe_token_count_col(c).alias("n_bpe_tokens"),
         F.round(TX.texty_ratio_col(c), 6).alias("texty_ratio"),
         TX.quality_score_col(c).alias("quality_score"),
         TX.fingerprint_col(c).alias("fingerprint"),

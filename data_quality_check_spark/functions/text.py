@@ -29,6 +29,34 @@ def token_count_sql(c: str) -> str:
     )
 
 
+# GPT-2-style pre-tokenizer, constrained to the regex subset where Java regex
+# (Spark rlike/regexp_extract_all) and RE2 (DuckDB) agree byte-for-byte: no
+# lookarounds (RE2 lacks them), explicit ASCII+Latin-1 classes instead of \p
+# properties, explicit whitespace set (RE2's \s lacks \x0B). Alternation is
+# leftmost-first in both engines. "BPE-ish": contractions, space-prefixed
+# letter/digit/punctuation runs, whitespace runs — the shape tokenizer vocab
+# sizes track, good enough for per-document token budgeting at corpus scale.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-zÀ-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9À-ÿ \t\n\r\x0B\f]+"
+    r"|[ \t\n\r\x0B\f]+"
+)
+
+
+def bpe_token_count_col(c: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches; null text counts 0."""
+    return F.when(c.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0))
+    )
+
+
+def bpe_token_count_sql(c: str) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"CASE WHEN {c} IS NULL THEN 0 ELSE len(regexp_extract_all({c}, '{pat}')) END"
+
+
 def texty_ratio_col(c: Column) -> Column:
     """Fraction of characters that are letters/digits/spaces (doubles as the
     charset heuristic of the filter pipeline)."""
