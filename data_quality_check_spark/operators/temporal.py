@@ -44,6 +44,9 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by)
     rcols = right_value_cols or [c for c in right.columns if c not in {*by, ts_col}]
     lcols = left.columns
+    clash = ({*rcols, matched_ts_alias} & set(lcols)) | ({matched_ts_alias} & set(rcols))
+    if clash:
+        raise ValueError(f"asof_join output name collision: {sorted(clash)} — alias first")
 
     rstruct = F.struct(F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in rcols])
     rpart = right.filter(F.col(ts_col).isNotNull()).select(
@@ -123,6 +126,9 @@ def range_join_bucketed(
         )
     )
     rkeep = [c for c in right.columns if c not in set(by)]
+    clash = set(rkeep) & set(left.columns)
+    if clash:
+        raise ValueError(f"range_join output name collision: {sorted(clash)} — alias first")
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return (
         l2.join(r2.select(*by, "_bkt", *rkeep), [*by, "_bkt"])

@@ -114,3 +114,15 @@ def test_range_join_end_on_bucket_boundary(spark):
     )
     got = range_join_bucketed(pts, intervals, "ts", "start_ts", "end_ts", bucket="1 hour")
     assert [r.id for r in got.collect()] == [1]
+
+
+def test_joins_reject_output_name_collisions(spark, quotes):
+    left_clash = spark.createDataFrame([(1, 7, _ts(10), 0.0)], "id long, u long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left_clash, quotes, "ts", "u")  # right value col `v` exists on left
+    with pytest.raises(ValueError, match="collision"):
+        range_join_bucketed(
+            left_clash,
+            left_clash.selectExpr("id", "u", "ts AS start_ts", "ts AS end_ts", "v"),
+            "ts", "start_ts", "end_ts", by="u",
+        )  # right carries id/v which exist on left
