@@ -196,7 +196,9 @@ def child(n_exec: int, fixture: str) -> None:
                     fixture,
                     os.path.join(out, "data"),
                     os.path.join(out, "ckpt"),
-                    cfg=FilterConfig(),
+                    # SPARK_GRAFT_PPL_MODE=grouped measures the salted
+                    # applyInPandas shuffle path instead of the fused map stage
+                    cfg=FilterConfig(ppl_mode=os.environ.get("SPARK_GRAFT_PPL_MODE", "map")),
                 )
                 results.append((time.perf_counter() - t0, summary, ext))
             finally:
@@ -354,7 +356,9 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }
-    update_bench_md(result)
+    result["ppl_mode"] = os.environ.get("SPARK_GRAFT_PPL_MODE", "map")
+    if result["ppl_mode"] == "map":  # headline table records the default path
+        update_bench_md(result)
     print(json.dumps(result), flush=True)
 
 
