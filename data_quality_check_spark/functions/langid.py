@@ -61,7 +61,7 @@ def with_perplexity(df, caption_col: str = "caption", lang_col: str = "lang"):
 
 
 def perplexity_grouped(df, caption_col: str = "caption", lang_col: str = "lang",
-                       salt_buckets: int = 8, id_col: str = "image_id"):
+                       salt_buckets: int = 8, id_col: str = "rid"):
     """Perplexity via `applyInPandas` grouped on a **salted** language key.
 
     This is the scale path the north_rule names: when per-language models are too
@@ -70,19 +70,30 @@ def perplexity_grouped(df, caption_col: str = "caption", lang_col: str = "lang",
     group key is salted — `concat(lang, '#', xxhash64(id) % S)` — splitting the hot
     language into S balanced shuffle partitions. Results are bit-identical to
     `with_perplexity` (same kernels), verified in tests.
+
+    Only the narrow (id, caption, lang) projection crosses the salted shuffle and
+    the Arrow boundary — never `bytes` (SURVEY.md §7.3: wide rows must not
+    shuffle; the original full-row applyInPandas moved every image's bytes
+    through Arrow twice and broke 8g executors at 8M rows). The (id, ppl) result
+    joins back on `id_col`, which must be UNIQUE per physical row (the
+    pipeline's `rid`) — joining on a duplicated key would fan rows out. On the
+    bucketed production layout this join is storage-partitioned; here AQE picks
+    the strategy.
     """
     from data_quality_check_spark.functions.textmodel import default_model
 
-    out_schema = StructType(df.schema.fields + [StructField("ppl", DoubleType())])
+    out_schema = StructType([df.schema[id_col], StructField("ppl", DoubleType())])
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
-    salted = df.withColumn("_salted_lang", F.concat_ws("#", F.col(lang_col), salt))
+    salted = df.select(id_col, caption_col, lang_col).withColumn(
+        "_salted_lang", F.concat_ws("#", F.col(lang_col), salt)
+    )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         model = default_model()
-        pdf = pdf.drop(columns=["_salted_lang"])
         ppl = model.perplexity(
             pdf[caption_col].fillna("").tolist(), pdf[lang_col].fillna("und").tolist()
         )
-        return pdf.assign(ppl=ppl)
+        return pd.DataFrame({id_col: pdf[id_col], "ppl": ppl})
 
-    return salted.groupBy("_salted_lang").applyInPandas(score_group, out_schema)
+    scored = salted.groupBy("_salted_lang").applyInPandas(score_group, out_schema)
+    return df.join(scored, id_col)
