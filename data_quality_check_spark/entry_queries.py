@@ -436,7 +436,7 @@ WITH e AS (
   FROM events
 )
 SELECT event_type, count(*) AS n_events, count(k) AS n_parsed,
-       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
        round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
 FROM e GROUP BY event_type
 """
@@ -609,7 +609,7 @@ SELECT source, lang,
        count(*) AS n_rows,
        count(*) FILTER (WHERE text IS NULL) AS null_text,
        count(*) FILTER (WHERE n_chars < 10) AS tiny_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
 FROM documents
 GROUP BY ROLLUP (source, lang)

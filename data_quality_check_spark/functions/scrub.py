@@ -1,4 +1,4 @@
-"""PII / toxicity scrub: rewrite captions in place, leaving every other byte intact.
+r"""PII / toxicity scrub: rewrite captions in place, leaving every other byte intact.
 
 Two equivalent implementations, tested for exact string equality:
   * `scrub_col` — a chain of JVM-side `regexp_replace` column expressions

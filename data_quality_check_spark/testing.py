@@ -52,6 +52,21 @@ def compare_result(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, float_ulps_e
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for c in s.columns:
         a, b = s[c], d[c]
+        # The driver's value hash is dtype-sensitive: DuckDB sum(INTEGER)
+        # returns HUGEINT which pandas materializes as float64 (99111.0),
+        # while Spark's bigint stays int64 (99111) — equal values, different
+        # hash. Fail on integer-vs-float kind drift so pytest catches what
+        # the driver catches (CAST the oracle to BIGINT to fix).
+        a_float = pd.api.types.is_float_dtype(a)
+        b_float = pd.api.types.is_float_dtype(b)
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        if (a_float and b_int) or (a_int and b_float):
+            return False, (
+                f"dtype drift in '{c}': spark={a.dtype} duck={b.dtype} — the "
+                f"driver's typed value-hash would mismatch even if values are "
+                f"equal; CAST the oracle side explicitly"
+            )
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             av = a.astype(float).to_numpy()
             bv = b.astype(float).to_numpy()
