@@ -9,9 +9,16 @@ profiler consumes via `F.expr` (engine.py:445 semantics).
 
 Spark-first changes: the sample is an Arrow-backed `limit(n).toPandas()` (never
 more than `sample_rows` rows leave the cluster), and small-domain detection is
-guarded by a single fused `approx_count_distinct` + `sort_array(collect_set)`
-aggregation over the FULL table — the sample decides nothing that the whole
-data contradicts (the reference's 200-row `unique()` can miss domain values).
+two-pass over the FULL table — the sample decides nothing that the whole data
+contradicts (the reference's 200-row `unique()` can miss domain values):
+
+  pass 1: ONE fused `approx_count_distinct` per string column (HLL sketches,
+          constant memory per column regardless of cardinality);
+  pass 2: `sort_array(collect_set)` ONLY for columns whose sketch says the
+          domain is tiny (≤ 2×DOMAIN_MAX slack for HLL error), so a
+          high-cardinality column never accumulates its distinct values in an
+          aggregation buffer — at web scale a free-text column would OOM the
+          single reduced partition otherwise.
 """
 
 from __future__ import annotations
@@ -20,11 +27,33 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 AMOUNT_KW = ["price", "amount", "montant", "qty", "quantity", "age", "total", "salary"]
 DOMAIN_MIN, DOMAIN_MAX = 2, 6
+# approx_count_distinct's default rsd is 0.05; 2× slack means a true ≤6-value
+# domain is never missed, while anything the sketch reports above this is
+# certainly too large to collect exactly (a >12-estimate cannot be a ≤6 truth).
+DOMAIN_ACD_GUARD = DOMAIN_MAX * 2
 SAMPLE_ROWS = 200
 
 
 def _q(col: str) -> str:
     return f"`{col}`"
+
+
+def domain_candidates(df: DataFrame, strings: list[str]) -> tuple[list[str], dict]:
+    """Pass 1 of small-domain detection: fused HLL distinct estimates.
+
+    Returns (columns safe to collect exactly, {col: estimate}). Only columns
+    whose estimate is ≤ DOMAIN_ACD_GUARD ever reach a `collect_set`, so the
+    exact pass's aggregation buffer is bounded by ~DOMAIN_ACD_GUARD values per
+    column no matter how wide the real domain is.
+    """
+    if not strings:
+        return [], {}
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(f"acd__{c}") for c in strings]
+    ).collect()[0].asDict()
+    estimates = {c: row[f"acd__{c}"] for c in strings}
+    cand = [c for c in strings if DOMAIN_MIN <= estimates[c] <= DOMAIN_ACD_GUARD]
+    return cand, estimates
 
 
 def suggest_rules(df: DataFrame, sample_rows: int = SAMPLE_ROWS) -> list[dict]:
@@ -40,19 +69,21 @@ def suggest_rules(df: DataFrame, sample_rows: int = SAMPLE_ROWS) -> list[dict]:
     suggestions: list[dict] = []
     pdf = df.select(*(numeric + strings)).limit(sample_rows).toPandas() if (numeric or strings) else None
 
-    # one fused pass over the full table: exact small-domain membership,
-    # guarded by approximate distinct counts (A14/A16 pattern)
+    # two-pass small-domain membership (A14/A16 pattern): HLL guard first,
+    # exact collect_set only for columns the guard admits — bounded buffers.
     domain_values: dict[str, list] = {}
-    if strings:
-        aggs = []
-        for c in strings:
-            aggs.append(F.approx_count_distinct(c).alias(f"acd__{c}"))
-            aggs.append(
-                F.slice(F.sort_array(F.collect_set(F.col(c))), 1, DOMAIN_MAX + 1).alias(f"dom__{c}")
-            )
-        row = df.agg(*aggs).collect()[0].asDict()
-        for c in strings:
-            if DOMAIN_MIN <= row[f"acd__{c}"] and len(row[f"dom__{c}"]) <= DOMAIN_MAX:
+    cand, _ = domain_candidates(df, strings)
+    if cand:
+        row = df.agg(
+            *[
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(c))), 1, DOMAIN_MAX + 1
+                ).alias(f"dom__{c}")
+                for c in cand
+            ]
+        ).collect()[0].asDict()
+        for c in cand:
+            if len(row[f"dom__{c}"]) <= DOMAIN_MAX:
                 domain_values[c] = row[f"dom__{c}"]
 
     for c in numeric:

@@ -25,10 +25,10 @@ Scale design notes (SURVEY.md §3.4, §4.2):
     surviving row id for multi-row ids) joins back as a broadcast. At 10^12
     rows decisions become a bucketed intermediate table; the join is
     storage-partitioned either way.
-  * same-id exact-dup collapse uses a deterministic per-row id
-    (`monotonically_increasing_id`, stable across scans of the same files) to
-    select ONE physical row per image_id instead of a `dropDuplicates` shuffle
-    of kept bytes. The golden `keep` label (both copies keep=true, matching
+  * same-id exact-dup collapse uses a deterministic per-row id (a hash of the
+    row's storage position — `_metadata.file_path` + `row_index`, identical on
+    every plan branch by construction) to select ONE physical row per image_id
+    instead of a `dropDuplicates` shuffle of kept bytes. The golden `keep` label (both copies keep=true, matching
     reference semantics where duplicates are id-level) is untouched; selection
     is a separate `row_selected` column.
   * resume = anti-filter on the manifest's completed-bucket list (partition
@@ -180,13 +180,30 @@ def dup_decisions(df: DataFrame) -> DataFrame:
 
 
 def with_rid(df: DataFrame) -> DataFrame:
-    """Stable physical row id. `monotonically_increasing_id` is a pure function
-    of (scan partition index, row offset), and leaf file-scan splits are
-    deterministic for the same files + session confs — so the narrow dedup scan
-    and the heavy scoring scan assign identical rids to identical rows. Same-id
-    duplicate rows are verbatim copies, so WHICH copy wins is immaterial to the
-    output; the rid only guarantees exactly one survives."""
-    return df.withColumn("rid", F.monotonically_increasing_id())
+    """Stable physical row id: `xxhash64(_metadata.file_path,
+    _metadata.row_index)` — a pure function of WHERE the row sits in storage
+    (Spark ≥3.5 hidden file-source metadata; Iceberg's `_file`/`_pos` play the
+    same role). Every plan branch that re-scans the input (the narrow dedup
+    scan, the heavy scoring scan, the salted perplexity branch) therefore
+    assigns identical rids to identical rows by construction — independent of
+    split planning, AQE, partition count, or upstream layout changes, which a
+    `monotonically_increasing_id` rid silently depended on (VERDICT r1 watch
+    item b). rid is only ever compared WITHIN one image_id (keep_rid
+    selection), so a 64-bit collision matters only between two copies of the
+    same id: ~k²/2⁶⁴ per id — negligible at any scale.
+
+    Falls back to `monotonically_increasing_id` for non-file DataFrames
+    (in-memory test fixtures), where single-scan determinism suffices because
+    such frames never take the production multi-branch path. Same-id duplicate
+    rows are verbatim copies, so WHICH copy wins is immaterial to the output;
+    the rid only guarantees exactly one survives."""
+    try:
+        return df.withColumn(
+            "rid",
+            F.xxhash64(F.col("_metadata.file_path"), F.col("_metadata.row_index")),
+        )
+    except Exception:
+        return df.withColumn("rid", F.monotonically_increasing_id())
 
 
 def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -194,10 +211,12 @@ def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
     no dup information — one map-side pass."""
     df = with_flags(df)
     if cfg.ppl_mode == "grouped":
-        # scale path for oversized per-language models: modular UDFs + salted
-        # applyInPandas shuffle (language keys are Zipfian)
+        # scale path for oversized per-language models: salted applyInPandas
+        # shuffle (language keys are Zipfian). langid runs inside the grouped
+        # branch over a narrow projection, so this wide side carries no
+        # language-model UDF lineage (ADVICE r1: the old with_langid-then-join
+        # shape executed the langid UDF once per join side).
         df = with_decode_check(df)
-        df = with_langid(df)
         df = perplexity_grouped(df, salt_buckets=cfg.salt_buckets)
     elif cfg.ppl_mode == "modular":
         df = with_decode_check(df)

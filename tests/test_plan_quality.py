@@ -115,3 +115,62 @@ def test_asof_join_is_one_shuffle_no_join_node(spark):
     for node in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"]:
         assert node not in plan
     assert "Window" in plan
+
+
+def test_rid_is_storage_derived_and_split_invariant(spark, tmp_path):
+    """rid must be a pure function of storage position: re-reading the same
+    files under a different split planning (maxPartitionBytes small enough to
+    split every file) must assign the exact same rid to every image_id. The
+    old monotonically_increasing_id rid held only while split planning stayed
+    deterministic (VERDICT r1 watch item b)."""
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+    from data_quality_check_spark.pipeline.run import with_rid
+
+    fix = str(tmp_path / "images")
+    write_images_parquet(fix, n=300, num_files=3)
+
+    def rids():
+        df = with_rid(spark.read.parquet(fix))
+        pdf = df.select("image_id", "rid").toPandas()
+        return pdf.sort_values(["image_id", "rid"]).reset_index(drop=True)
+
+    base = rids()
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        split = rids()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, split)
+    # and the fallback still works on a non-file frame
+    mem = spark.range(10).withColumnRenamed("id", "image_id")
+    assert with_rid(mem).select("rid").distinct().count() == 10
+
+
+def test_grouped_ppl_runs_langid_once(spark, tmp_path):
+    """The salted-perplexity plan must evaluate the langid UDF on exactly ONE
+    join side (ADVICE r1: the old shape planned the whole langid lineage once
+    per side). Expected python nodes: decode-check (left), langid (right),
+    and the grouped perplexity itself — never a second langid."""
+    from data_quality_check_spark.functions.langid import perplexity_grouped
+    from data_quality_check_spark.functions.multimodal import with_decode_check
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+    from data_quality_check_spark.pipeline.run import with_rid
+
+    fix = str(tmp_path / "images")
+    write_images_parquet(fix, n=120, num_files=2)
+    df = with_decode_check(with_rid(spark.read.parquet(fix)))
+    out = perplexity_grouped(df, salt_buckets=4)
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 2  # decode-check + ONE langid
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # wide columns never enter the salted shuffle: no Exchange subtree reads bytes
+    import re
+
+    for chunk in plan.split("ReadSchema")[1:]:
+        if "caption" in chunk[:400] and "bytes" not in chunk[:400]:
+            break  # the narrow right-side scan exists
+    else:
+        raise AssertionError("expected a narrow (caption, no bytes) scan branch")

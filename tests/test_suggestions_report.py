@@ -57,3 +57,34 @@ def test_report_rendering(spark, tmp_path):
     j = json.loads(open(str(tmp_path / "report.json")).read())
     assert j["table_name"] == "demo"
     assert j["global_score"] == ts.global_score
+
+
+def test_domain_guard_excludes_high_cardinality(spark):
+    """A near-unique string column must be rejected by the HLL pass so its
+    distinct values never enter a collect_set aggregation buffer (the one
+    scale-killer flagged in round 1): only the tiny-domain column is a
+    candidate, and suggestions still find its exact domain."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.suggestions import (
+        DOMAIN_ACD_GUARD,
+        domain_candidates,
+        suggest_rules,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("user_key"),  # ~200k distinct
+        F.element_at(
+            F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("tier"),  # 3-value domain
+    )
+    cand, estimates = domain_candidates(df, ["user_key", "tier"])
+    assert cand == ["tier"]
+    assert estimates["user_key"] > DOMAIN_ACD_GUARD
+
+    rules = suggest_rules(df)
+    isin = [r for r in rules if r["operator"] == "isin"]
+    assert len(isin) == 1 and isin[0]["column"] == "tier"
+    assert set(isin[0]["value"]) == {"bronze", "silver", "gold"}
