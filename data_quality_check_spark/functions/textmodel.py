@@ -64,14 +64,26 @@ def _segment_sums(values: np.ndarray, offsets: np.ndarray):
         idx = idx[(idx >= 0) & (idx < len(values))]
         valid[idx] = False
     masked = np.where(valid, values, 0.0)
-    # clamp: strings that start in the final <3 bytes have no trigrams (counts==0)
-    # and get overwritten below; reduceat needs in-range, non-decreasing indices.
-    starts = np.minimum(offsets[:-1], len(values) - 1)
-    seg = np.add.reduceat(masked, starts) if len(starts) else masked
-    # np.add.reduceat quirk: when starts[i] == starts[i+1] (empty string) the slot
-    # holds values[starts[i]] instead of 0 — overwrite empty segments explicitly.
+    # Per-segment reduceat, with starts clipped to len(values) and segments
+    # starting at-or-past the end DROPPED (they hold no trigram positions;
+    # their counts are 0). A dropped tail segment means the last surviving
+    # segment runs to the end of the array, which is exactly its true extent —
+    # any extra positions it absorbs are boundary-spanning trigrams already
+    # masked to +0.0, which cannot change a float sum. The previous code
+    # instead clamped out-of-range starts to len(values)-1, which planted a
+    # FALSE boundary that truncated the second-to-last segment whenever the
+    # batch ended in a <3-byte string — so a caption's score depended on what
+    # happened to follow it in the Arrow batch. reduceat sums each segment
+    # from its own slice only, so results are bit-identical under any batch
+    # composition (asserted by a hypothesis property test).
+    starts = np.clip(offsets[:-1], 0, len(values))
+    in_range = starts < len(values)
+    seg = np.zeros(n, dtype=np.float64)
+    if in_range.any():
+        seg[in_range] = np.add.reduceat(masked, starts[in_range])
+    # reduceat quirk: when starts[i] == starts[i+1] (empty string mid-batch)
+    # the slot holds values[starts[i]] instead of 0 — those have counts == 0.
     seg = np.where(counts > 0, seg, 0.0)
-    # reduceat's last segment runs to the end of the array, which is correct here.
     return seg, counts
 
 

@@ -7,11 +7,13 @@
       → bucket-partitioned write → per-bucket metrics + checkpoint manifest
 
 Scale design notes (SURVEY.md §3.4, §4.2):
-  * ONE heavy pass. The whole job is a single Spark action (the filtered write);
-    per-bucket and per-run metrics ride along via `DataFrame.observe` — computed
-    by the very tasks that write the output, so nothing is persisted, re-scanned,
-    or re-decoded. The reference issues O(cols + rules) full-scan jobs for the
-    same information (engine.py:439-553); this plan issues one.
+  * ONE heavy pass. Each commit group is a single Spark action (the filtered
+    write); per-bucket and per-run metrics ride along via `DataFrame.observe` —
+    computed by the very tasks that write the output, so nothing is persisted,
+    re-scanned, or re-decoded. The only other action is a cheap count of the
+    narrow dedup-decision table that gates its join strategy. The reference
+    issues O(cols + rules) full-scan jobs for the same information
+    (engine.py:439-553); this plan issues one per commit group.
   * `bytes` never shuffles on the production layout: a pre-bucketed input
     (`bucket(B, image_id)` — discovered `_bucket` partition column) makes the
     bucketed output write shuffle-free and the resume filter partition pruning.
@@ -22,9 +24,11 @@ Scale design notes (SURVEY.md §3.4, §4.2):
     semi-join restricts the id-level logic to the ~dup-rate fraction of a
     narrow (image_id, phash, rid) scan — `bytes`/`caption` never read — and
     the resulting small "dup decisions" table (phash-losers to drop + the
-    surviving row id for multi-row ids) joins back as a broadcast. At 10^12
-    rows decisions become a bucketed intermediate table; the join is
-    storage-partitioned either way.
+    surviving row id for multi-row ids) joins back as a broadcast. The
+    broadcast is size-gated: past `max_broadcast_decisions` rows the table
+    spills bucket-partitioned beside the checkpoint and pending buckets are
+    processed in groups against their partition-pruned slice (on Iceberg: a
+    storage-partitioned join against a bucket(B, image_id) decisions table).
   * same-id exact-dup collapse uses a deterministic per-row id (a hash of the
     row's storage position — `_metadata.file_path` + `row_index`, identical on
     every plan branch by construction) to select ONE physical row per image_id
@@ -113,6 +117,11 @@ class FilterConfig:
     num_buckets: int = 64  # checkpoint/commit granularity; also the write-task fan-out
     salt_buckets: int = 8
     ppl_mode: str = "map"  # "map" (fused, no shuffle) | "modular" | "grouped" (salted)
+    # dedup decisions above this row count stop broadcasting and spill to a
+    # bucket-partitioned intermediate, processed in bucket groups whose pruned
+    # slice fits the budget (decision rows are 3 narrow columns, ~50 B each;
+    # 2M rows ≈ 100 MB per executor — a safe explicit-broadcast size).
+    max_broadcast_decisions: int = 2_000_000
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
 
@@ -400,22 +409,87 @@ def run_filter(
     if not pending:
         return {"processed_buckets": [], "rows_in": 0, "rows_kept": 0}
 
-    # bucket prune: on Iceberg/bucketed-parquet layouts this is partition pruning;
-    # on a flat file it is a pushed-down filter.
-    work = df.filter(F.col("_bucket").isin(pending))
-
     # dedup decisions come from the FULL input (phash groups span buckets) via a
-    # narrow columnar scan, executed as the broadcast build of the join inside
-    # the one write action below — no separate driver-blocking job.
-    dups = dup_decisions(df)
+    # narrow columnar scan. The decisions table is ~duplicate-rate · n rows, so
+    # its broadcast is size-gated (VERDICT r1 item 4): pin it, count it (one
+    # cheap action over the 3-column lineage — the price of knowing the size
+    # before choosing a join strategy), then either broadcast the whole table
+    # into ONE write action, or — when the dup rate makes it too large to ship
+    # to every executor — spill it bucket-partitioned next to the checkpoint
+    # and process pending buckets in groups whose partition-pruned decision
+    # slice fits the budget. Decision rows land in the same _bucket as their
+    # data rows (both derive from image_id), so each group's join is a
+    # broadcast of only that group's slice and `bytes` still never shuffles;
+    # on Iceberg the same fallback is a storage-partitioned join against a
+    # bucket(B, image_id) decisions table. Per-group commits also tighten
+    # resume granularity: a kill mid-run loses at most one group.
+    from pyspark.storagelevel import StorageLevel
 
+    dups = dup_decisions(df).persist(StorageLevel.MEMORY_AND_DISK)
+    spill_dir = os.path.join(checkpoint_dir, "dup_decisions", cfg.run_id)
+    totals = {"rows_in": 0, "rows_kept": 0}
+    try:
+        n_act = dups.count()
+        if n_act <= cfg.max_broadcast_decisions:
+            groups = [pending]
+            slice_for = lambda grp: dups  # noqa: E731
+        else:
+            with _step("dup_decisions_spill"):
+                (
+                    dups.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(spill_dir)
+                )
+            per_bucket = max(1, (n_act + cfg.num_buckets - 1) // cfg.num_buckets)
+            gsize = max(1, cfg.max_broadcast_decisions // per_bucket)
+            groups = [pending[i : i + gsize] for i in range(0, len(pending), gsize)]
+            slice_for = lambda grp: (  # noqa: E731
+                spark.read.parquet(spill_dir)
+                .filter(F.col("_bucket").isin(grp))
+                .drop("_bucket")
+            )
+
+        for gi, grp in enumerate(groups):
+            m = _process_group(df, cfg, grp, gi, slice_for(grp), output_dir,
+                               checkpoint_dir, prebucketed)
+            totals["rows_in"] += int(m["rows_in"])
+            totals["rows_kept"] += int(m["rows_kept"])
+    finally:
+        dups.unpersist()
+
+    return {
+        "processed_buckets": pending,
+        "rows_in": totals["rows_in"],
+        "rows_kept": totals["rows_kept"],
+    }
+
+
+def _process_group(
+    df: DataFrame,
+    cfg: FilterConfig,
+    grp: list[int],
+    group_idx: int,
+    dups: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    prebucketed: bool,
+) -> dict:
+    """Score, write, and checkpoint one group of buckets (the whole pending set
+    in broadcast mode) as ONE Spark action with observe() metrics riding along.
+
+    Bucket prune: on Iceberg/bucketed-parquet layouts the isin filter is
+    partition pruning — each group's action scans only its own files; on a
+    flat file it is a pushed-down row filter (every group re-reads the file,
+    which is why flat layouts are the test path, never the 10^12 one)."""
+    work = df.filter(F.col("_bucket").isin(grp))
     scored = finalize(score_rows(work, cfg), cfg, dups).withColumn(
         "_scrub_changed",
         F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
     )
 
-    obs = Observation(f"metrics-{cfg.run_id}")
-    scored = scored.observe(obs, *_bucket_metric_aggs(pending))
+    obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
+    scored = scored.observe(obs, *_bucket_metric_aggs(grp))
 
     out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
     kept = scored.filter(F.col("row_selected")).select(*out_cols)
@@ -427,7 +501,7 @@ def run_filter(
         # input skips it — the storage-partitioned-join property the Iceberg
         # bucket layout exists for, and the bytes column never shuffles at all.
         kept = kept.repartition(cfg.num_buckets, F.col("_bucket"))
-    with _step("score+write"):
+    with _step(f"score+write g{group_idx}"):
         (
             kept.write.mode("overwrite")
             .partitionBy("_bucket")
@@ -440,15 +514,10 @@ def run_filter(
             .parquet(os.path.join(output_dir, "filtered"))
         )
 
-    with _step("metrics_write"):
+    with _step(f"metrics_write g{group_idx}"):
         m = obs.get
-        _write_checkpoint(checkpoint_dir, cfg, pending, m)
-
-    return {
-        "processed_buckets": pending,
-        "rows_in": int(m["rows_in"]),
-        "rows_kept": int(m["rows_kept"]),
-    }
+        _write_checkpoint(checkpoint_dir, cfg, grp, m)
+    return m
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -93,3 +93,35 @@ def test_model_stage_partition_invariant(spark, tmp_path):
         return sorted((r["image_id"], r["lang"], round(r["lang_conf"], 9), round(r["ppl"], 6)) for r in rows)
 
     assert run(2) == run(11)
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            ["já seus dos de com só suas têm está", "", "a", "ab", "the cat sat",
+             "le chat noir", None, "xyz qwerty", "é", "um dois três quatro cinco"]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_langid_scores_batch_composition_invariant(texts):
+    """A text's (lang, conf, count, ppl) must not depend on its neighbors in the
+    Arrow batch. Regression: the reduceat-based segment sum truncated the
+    second-to-last segment whenever a batch ended in a <3-byte string, so a
+    trailing empty caption silently dropped the previous caption's last trigram."""
+    import numpy as np
+
+    from data_quality_check_spark.functions.textmodel import default_model
+
+    m = default_model()
+    langs, conf, counts = m.predict(texts)
+    _, _, _, ppl = m.score(texts)
+    for i, t in enumerate(texts):
+        l1, c1, n1 = m.predict([t])
+        _, _, _, p1 = m.score([t])
+        assert langs[i] == l1[0]
+        assert counts[i] == n1[0]
+        np.testing.assert_allclose(conf[i], c1[0], rtol=1e-9)
+        np.testing.assert_allclose(ppl[i], p1[0], rtol=1e-9)
