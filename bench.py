@@ -113,12 +113,17 @@ def bench_queries(spark) -> tuple[dict[str, float], float]:
 
     times: dict[str, float] = {}
     total = 0.0
+    from data_quality_check_spark.operators.dedup import release_pins
+
     for name, fn in ((n, qs[n]) for n in ordered):
         t0 = time.perf_counter()
         rows = fn(spark, SF_DIR).collect()
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
+        # free signature/label caches pinned by dedup queries so 36+ queries in
+        # one session don't accumulate storage blocks until eviction
+        release_pins()
         log(f"[bench] {name}: {dt:.3f}s ({len(rows)} rows)")
     return times, total
 

@@ -28,6 +28,9 @@ from data_quality_check_spark.functions.text import fingerprint_col
 from data_quality_check_spark.session import parallelize_scan
 
 
+_PINNED: list = []  # frames pinned by _pin/localCheckpoint awaiting release
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a signature/token DataFrame that feeds both sides of a self-join.
 
@@ -35,8 +38,45 @@ def _pin(df: DataFrame) -> DataFrame:
     side (ReusedExchange can't fire across a broadcast + shuffle pair), so the
     expensive shingle/hash work runs 2-4x. MEMORY_AND_DISK spills cleanly; at
     10^12-row scale the same role is played by materializing signatures to an
-    intermediate bucketed table instead of executor memory."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    intermediate bucketed table instead of executor memory.
+
+    Every pinned frame is registered; call `release_pins()` after the consuming
+    action so long-lived sessions (bench.py runs 36+ queries in one session)
+    free storage memory deterministically instead of waiting for eviction
+    (ADVICE r1)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every frame pinned since the last call; returns how many.
+    Safe any time: blocks are recomputed on demand if a lazy plan still
+    references a released pin (correctness never depends on the cache)."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist()  # no-op for localCheckpoint'd frames …
+            n += 1
+        except Exception:
+            pass
+        _release_local_checkpoint(df)  # … which this handles (and vice versa)
+    return n
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'd frame's storage blocks immediately.
+
+    `unpersist()` is a no-op for checkpoint RDDs; without this the per-round
+    label tables of connected_components accumulate until JVM GC +
+    ContextCleaner get around to them (ADVICE r1). Reaches the checkpointed
+    RDD through the LogicalRDD plan node; if the backend/plan shape differs
+    (Spark Connect), silently fall back to GC-driven cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 # Mersenne prime 2^31-1: (a·x + b) with a, b, x < 2^31 stays under 2^63 — no
 # int64 overflow under Spark's ANSI arithmetic.
@@ -391,18 +431,23 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
     """(id, component) for every vertex appearing in `edges`, where component =
     the minimum vertex id reachable through the (undirected) edge set.
 
-    Min-label propagation: each round every vertex takes the min of its own
-    label and its neighbors' labels (one equi-join + one map-side-combined min
-    aggregate per round); converges in O(graph diameter) rounds — near-dup
-    clusters are dense and shallow, so typically 2-4. `localCheckpoint`
-    truncates the per-round lineage (at cluster scale: `checkpoint` to the
-    reliable store, or alternate label tables on disk). Raises after `max_iter`
-    rounds rather than returning a partial labeling.
+    Min-label propagation **with pointer jumping**: each round every vertex
+    takes the min of (its own label, its neighbors' labels, its label's label).
+    The third term is the doubling step — a label chain a→b→c→… compresses by
+    ~2× per round, so convergence is O(log diameter) rounds, not O(diameter):
+    path-shaped near-dup chains (templated/boilerplate text commonly forms long
+    Jaccard chains) can no longer exhaust the round budget (ADVICE r1). The
+    default max_iter=50 exceeds log₂(any achievable vertex count) plus slack;
+    it raises rather than returning a partial labeling, and is configurable
+    from `neardup_clusters`. Each round is two equi-joins + one
+    map-side-combined min aggregate; `localCheckpoint` truncates the per-round
+    lineage (at cluster scale: `checkpoint` to the reliable store), and the
+    previous round's checkpoint blocks are released explicitly.
 
     This is the step a dedup pipeline runs AFTER pair generation
     (jaccard/minhash/simhash): pairs → clusters → keep one winner per cluster.
@@ -418,28 +463,39 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor = sym.join(labels, sym.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        new_labels = (
-            labels.select("id", "comp")
-            .union(neighbor)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    try:
+        for _ in range(max_iter):
+            neighbor = sym.join(labels, sym.src == labels.id).select(
+                F.col("dst").alias("id"), F.col("comp")
+            )
+            # pointer jump: comp ← label(comp). comp is always some vertex's id
+            # (it starts as the vertex itself and only ever takes other
+            # vertices' ids), so the inner join hits every row.
+            jmap = labels.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+            jump = labels.join(jmap, "comp").select("id", F.col("comp2").alias("comp"))
+            new_labels = (
+                labels.select("id", "comp")
+                .union(neighbor)
+                .union(jump)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            _release_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                _PINNED.append(labels)  # released by the next release_pins()
+                return labels
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        _release_local_checkpoint(sym)
 
 
 def neardup_clusters(
@@ -448,13 +504,14 @@ def neardup_clusters(
     text_col: str,
     threshold: float = 0.6,
     ngram: int = 1,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-duplicate clusters over exact shingle-Jaccard pairs: one row per
     clustered document with its component id (min doc id in the cluster) and the
     cluster size. Singletons (no near-dup partner) are excluded — a training
     pipeline keeps them unconditionally and keeps `component` per cluster."""
     pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold, ngram=ngram)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, max_iter=max_iter)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
     return (
         labels.join(sizes, "comp")

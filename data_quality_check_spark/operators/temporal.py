@@ -47,6 +47,14 @@ def asof_join(
     clash = ({*rcols, matched_ts_alias} & set(lcols)) | ({matched_ts_alias} & set(rcols))
     if clash:
         raise ValueError(f"asof_join output name collision: {sorted(clash)} — alias first")
+    # internal helper names: an input already carrying them would produce
+    # ambiguous references or silently wrong carries, not the clean error the
+    # other collisions get (ADVICE r1)
+    reserved = {"_side", "_r", "_m", "__ts"} & (set(lcols) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)} — rename first"
+        )
 
     rstruct = F.struct(F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in rcols])
     rpart = right.filter(F.col(ts_col).isNotNull()).select(
@@ -101,6 +109,12 @@ def range_join_bucketed(
     Output: all left columns + all right columns except the join keys.
     """
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    reserved = {"_bkt"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        # withColumn would overwrite a user _bkt and drop it at the end (ADVICE r1)
+        raise ValueError(
+            f"range_join_bucketed reserves internal column names {sorted(reserved)} — rename first"
+        )
     step = F.expr(f"INTERVAL {bucket}")
     bucket_of = lambda c: F.window(c, bucket)["start"]  # noqa: E731 — epoch-aligned
 

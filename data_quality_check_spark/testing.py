@@ -106,10 +106,13 @@ def run_gate(spark, sf_dir: str | None = None, names: list[str] | None = None) -
     queries = entry.queries()
     oracles = entry.oracle_sql()
     results = {}
+    from data_quality_check_spark.operators.dedup import release_pins
+
     for name, fn in queries.items():
         if names and name not in names:
             continue
         sdf = fn(spark, sf_dir).toPandas()
+        release_pins()  # free per-query signature/label caches
         if name not in oracles:
             results[name] = (True, f"rows-only: {len(sdf)} rows")
             continue

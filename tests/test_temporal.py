@@ -126,3 +126,38 @@ def test_joins_reject_output_name_collisions(spark, quotes):
             left_clash.selectExpr("id", "u", "ts AS start_ts", "ts AS end_ts", "v"),
             "ts", "start_ts", "end_ts", by="u",
         )  # right carries id/v which exist on left
+
+
+def test_reserved_internal_names_rejected(spark):
+    """Inputs already carrying the helpers' internal column names must raise
+    instead of producing ambiguous references or silently corrupted output."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.temporal import asof_join, range_join_bucketed
+
+    base = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1).alias("v"),
+    )
+    right = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        F.lit(2).alias("rv"),
+    )
+    for col in ["_side", "_r", "_m", "__ts"]:
+        with pytest.raises(ValueError, match="reserves internal"):
+            asof_join(base.withColumn(col, F.lit(0)), right, "ts", "k")
+        with pytest.raises(ValueError, match="reserves internal"):
+            asof_join(base, right.withColumn(col, F.lit(0)), "ts", "k")
+
+    ivals = spark.range(2).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("start"),
+        (F.current_timestamp() + F.expr("INTERVAL 1 hour")).alias("end"),
+    )
+    with pytest.raises(ValueError, match="reserves internal"):
+        range_join_bucketed(base.withColumn("_bkt", F.lit(0)), ivals, "ts", "start", "end", by="k")
+    with pytest.raises(ValueError, match="reserves internal"):
+        range_join_bucketed(base, ivals.withColumn("_bkt", F.lit(0)), "ts", "start", "end", by="k")
