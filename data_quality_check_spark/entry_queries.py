@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from data_quality_check_spark import oracles as _OR
 from data_quality_check_spark.operators import profiler as P
 from data_quality_check_spark.plans.quality_scores import (
     ScoreSpec,
@@ -31,10 +32,14 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 AS_OF = "2026-01-01 00:00:00"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+# oracle: a static SQL string, a zero-arg callable resolved lazily at
+# oracle_sql() time (for twins that embed data-derived literals or materialize
+# scratch parquet — see oracles.py), or None for rows-only driver checks.
+OracleSpec = str | Callable[[], str] | None
+_REGISTRY: dict[str, tuple[QueryFn, OracleSpec]] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql: OracleSpec):
     def deco(fn: QueryFn):
         _REGISTRY[name] = (fn, sql)
         return fn
@@ -59,7 +64,11 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: sql for k, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        k: (sql() if callable(sql) else sql)
+        for k, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }
 
 
 def _dec(c: str, prec: int = 15, scale: int = 2) -> F.Column:
@@ -768,9 +777,11 @@ def q_range_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Model-stage UDF path on the gate table: hashed char-trigram langid + n-gram
 # perplexity (Arrow-batched iterator pandas UDFs, the north-rule scoring stages).
-# Not SQL-expressible → no oracle; the driver records the rows-only check, and
-# exact-value parity vs the pure-python twin is pinned in tests/test_properties.py.
-@register("model_scores_documents", None)
+# Oracle = full driver-process twin of the same kernels (oracles.model_scores_sql):
+# the value-hash cross-checks the Spark plumbing (Arrow batching, iterator UDF
+# state, the asNondeterministic fence, bit-exact F.round twin) against a
+# single-process execution.
+@register("model_scores_documents", lambda: _OR.model_scores_sql(ORACLE_SF_DIR))
 def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_check_spark.functions import langid as LID
 
@@ -849,9 +860,13 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash pairs: signature hash not replicable in DuckDB → rows-only driver check;
-# correctness asserted in tests/test_dedup_similarity.py against a python reference.
-@register("simhash_near_pairs_documents", None)
+# SimHash pairs: signatures come from the shared numpy kernel materialized to
+# scratch parquet by the oracle builder; the banded chunk join + bit_count(xor)
+# Hamming verification is cross-checked as genuine DuckDB SQL.
+@register(
+    "simhash_near_pairs_documents",
+    lambda: _OR.simhash_pairs_sql(ORACLE_SF_DIR, ngram=_SHINGLE_N, max_hamming=3),
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, ngram=_SHINGLE_N
@@ -891,23 +906,32 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(e, _ann_queries(spark, sf_dir), k=_ANN_K)
 
 
-# LSH-bucketed ANN (scale path): rows-only driver check; recall vs brute force
-# asserted in tests/test_dedup_similarity.py::test_ann_lsh_recall.
-@register("ann_lsh_topk_embeddings", None)
+# LSH-bucketed ANN (scale path): the seeded SRP hyperplanes are literals in
+# BOTH plans (Spark fold vs DuckDB list_dot_product over identical float64
+# values), so the DuckDB twin reproduces the exact approximate result —
+# bucketing, join, and rerank are all value-checked. Recall vs brute force is
+# additionally asserted in tests/test_dedup_similarity.py::test_ann_lsh_recall.
+@register("ann_lsh_topk_embeddings", lambda: _OR.ann_lsh_sql(k=_ANN_K, n_bits=8, dim=64))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.ann_lsh_topk(e, _ann_queries(spark, sf_dir), k=_ANN_K, n_bits=8)
 
 
 # IVF-cell ANN (the other scale path — one cell per candidate, nprobe cells per
-# query, partition-prunable at scale): rows-only driver check; recall vs brute
-# force asserted in tests/test_dedup_similarity.py::test_ann_ivf_recall.
+# query, partition-prunable at scale): oracle = DuckDB twin over centroids
+# trained by the identical numpy kernel on the identical crc32-ordered sample
+# (oracles.ann_ivf_sql), so assignment, probing, and rerank are value-checked.
+# Recall vs brute force is additionally asserted in
+# tests/test_dedup_similarity.py::test_ann_ivf_recall.
 # Centroid count is tuned to the table's natural cluster structure (10 labels):
 # 10 cells / probe 4 measures 0.88 recall@5 on sf0.01 while searching ~40% of
 # the data (0.96 at nprobe=5); over-segmenting (16 cells) splits clusters and
 # costs recall. Hash-ordered centroid sampling (vs a sorted-id head) was worth
 # +0.12 recall by itself — the head sample under-represented later clusters.
-@register("ann_ivf_topk_embeddings", None)
+@register(
+    "ann_ivf_topk_embeddings",
+    lambda: _OR.ann_ivf_sql(ORACLE_SF_DIR, k=_ANN_K, n_centroids=10, nprobe=4),
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.ann_ivf_topk(

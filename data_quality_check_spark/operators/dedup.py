@@ -51,8 +51,10 @@ def _pin(df: DataFrame) -> DataFrame:
 
 def release_pins() -> int:
     """Unpersist every frame pinned since the last call; returns how many.
-    Safe any time: blocks are recomputed on demand if a lazy plan still
-    references a released pin (correctness never depends on the cache)."""
+    Safe any time: pinned frames are plain persists, so blocks are recomputed
+    on demand if a lazy plan still references a released pin (correctness
+    never depends on the cache). localCheckpoint'd frames are deliberately
+    NOT registered here — their truncated lineage cannot recompute."""
     n = 0
     while _PINNED:
         df = _PINNED.pop()
@@ -341,49 +343,60 @@ def minhash_lsh_pairs(
 # ---------------- SimHash ----------------
 
 
-def with_simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
-    """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches).
+def simhash_signatures(texts, ngram: int = 1) -> np.ndarray:
+    """64-bit SimHash signatures for a batch of texts (int64 array) —
+    vectorized numpy, batch-composition invariant (integer arithmetic only).
 
     The whole batch's shingles are hashed in one `pd.util.hash_array` call
     (deterministic 64-bit hash), the ±1 bit contributions are accumulated per
     document with a single `np.add.reduceat` over the flattened (token × 64-bit)
     matrix, and signatures are packed with one weighted sum — no per-token
-    Python in the hot path (only the cheap per-row shingle split)."""
+    Python in the hot path (only the cheap per-row shingle split).
+
+    This is the SINGLE definition of the signature: the Spark pandas UDF and
+    the driver-side oracle twin (oracles.py) both call it, so the DuckDB gate
+    genuinely cross-checks the banded join + Hamming verification."""
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    tok_lists: list[list[str]] = []
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        if ngram == 1:
+            toks = list(set(words))
+        else:
+            toks = list(
+                {" ".join(words[j : j + ngram]) for j in range(len(words) - ngram + 1)}
+            )
+        counts[i] = len(toks)
+        tok_lists.append(toks)
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(counts.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        hv = pd.util.hash_array(flat)  # uint64, deterministic key
+        contrib = (2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int32)) - 1
+        ends = np.cumsum(counts)
+        nz = counts > 0
+        starts = (ends - counts)[nz]
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        out[nz] = ((sums > 0) * weights).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    """Adds a 64-bit `simhash` column (vectorized numpy over Arrow batches;
+    see `simhash_signatures` for the kernel)."""
 
     @F.pandas_udf("long")
     def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        shifts = np.arange(64, dtype=np.uint64)
-        weights = np.uint64(1) << shifts
         for texts in batches:
-            n = len(texts)
-            counts = np.zeros(n, dtype=np.int64)
-            tok_lists: list[list[str]] = []
-            for i, t in enumerate(texts.fillna("")):
-                words = t.lower().split()
-                if ngram == 1:
-                    toks = list(set(words))
-                else:
-                    toks = list(
-                        {" ".join(words[j : j + ngram]) for j in range(len(words) - ngram + 1)}
-                    )
-                counts[i] = len(toks)
-                tok_lists.append(toks)
-            out = np.zeros(n, dtype=np.uint64)
-            total = int(counts.sum())
-            if total:
-                flat = np.empty(total, dtype=object)
-                pos = 0
-                for toks in tok_lists:
-                    flat[pos : pos + len(toks)] = toks
-                    pos += len(toks)
-                hv = pd.util.hash_array(flat)  # uint64, deterministic key
-                contrib = (2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int32)) - 1
-                ends = np.cumsum(counts)
-                nz = counts > 0
-                starts = (ends - counts)[nz]
-                sums = np.add.reduceat(contrib, starts, axis=0)
-                out[nz] = ((sums > 0) * weights).sum(axis=1, dtype=np.uint64)
-            yield pd.Series(out.view(np.int64))
+            yield pd.Series(simhash_signatures(texts.fillna("").tolist(), ngram))
 
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
@@ -491,7 +504,10 @@ def connected_components(
             _release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
-                _PINNED.append(labels)  # released by the next release_pins()
+                # NOT registered in _PINNED: a released localCheckpoint cannot
+                # be recomputed (lineage truncated), and the caller still has
+                # actions to run on this frame. Its single small block is
+                # GC-reclaimed once the caller drops the reference.
                 return labels
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:

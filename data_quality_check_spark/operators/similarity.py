@@ -96,12 +96,19 @@ def neardup_pairs_blocked(
     )
 
 
+def srp_planes(n_bits: int = 16, dim: int = 64, seed: int = 11) -> np.ndarray:
+    """The seeded SRP hyperplanes — the single definition shared by the Spark
+    plan (srp_bucket_col literals) and the DuckDB oracle twin (oracles.py), so
+    both engines bucket with bit-identical planes."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
 def srp_bucket_col(vec_col: str, n_bits: int = 16, dim: int = 64, seed: int = 11) -> F.Column:
     """Sign-random-projection bucket id (n_bits planes) as a JVM expression:
     bit_j = dot(vec, plane_j) > 0. Planes are a seeded numpy matrix baked into the
     plan as literals (model-free LSH)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = srp_planes(n_bits, dim, seed)
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
         plane = F.array(*[F.lit(float(x)) for x in planes[j]])
@@ -128,6 +135,24 @@ def _unit_rows(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None), mask
 
 
+def spherical_kmeans(
+    x: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Spherical k-means (cosine) over unit-norm rows — pure numpy, the single
+    training kernel shared by the Spark path (`ivf_train_centroids`) and the
+    driver-side oracle twin (oracles.py). Returns unit-norm centroids."""
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return cents
+
+
 def ivf_train_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -139,30 +164,24 @@ def ivf_train_centroids(
 ) -> np.ndarray:
     """Spherical k-means (cosine) centroids, trained driver-side on a
     deterministic sample. The sample is the head of a HASH ordering
-    (`xxhash64(id)`) — deterministic for the same table regardless of
-    partitioning, but uncorrelated with ingest order, so every region of the
-    table is represented (a sorted-id head would be one ingest batch and leave
-    later clusters cell-less). Training data stays a few thousand vectors no
-    matter the table size — at 10^12 rows you still pull only `sample_size`
-    rows to the driver. Returns unit-norm centroids (n_centroids × dim)."""
+    (`crc32(cast(id as string))` — chosen over xxhash64 because zlib.crc32
+    reproduces it exactly outside Spark, which is what lets the DuckDB oracle
+    twin train identical centroids) — deterministic for the same table
+    regardless of partitioning, but uncorrelated with ingest order, so every
+    region of the table is represented (a sorted-id head would be one ingest
+    batch and leave later clusters cell-less). Training data stays a few
+    thousand vectors no matter the table size — at 10^12 rows you still pull
+    only `sample_size` rows to the driver. Returns unit-norm centroids
+    (n_centroids × dim)."""
     pdf = (
         df.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(F.crc32(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
         .limit(sample_size)
         .toPandas()
     )
     x, _ = _unit_rows(pdf[vec_col])
-    rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
-    for _ in range(iters):
-        assign = (x @ cents.T).argmax(axis=1)
-        for j in range(len(cents)):
-            members = x[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cents[j] = c / max(float(np.linalg.norm(c)), 1e-12)
-    return cents
+    return spherical_kmeans(x, n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign_udf(centroids: np.ndarray):

@@ -1,0 +1,245 @@
+"""Driver-side oracle twins for gate queries whose Spark side runs model/UDF
+stages plain SQL cannot express (VERDICT r1 item 5: shrink the no_oracle set).
+
+Pattern: the deterministic NON-relational part of each operator — SimHash
+signatures, the char-trigram language model, SRP hyperplanes, k-means
+centroids — is reproduced driver-side from the *same shared kernel* the Spark
+path executes (dedup.simhash_signatures, textmodel.CharTrigramLM,
+similarity.srp_planes / spherical_kmeans) and either embedded in the SQL as
+literals (planes, centroids) or materialized to a scratch parquet the SQL
+reads. The RELATIONAL part — banded joins, Hamming verification, bucket joins,
+cell probing, top-k ranking — stays genuine DuckDB SQL, so the driver's
+value-hash cross-checks the distributed join/verify/rank logic end to end
+against an independent engine, and the kernel outputs are cross-checked
+between a Spark executor run and a driver-process run.
+
+Float-determinism notes:
+  * SRP buckets: both engines fold the SAME float64 plane literals against the
+    same cast-to-double embedding values; a sign flip would need |dot| ≲ 1e-16,
+    probability ~1e-12 per (vector, plane) on this data.
+  * IVF centroids: trained on the head of a `crc32(cast(id AS string))`
+    ordering, which zlib.crc32 reproduces exactly, so both sides train on the
+    identical sample with the identical numpy kernel → identical centroids.
+  * Rounding twin (`spark_round`): Spark's Round(double) goes through
+    java.math.BigDecimal.valueOf (i.e. Double.toString, shortest round-trip
+    decimal) + HALF_UP; python's repr() is the same shortest representation,
+    so Decimal(repr(x)).quantize(HALF_UP) is bit-exact against F.round.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "dqx_oracle_scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(SCRATCH_ROOT, key)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+def _write_parquet(pdf: pd.DataFrame, path: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+def _read_cols(sf_dir: str, table: str, cols: list[str]) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=cols).to_pandas()
+
+
+def spark_round(values, scale: int) -> np.ndarray:
+    """Bit-exact twin of Spark's `F.round` on DoubleType (HALF_UP over the
+    shortest-round-trip decimal representation)."""
+    q = Decimal(1).scaleb(-scale)
+    out = np.empty(len(values), dtype=np.float64)
+    for i, v in enumerate(values):
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            out[i] = f
+        else:
+            out[i] = float(Decimal(repr(f)).quantize(q, ROUND_HALF_UP))
+    return out
+
+
+def _float_list_sql(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+# ───────────────────────── simhash pairs ─────────────────────────
+
+
+def simhash_pairs_sql(sf_dir: str, ngram: int, max_hamming: int) -> str:
+    """Signatures from the shared numpy kernel, materialized to scratch
+    parquet; the 4×16-bit pigeonhole band join + bit_count(xor) Hamming
+    verification runs as genuine SQL (twin of dedup.simhash_near_pairs)."""
+    from data_quality_check_spark.operators.dedup import simhash_signatures
+
+    docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
+    sigs = pd.DataFrame(
+        {
+            "id": docs["doc_id"],
+            "simhash": simhash_signatures(docs["text"].fillna("").tolist(), ngram),
+        }
+    )
+    path = _write_parquet(sigs, _scratch(sf_dir, f"simhash_sigs_n{ngram}.parquet"))
+    return f"""
+WITH sigs AS (SELECT id, simhash FROM '{path}'),
+chunks AS (
+  SELECT id, simhash, c.chunk,
+         (simhash >> (c.chunk * 16)) & 65535 AS ckey
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+# ───────────────────────── model scores ─────────────────────────
+
+
+def model_scores_sql(sf_dir: str) -> str:
+    """Full driver-process twin of the langid + perplexity UDF chain (same
+    CharTrigramLM kernels, same rounding), materialized to scratch parquet.
+    The value-hash therefore checks the Spark plumbing — Arrow batching,
+    iterator UDF state, the asNondeterministic fence — against a single-
+    process execution of the identical model."""
+    from data_quality_check_spark.functions.textmodel import default_model
+
+    docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
+    texts = docs["text"].fillna("").tolist()
+    m = default_model()
+    langs, conf, _ = m.predict(texts)
+    ppl = m.perplexity(texts, [l if l else "und" for l in langs])
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "lang": langs,
+            "lang_conf": spark_round(conf, 6),
+            "ppl": spark_round(ppl, 4),
+        }
+    )
+    path = _write_parquet(out, _scratch(sf_dir, "model_scores.parquet"))
+    return f"SELECT doc_id, lang, lang_conf, ppl FROM '{path}'"
+
+
+# ───────────────────────── ANN: SRP-LSH ─────────────────────────
+
+
+def _bucket_sql(col_expr: str, planes: np.ndarray) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({col_expr}, {_float_list_sql(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_sql(k: int, n_bits: int, dim: int, query_mod: int = 100) -> str:
+    """Pure-SQL twin of similarity.ann_lsh_topk: the SAME seeded hyperplanes
+    (similarity.srp_planes) are embedded as float64 literals, so DuckDB buckets
+    every vector identically, joins candidates to queries on the bucket, and
+    reranks by rounded cosine with the same (cosine DESC, id) tie-break."""
+    from data_quality_check_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(n_bits, dim)
+    b = _bucket_sql("ev", planes)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cand AS (SELECT vec_id, ev, {b} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, ev AS qv, {b} AS bucket FROM v WHERE vec_id % {query_mod} = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.ev, q.qv), 4) AS cosine
+  FROM cand c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+# ───────────────────────── ANN: IVF ─────────────────────────
+
+
+def ivf_centroids_twin(
+    sf_dir: str, n_centroids: int, sample_size: int = 2048, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Driver-process twin of similarity.ivf_train_centroids: identical sample
+    (head of the crc32(str(id)) ordering, which Spark's
+    crc32(cast(id AS string)) reproduces bit-for-bit) through the identical
+    spherical_kmeans kernel → identical centroids."""
+    from data_quality_check_spark.operators.similarity import _unit_rows, spherical_kmeans
+
+    pdf = _read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = pdf[pdf["embedding"].notna()].copy()
+    pdf["_crc"] = [zlib.crc32(str(v).encode()) for v in pdf["vec_id"]]
+    pdf = pdf.sort_values(["_crc", "vec_id"], kind="mergesort").head(sample_size)
+    x, _ = _unit_rows(pdf["embedding"].reset_index(drop=True))
+    return spherical_kmeans(x, n_centroids, iters=iters, seed=seed)
+
+
+def ann_ivf_sql(
+    sf_dir: str, k: int, n_centroids: int, nprobe: int, query_mod: int = 100
+) -> str:
+    """SQL twin of similarity.ann_ivf_topk over twin-trained centroid literals:
+    assign every vector to its max-cosine cell (ties → lowest cell, matching
+    numpy argmax-first), probe the nprobe nearest cells per query, exact
+    rounded-cosine rerank with the shared (cosine DESC, id) tie-break."""
+    cents = ivf_centroids_twin(sf_dir, n_centroids)
+    values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {values}) AS t(cell, cv)),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+assign AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT v.vec_id, v.ev, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cell
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id % {query_mod} = 0),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
+           ) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.ev, p.qv), 4) AS cosine
+  FROM assign a JOIN probe p USING (cell) WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
+"""

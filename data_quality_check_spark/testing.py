@@ -104,7 +104,17 @@ def run_gate(spark, sf_dir: str | None = None, names: list[str] | None = None) -
     sf_dir = sf_dir or DEFAULT_SF_DIR
     con = duck_connection(sf_dir)
     queries = entry.queries()
-    oracles = entry.oracle_sql()
+    # lazy oracle builders (oracles.py twins) resolve against ORACLE_SF_DIR —
+    # keep it in lockstep with the gate's sf_dir so twin artifacts match the
+    # tables the Spark side reads
+    import data_quality_check_spark.entry_queries as EQ
+
+    prev = EQ.ORACLE_SF_DIR
+    EQ.ORACLE_SF_DIR = sf_dir
+    try:
+        oracles = entry.oracle_sql()
+    finally:
+        EQ.ORACLE_SF_DIR = prev
     results = {}
     from data_quality_check_spark.operators.dedup import release_pins
 

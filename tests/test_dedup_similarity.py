@@ -238,10 +238,15 @@ def test_connected_components_long_path_converges(spark):
 
     from data_quality_check_spark.operators.dedup import connected_components, release_pins
 
+    from data_quality_check_spark.operators.dedup import _release_local_checkpoint
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     edges = spark.range(299).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     labels = connected_components(edges)
     rows = labels.collect()
     assert len(rows) == 300
     assert all(r["comp"] == 0 for r in rows)
     release_pins()
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    _release_local_checkpoint(labels)  # done acting on the result
+    # no NEW storage blocks survive this test (session may carry others' caches)
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) <= before
