@@ -15,11 +15,14 @@ Design:
   * per-batch metrics ride on `DataFrame.observe` exactly like the batch job
     and are appended to the same `run_metrics` layout, keyed by batch_id.
 
-Scope note on dedup: `dup_decisions` inside a micro-batch sees only that
-batch, so duplicates are collapsed within a batch but not across batches
-(cross-batch streaming dedup needs keyed state —
-`dropDuplicatesWithinWatermark` on an ingest timestamp — and a retention
-bound; out of scope while the batch job owns full-corpus dedup).
+Dedup layering: `dup_decisions` inside a micro-batch collapses duplicates
+within that batch; `dedup_within` additionally drops CROSS-batch re-deliveries
+with keyed state (`dropDuplicatesWithinWatermark` on an ingest timestamp):
+first arrival wins, state retained only for the watermark delay, so state size
+is bounded by (arrival rate × delay) keys — the retention bound a 10^12-row
+stream needs. Cross-batch semantics differ from the batch job by design:
+first-wins on re-delivery (the streaming at-least-once concern) vs min-id-wins
+over the full corpus (the batch job still owns corpus-wide dedup).
 """
 
 from __future__ import annotations
@@ -49,6 +52,8 @@ def read_image_stream(
     spark: SparkSession,
     input_path: str,
     max_files_per_trigger: int | None = None,
+    dedup_within: str | None = None,
+    dedup_keys: list[str] | None = None,
 ) -> DataFrame:
     """File-source stream over a landing directory of image parquet files.
 
@@ -56,11 +61,25 @@ def read_image_stream(
     north-rule input shape (`IMAGES_DDL`). `maxFilesPerTrigger` bounds
     micro-batch size — at production rates, set it so one batch's `bytes`
     payload fits the executors' Arrow/python memory, same sizing rule as the
-    batch job's input splits."""
+    batch job's input splits.
+
+    `dedup_within` (e.g. "1 hour") turns on cross-batch re-delivery dedup:
+    `dropDuplicatesWithinWatermark` on an ingest timestamp keyed by
+    `dedup_keys` (default: image_id). First arrival wins; a duplicate landing
+    in a later micro-batch inside the delay window is dropped, and the keyed
+    state is evicted after the delay, bounding state size at any input rate."""
     reader = spark.readStream.schema(IMAGES_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(input_path)
+    stream = reader.parquet(input_path)
+    if dedup_within is not None:
+        stream = (
+            stream.withColumn("_ingest_ts", F.current_timestamp())
+            .withWatermark("_ingest_ts", dedup_within)
+            .dropDuplicatesWithinWatermark(dedup_keys or ["image_id"])
+            .drop("_ingest_ts")
+        )
+    return stream
 
 
 def run_stream_filter(
@@ -70,13 +89,15 @@ def run_stream_filter(
     checkpoint_dir: str,
     cfg: FilterConfig | None = None,
     max_files_per_trigger: int | None = None,
+    dedup_within: str | None = None,
 ) -> dict:
     """Drain all currently-available files through the filter and stop
     (`Trigger.AvailableNow`), writing kept rows append-only, bucket-partitioned.
 
     Returns {batches, rows_in, rows_kept}. Re-running after new files land
     processes ONLY the new files (streaming checkpoint), making this the
-    incremental twin of the batch job's bucket-manifest resume."""
+    incremental twin of the batch job's bucket-manifest resume. `dedup_within`
+    enables cross-batch re-delivery dedup (see `read_image_stream`)."""
     cfg = cfg or FilterConfig()
     totals = {"batches": 0, "rows_in": 0, "rows_kept": 0}
 
@@ -126,7 +147,7 @@ def run_stream_filter(
         totals["rows_in"] += int(m["rows_in"])
         totals["rows_kept"] += int(m["rows_kept"])
 
-    stream = read_image_stream(spark, input_path, max_files_per_trigger)
+    stream = read_image_stream(spark, input_path, max_files_per_trigger, dedup_within)
     query = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))

@@ -58,3 +58,99 @@ def test_jdbc_reader_builds_plan():
             spark, "jdbc:postgresql://localhost:1/none", "SELECT 1", driver="org.postgresql.Driver"
         ).count()
     assert "postgresql" in str(ei.value).lower() or "driver" in str(ei.value).lower()
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-rolled SpreadsheetML writer: enough surface (shared strings,
+    numbers, booleans) to exercise the dependency-free reader."""
+    import zipfile
+
+    shared, sindex = [], {}
+
+    def sref(s):
+        if s not in sindex:
+            sindex[s] = len(shared)
+            shared.append(s)
+        return sindex[s]
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if v is None:
+            return f'<c r="{ref}"/>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def colref(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    all_rows = [header] + rows
+    body = "".join(
+        f'<row r="{ri+1}">' + "".join(cell(f"{colref(ci)}{ri+1}", v) for ci, v in enumerate(row)) + "</row>"
+        for ri, row in enumerate(all_rows)
+    )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        z.writestr("xl/workbook.xml", f'<?xml version="1.0"?><workbook {ns}><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>')
+        z.writestr("xl/worksheets/sheet1.xml", f'<?xml version="1.0"?><worksheet {ns}><sheetData>{body}</sheetData></worksheet>')
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns} count="{len(shared)}">' + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>",
+        )
+
+
+def test_read_excel_minimal_parser(spark, tmp_path):
+    """S2 (reference app_v3.py:701): .xlsx upload → distributed DataFrame.
+    openpyxl is absent in this environment, so this exercises the built-in
+    SpreadsheetML fallback end to end through load()."""
+    from data_quality_check_spark.sources.readers import load
+
+    p = str(tmp_path / "book.xlsx")
+    _write_minimal_xlsx(
+        p,
+        ["name", "amount", "active"],
+        [["alice", 12, True], ["bob", 3.5, False], ["carol", None, True]],
+    )
+    df = load(spark, p)
+    assert df.columns == ["name", "amount", "active"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alice"]["amount"] == 12 and rows["alice"]["active"] is True
+    assert rows["bob"]["amount"] == 3.5 and rows["bob"]["active"] is False
+    assert rows["carol"]["amount"] is None
+
+
+def test_read_http_csv(spark, tmp_path):
+    """S3 (reference app_v3.py:702-703): plain-http CSV URL → driver download →
+    distributed CSV scan with delimiter sniffing."""
+    import http.server
+    import threading
+
+    d = tmp_path / "www"
+    d.mkdir()
+    (d / "data.csv").write_text("a;b;c\n1;x;2.5\n2;y;3.5\n")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(*a, directory=str(d), **kw)  # noqa: E731
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from data_quality_check_spark.sources.readers import load
+
+        url = f"http://127.0.0.1:{srv.server_address[1]}/data.csv"
+        df = load(spark, url)
+        assert df.columns == ["a", "b", "c"]
+        assert df.count() == 2
+        assert {r["b"] for r in df.collect()} == {"x", "y"}
+    finally:
+        srv.shutdown()
