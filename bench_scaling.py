@@ -357,7 +357,10 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in load_after],
     }
     result["ppl_mode"] = os.environ.get("SPARK_GRAFT_PPL_MODE", "map")
-    if result["ppl_mode"] == "map":  # headline table records the default path
+    # headline table records the default path at the default fixture size;
+    # SPARK_GRAFT_NO_BENCHMD=1 for auxiliary runs (second fixture scale,
+    # grouped mode) whose JSON is recorded by hand in their own section
+    if result["ppl_mode"] == "map" and not os.environ.get("SPARK_GRAFT_NO_BENCHMD"):
         update_bench_md(result)
     print(json.dumps(result), flush=True)
 

@@ -60,11 +60,15 @@ def score_report_json(ts: TableScore) -> str:
 
 
 def write_report(ts: TableScore, path: str) -> str:
-    """Write markdown (and a sibling .json) report; returns the markdown path."""
+    """Write markdown (plus sibling .json and .pdf — the reference's artifact,
+    app_v3.py:514-643) reports; returns the markdown path."""
+    from data_quality_check_spark.operators.pdf import score_report_pdf
+
     md = score_report_markdown(ts)
     with open(path, "w") as f:
         f.write(md)
-    jpath = path.rsplit(".", 1)[0] + ".json"
-    with open(jpath, "w") as f:
+    base = path.rsplit(".", 1)[0]
+    with open(base + ".json", "w") as f:
         f.write(score_report_json(ts))
+    score_report_pdf(ts, base + ".pdf")
     return path
