@@ -848,6 +848,20 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup clusters over the SCALE pair stage (banded MinHash-LSH + exact
+# confirm): candidate-miss ≈3.6e-5 at the threshold, so the exact
+# recursive-CTE oracle stays valid — the driver value-checks the whole
+# minhash → confirm → connected-components composition (r1 watch item c).
+@register(
+    "neardup_clusters_minhash_documents",
+    DD.neardup_clusters_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N),
+)
+def q_neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.neardup_clusters_minhash(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    )
+
+
 # MinHash-LSH candidates confirmed by exact Jaccard: with r=3 rows × b=42 bands
 # the candidate-miss probability at s=0.6 is (1-0.6³)^42 ≈ 3.6e-5 (and →0 above),
 # while j≈0 pairs are still pruned; the confirm step removes all false positives,
