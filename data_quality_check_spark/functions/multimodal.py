@@ -160,9 +160,37 @@ def sample_frames(
     )
 
 
-def resize_udf(target: int = 8):
-    """STUB-grade resize (nearest-neighbor via numpy) demonstrating the
-    decode→transform→re-encode UDF shape; swap the body for PIL when available."""
+def bilinear_resize(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Vectorized bilinear resample to (th, tw) — pure numpy, no PIL.
+
+    Pixel-center aligned sampling (the PIL/OpenCV convention): output pixel i
+    samples source coordinate (i+0.5)·scale − 0.5, so resizing to the SAME
+    size is the exact identity and down/upsampling has no half-pixel shift.
+    All four corner gathers + the weighted blend are single array ops."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(th) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[np.ix_(y0, x0)].astype(np.float64)
+    b = arr[np.ix_(y0, x1)].astype(np.float64)
+    c = arr[np.ix_(y1, x0)].astype(np.float64)
+    d = arr[np.ix_(y1, x1)].astype(np.float64)
+    out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_udf(target: int = 8, fmt: str = "png"):
+    """Decode → bilinear resize to target×target → re-encode, as an
+    Arrow-batched pandas UDF (the decode/transform/re-encode shape every
+    image-preprocessing stage uses; the per-blob loop is inherent to
+    variable-size codec work, the resample itself is vectorized numpy).
+    Undecodable blobs yield NULL — same degrade-to-absent contract as
+    decode_check_udf."""
 
     @F.pandas_udf("binary")
     def _resize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -173,11 +201,7 @@ def resize_udf(target: int = 8):
                 if arr is None:
                     out.append(None)
                     continue
-                h, w = arr.shape[:2]
-                ys = (np.arange(target) * h // target).clip(0, h - 1)
-                xs = (np.arange(target) * w // target).clip(0, w - 1)
-                small = arr[np.ix_(ys, xs)]
-                out.append(codecs.encode(small, "png"))
+                out.append(codecs.encode(bilinear_resize(arr, target, target), fmt))
             yield pd.Series(out)
 
     return _resize

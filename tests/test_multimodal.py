@@ -94,3 +94,37 @@ def test_feature_vector_null_on_corrupt(spark):
     )
     row = df.select(MM.feature_vector_udf()(F.col("bytes")).alias("f")).first()
     assert row.f is None
+
+
+def test_bilinear_resize_properties(spark):
+    """The numpy bilinear resampler: identity at same size, constant images
+    stay constant at any size, downsample shape is exact, and the Spark UDF
+    round-trips decode → resize → re-encode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.functions.multimodal import bilinear_resize, resize_udf
+    from data_quality_check_spark.pipeline import codecs
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    # pixel-center convention → same-size resize is the exact identity
+    np.testing.assert_array_equal(bilinear_resize(img, 24, 16), img)
+    # constant image stays constant under any resample
+    const = np.full((20, 20, 3), 137, dtype=np.uint8)
+    for th, tw in [(8, 8), (33, 7), (1, 1)]:
+        out = bilinear_resize(const, th, tw)
+        assert out.shape == (th, tw, 3) and (out == 137).all()
+    # interpolation stays within local value bounds
+    small = bilinear_resize(img, 8, 8)
+    assert small.min() >= img.min() and small.max() <= img.max()
+
+    # Spark UDF round trip: every decodable row yields a target×target image
+    pdf = pd.DataFrame({"bytes": [codecs.encode(img, "png"), b"notanimage", None]})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(resize_udf(8)(F.col("bytes")).alias("out")).collect()
+    thumb = codecs.decode(bytes(rows[0]["out"]))
+    assert thumb.shape == (8, 8, 3)
+    np.testing.assert_array_equal(thumb, bilinear_resize(img, 8, 8))
+    assert rows[1]["out"] is None and rows[2]["out"] is None
