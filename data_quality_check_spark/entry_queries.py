@@ -971,3 +971,77 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs_blocked(
         t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): the post-scoring "decide what
+# ships" steps — quota rebalancing, canonical-doc election per near-dup
+# cluster, train/eval contamination. The reference app stops at surfacing
+# scores/dups to the analyst (app_v3.py:846-1010); these are the distributed
+# equivalents of what the analyst then does by hand.
+from data_quality_check_spark.operators import curation as CU  # noqa: E402
+
+_QUOTA = 30  # per-language cap; sf0.01 has ~5 langs × ~100 docs → real truncation
+
+
+@register(
+    "quota_sample_documents",
+    CU.quota_sample_sql("documents", "doc_id", "lang", _QUOTA),
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.quota_sample(t(spark, sf_dir, "documents"), "doc_id", "lang", _QUOTA)
+
+
+@register(
+    "dedup_keep_best_documents",
+    lambda: CU.keep_best_sql(
+        "documents",
+        DD.neardup_clusters_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N),
+        "doc_id",
+        "n_chars",
+    ),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    clusters = DD.neardup_clusters(
+        docs, "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    )
+    return CU.keep_best(docs, clusters, "doc_id", "n_chars")
+
+
+# Train/eval split is synthesized deterministically from the id (every 50th
+# doc is "eval") — the benchmark-suite side of a real contamination check.
+_EVAL_PRED = "doc_id % 50 = 0"
+
+
+@register(
+    "contamination_overlap_documents",
+    CU.contamination_overlap_sql(
+        f"SELECT doc_id, text FROM documents WHERE NOT ({_EVAL_PRED})",
+        f"SELECT doc_id, text FROM documents WHERE {_EVAL_PRED}",
+        "doc_id",
+        "text",
+        ngram=_SHINGLE_N,
+        threshold_pct=50,
+    ),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(~F.expr(_EVAL_PRED))
+    eval_df = docs.filter(F.expr(_EVAL_PRED))
+    return CU.contamination_overlap(
+        train, eval_df, "doc_id", "text", ngram=_SHINGLE_N, threshold_pct=50
+    )
+
+
+_TOKEN_BUDGET = 1500  # per-language token budget; sf0.01 langs carry ~4-6k tokens
+
+
+@register(
+    "pack_token_budget_documents",
+    CU.pack_token_budget_sql("documents", "doc_id", "lang", "text", _TOKEN_BUDGET),
+)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.pack_token_budget(
+        t(spark, sf_dir, "documents"), "doc_id", "lang", "text", _TOKEN_BUDGET
+    )

@@ -1,0 +1,265 @@
+"""Corpus-curation operators a training-data pipeline runs AFTER quality
+scoring and dedup: quota (stratified) downsampling, per-cluster canonical-doc
+election, and train/eval contamination detection.
+
+These are the "decide what ships" steps the reference's interactive app leaves
+to the analyst (app_v3.py surfaces scores and duplicates but has no corpus
+assembly step); here they are first-class distributed operators with DuckDB
+oracle twins.
+
+Scale notes (100 TB):
+  * `quota_sample` uses `row_number() <= k` over a window — Spark ≥3.5 rewrites
+    this into map-side `WindowGroupLimit` partial top-k BEFORE the shuffle
+    (InferWindowGroupLimit), so each map task forwards at most `quota` rows per
+    group it sees: the shuffle is bounded by quota × groups × tasks, not by the
+    corpus. A plan test pins the WindowGroupLimit node.
+  * `keep_best` joins the (small, dup-rate-proportional) cluster table back to
+    the corpus — the same size-gated broadcast/shuffle decision as
+    pipeline.run's dup_decisions; AQE picks broadcast when it fits. The
+    election window partitions by cluster component, whose groups are tiny
+    (near-dup cluster sizes), so no skew concern.
+  * `contamination_overlap` broadcasts the EVAL shingle universe — eval
+    benchmarks are a few thousand documents against a 10^12-token train side,
+    so the broadcast is the textbook small-side choice; the train side is a
+    map-side explode + broadcast-hash semi-probe + re-agg by doc id (one
+    shuffle keyed by doc id, combiner-friendly counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from data_quality_check_spark.operators.dedup import shingles_col, shingles_sql
+
+# Deterministic LCG scramble (Knuth/glibc constants) used as the "random"
+# sampling key so Spark and the DuckDB oracle order rows identically.
+# Inputs are row ids ≤ ~10^7 at test scales, so id * 1103515245 stays far
+# inside int64; at larger id ranges use the (id % 2^31) pre-fold below.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648
+
+
+def _sample_key(id_col: str) -> F.Column:
+    return (F.col(id_col) % _LCG_M * _LCG_A + _LCG_C) % _LCG_M
+
+
+def _sample_key_sql(id_col: str) -> str:
+    return f"(({id_col} % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}"
+
+
+def quota_sample(
+    df: DataFrame, id_col: str, group_col: str, quota: int
+) -> DataFrame:
+    """Keep at most `quota` rows per `group_col` value, chosen by a seeded
+    deterministic pseudo-random order (LCG scramble of the id) — the classic
+    "cap over-represented languages/domains" rebalancing step.
+
+    Emits the surviving rows' (id, group, quota_rank). Deterministic across
+    runs, partitionings, and engines: the order key is a pure function of the
+    id, not of physical row placement (no rand(), no monotonically_increasing_id).
+    """
+    w = Window.partitionBy(group_col).orderBy("_qkey", id_col)
+    return (
+        df.select(id_col, group_col, _sample_key(id_col).alias("_qkey"))
+        .withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= quota)
+        .drop("_qkey")
+    )
+
+
+def quota_sample_sql(table: str, id_col: str, group_col: str, quota: int) -> str:
+    """DuckDB twin of `quota_sample`."""
+    key = _sample_key_sql(id_col)
+    return f"""
+WITH r AS (
+  SELECT {id_col}, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {key}, {id_col}) AS quota_rank
+  FROM {table}
+)
+SELECT {id_col}, {group_col}, CAST(quota_rank AS BIGINT) AS quota_rank
+FROM r WHERE quota_rank <= {quota}
+"""
+
+
+def keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Elect ONE canonical document per near-dup cluster: the highest
+    `quality_col` (ties broken by smallest id). Returns every clustered row
+    with its component, cluster size, quality, and a `keep` flag — the dedup
+    pipeline drops `keep = false` rows and unions the (untouched) singletons.
+
+    `clusters` is the output of dedup.neardup_clusters[_minhash]
+    (id_col, component, csize).
+    """
+    joined = df.select(id_col, quality_col).join(clusters, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return joined.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    ).select(id_col, "component", "csize", quality_col, "keep")
+
+
+def keep_best_sql(
+    table: str, clusters_sql: str, id_col: str, quality_col: str
+) -> str:
+    """DuckDB twin of `keep_best`; `clusters_sql` is any query emitting
+    ({id_col}, component, csize) — e.g. dedup.neardup_clusters_sql(...)."""
+    return f"""
+WITH clusters AS ({clusters_sql}),
+j AS (
+  SELECT t.{id_col}, c.component, c.csize, t.{quality_col},
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY t.{quality_col} DESC, t.{id_col}) AS rn
+  FROM {table} t JOIN clusters c USING ({id_col})
+)
+SELECT {id_col}, component, csize, {quality_col}, rn = 1 AS keep FROM j
+"""
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Flag training documents whose shingle sets overlap an evaluation set —
+    the train/test contamination check every LLM data pipeline runs before a
+    corpus ships (n-gram overlap as in GPT-3 §C / PaLM dedup appendices).
+
+    For each train doc with ≥1 shared shingle: `n_tok` distinct shingles,
+    `n_shared` of them present anywhere in the eval set, and a `contaminated`
+    flag at n_shared/n_tok ≥ threshold_pct% — computed in integer arithmetic
+    (100*n_shared >= threshold_pct*n_tok) so engines can't drift on float
+    rounding.
+
+    The eval shingle universe is deduped then broadcast (eval benchmarks are
+    tiny next to the train corpus); the train side never shuffles its text —
+    only (id, matched-token) pairs move, re-aggregated map-side by id.
+    """
+    toks = train.select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, ngram).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    exploded = toks.select("_id", F.size("_toks").alias("n_tok"),
+                           F.explode("_toks").alias("tok"))
+    eval_toks = (
+        eval_df.select(F.explode(shingles_col(text_col, ngram)).alias("tok"))
+        .distinct()
+    )
+    shared = exploded.join(F.broadcast(eval_toks), "tok").groupBy(
+        "_id", "n_tok"
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    return shared.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        (F.lit(100) * F.col("n_shared") >= F.lit(threshold_pct) * F.col("n_tok"))
+        .alias("contaminated"),
+    )
+
+
+def contamination_overlap_sql(
+    train_sql: str,
+    eval_sql: str,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold_pct: int = 50,
+) -> str:
+    """DuckDB twin of `contamination_overlap`; train_sql/eval_sql are queries
+    emitting ({id_col}, {text_col})."""
+    sh = shingles_sql(text_col, ngram)
+    return f"""
+WITH train_sh0 AS (
+  SELECT {id_col} AS _id, {sh} AS toks FROM ({train_sql})
+),
+train_sh AS (SELECT * FROM train_sh0 WHERE len(toks) > 0),
+train_tok AS (
+  SELECT _id, len(toks) AS n_tok, unnest(toks) AS tok FROM train_sh
+),
+eval_tok AS (
+  SELECT DISTINCT unnest({sh}) AS tok FROM ({eval_sql})
+),
+shared AS (
+  SELECT t._id, t.n_tok, count(*) AS n_shared
+  FROM train_tok t JOIN eval_tok e USING (tok)
+  GROUP BY t._id, t.n_tok
+)
+SELECT _id AS {id_col}, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       100 * n_shared >= {threshold_pct} * n_tok AS contaminated
+FROM shared
+"""
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group token-budget packing: walk each group in the seeded
+    deterministic order and keep documents while the running token total stays
+    within `budget` — the "assemble an N-token corpus with a fixed language /
+    domain mix" step of a training-data build.
+
+    Emits survivors with their token count and the running total (`cum_tokens`
+    ≤ budget). Deterministic: order is the LCG scramble of the id (ties
+    impossible — the id breaks them), so results are partitioning- and
+    engine-invariant.
+
+    Scale: a running sum needs a per-group sort, so groups shuffle whole —
+    fine for the intended group arity (languages/domains/sources: tens to
+    thousands of groups). When one group is a large fraction of a 10^12-row
+    corpus, the practical variant first estimates the order-key cutoff whose
+    prefix sums to the budget (quantile sketch over (key, tokens)), then
+    filters `key < cutoff` map-side — same semantics minus the boundary doc;
+    that estimate path is the documented fallback, not implemented here.
+    """
+    from data_quality_check_spark.functions.text import token_count_col
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_qkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            id_col,
+            group_col,
+            _sample_key(id_col).alias("_qkey"),
+            token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_qkey")
+    )
+
+
+def pack_token_budget_sql(
+    table: str, id_col: str, group_col: str, text_col: str, budget: int
+) -> str:
+    """DuckDB twin of `pack_token_budget`."""
+    from data_quality_check_spark.functions.text import token_count_sql
+
+    key = _sample_key_sql(id_col)
+    ntok = token_count_sql(text_col)
+    return f"""
+WITH r AS (
+  SELECT {id_col}, {group_col}, CAST({ntok} AS BIGINT) AS n_tokens,
+         sum(CAST({ntok} AS BIGINT)) OVER (
+           PARTITION BY {group_col} ORDER BY {key}, {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM {table}
+)
+SELECT {id_col}, {group_col}, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= {budget}
+"""

@@ -1,0 +1,115 @@
+"""Curation operators: quota sampling, keep-best election, contamination.
+
+Oracle parity at sf0.001 is covered by tests/test_entry_oracle.py (the gate
+parametrizes over every registered query); here we pin the semantic
+invariants and the physical-plan properties the 100 TB design depends on.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators import curation as CU
+from data_quality_check_spark.operators import dedup as DD
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quota_sample_caps_each_group(spark, docs):
+    out = CU.quota_sample(docs, "doc_id", "lang", 5).toPandas()
+    per_group = out.groupby("lang").size()
+    assert (per_group <= 5).all()
+    assert (out["quota_rank"] >= 1).all() and (out["quota_rank"] <= 5).all()
+    # groups smaller than the quota survive whole
+    totals = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, kept in per_group.items():
+        assert kept == min(5, totals[lang])
+
+
+def test_quota_sample_is_partitioning_invariant(spark, docs):
+    a = CU.quota_sample(docs, "doc_id", "lang", 7).toPandas()
+    b = CU.quota_sample(docs.repartition(13), "doc_id", "lang", 7).toPandas()
+    key = ["doc_id", "lang", "quota_rank"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+def test_quota_sample_pushes_group_limit_map_side(spark, docs):
+    # Spark >=3.5 InferWindowGroupLimit: row_number() <= k becomes a partial
+    # WindowGroupLimit BEFORE the shuffle, so each map task forwards at most
+    # `quota` rows per group — the property that bounds the shuffle at 100 TB.
+    plan = _plan(CU.quota_sample(docs, "doc_id", "lang", 5))
+    # partial (map-side) + final — two WindowGroupLimit nodes around the shuffle
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_keep_best_elects_one_max_quality_winner(spark, docs):
+    clusters = DD.neardup_clusters(docs, "doc_id", "text", 0.6, ngram=3)
+    out = CU.keep_best(docs, clusters, "doc_id", "n_chars").toPandas()
+    if out.empty:
+        pytest.skip("no near-dup clusters at this SF")
+    by_comp = out.groupby("component")
+    assert (by_comp["keep"].sum() == 1).all()
+    for _, grp in by_comp:
+        winner = grp[grp["keep"]].iloc[0]
+        assert winner["n_chars"] == grp["n_chars"].max()
+        ties = grp[grp["n_chars"] == winner["n_chars"]]
+        assert winner["doc_id"] == ties["doc_id"].min()
+    # every clustered row is present exactly once (drop set = rows where ~keep)
+    assert out["doc_id"].is_unique
+
+
+def test_contamination_broadcasts_eval_side(spark, docs):
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    df = CU.contamination_overlap(train, ev, "doc_id", "text", ngram=3)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_flags_a_planted_eval_copy(spark, docs):
+    # plant a train doc that IS an eval doc's text → 100% shingle overlap
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    planted = ev.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text").union(
+        planted
+    )
+    out = CU.contamination_overlap(train, ev, "doc_id", "text", ngram=3).toPandas()
+    row = out[out["doc_id"] >= 1_000_000]
+    assert len(row) == 1 and bool(row.iloc[0]["contaminated"])
+    assert row.iloc[0]["n_shared"] == row.iloc[0]["n_tok"]
+
+
+def test_pack_token_budget_respects_budget_and_greedy_order(spark, docs):
+    out = CU.pack_token_budget(docs, "doc_id", "lang", "text", 800).toPandas()
+    assert not out.empty
+    assert (out["cum_tokens"] <= 800).all()
+    for _, grp in out.groupby("lang"):
+        g = grp.sort_values("cum_tokens")
+        # running total is consistent: cum = prefix sum of n_tokens
+        assert (g["n_tokens"].cumsum().values == g["cum_tokens"].values).all()
+
+
+def test_pack_token_budget_is_partitioning_invariant(spark, docs):
+    a = CU.pack_token_budget(docs, "doc_id", "lang", "text", 800).toPandas()
+    b = CU.pack_token_budget(
+        docs.repartition(17), "doc_id", "lang", "text", 800
+    ).toPandas()
+    key = ["doc_id", "lang", "n_tokens", "cum_tokens"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
