@@ -1045,3 +1045,13 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.pack_token_budget(
         t(spark, sf_dir, "documents"), "doc_id", "lang", "text", _TOKEN_BUDGET
     )
+
+
+@register(
+    "repetition_stats_documents",
+    CU.repetition_stats_sql("documents", "doc_id", "text", dup_pct=5),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.repetition_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", dup_pct=5
+    )

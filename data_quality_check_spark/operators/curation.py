@@ -263,3 +263,83 @@ WITH r AS (
 SELECT {id_col}, {group_col}, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM r WHERE cum_tokens <= {budget}
 """
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_pct: int = 5,
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher §A1.1-style "repetition
+    removal"): total vs distinct word n-gram counts for n=1,2,3 and a
+    `repetitive` flag when ≥ dup_pct% of a doc's 2-grams are repeats (the
+    2-gram fraction is the most discriminative of the three on caption-length
+    text; Gopher applies the same rule family across n).
+
+    Pure JVM expressions (one codegen projection, no shuffle, no UDF): totals
+    are arithmetic on the whitespace token count; distincts are sizes of the
+    same shingle arrays the dedup operators use. The flag compares in integer
+    arithmetic (100·(n2−d2) ≥ dup_pct·n2) so engines can't drift on float
+    rounding. Docs with zero tokens report all zeros, not null/negative sizes.
+    """
+    from data_quality_check_spark.functions.text import token_count_col
+
+    c = F.col(text_col)
+    n1 = token_count_col(c).cast("long")
+    zero = n1 == 0
+
+    def _distinct(n: int) -> F.Column:
+        return (
+            F.when(zero, F.lit(0))
+            .otherwise(F.size(shingles_col(text_col, n)))
+            .cast("long")
+        )
+
+    n2 = F.greatest(n1 - 1, F.lit(0)).cast("long")
+    n3 = F.greatest(n1 - 2, F.lit(0)).cast("long")
+    d2 = _distinct(2)
+    return df.select(
+        id_col,
+        n1.alias("n_words"),
+        _distinct(1).alias("distinct_words"),
+        n2.alias("n_2grams"),
+        d2.alias("distinct_2grams"),
+        n3.alias("n_3grams"),
+        _distinct(3).alias("distinct_3grams"),
+        ((n2 > 0) & (F.lit(100) * (n2 - d2) >= F.lit(dup_pct) * n2)).alias(
+            "repetitive"
+        ),
+    )
+
+
+def repetition_stats_sql(
+    table: str, id_col: str, text_col: str, dup_pct: int = 5
+) -> str:
+    """DuckDB twin of `repetition_stats`."""
+    from data_quality_check_spark.functions.text import token_count_sql
+
+    ntok = token_count_sql(text_col)
+
+    def _d(n: int) -> str:
+        return (
+            f"CASE WHEN ({ntok}) = 0 THEN 0 "
+            f"ELSE len({shingles_sql(text_col, n)}) END"
+        )
+
+    return f"""
+WITH r AS (
+  SELECT {id_col},
+         CAST({ntok} AS BIGINT) AS n_words,
+         CAST({_d(1)} AS BIGINT) AS distinct_words,
+         CAST({_d(2)} AS BIGINT) AS distinct_2grams,
+         CAST({_d(3)} AS BIGINT) AS distinct_3grams
+  FROM {table}
+)
+SELECT {id_col}, n_words, distinct_words,
+       CAST(greatest(n_words - 1, 0) AS BIGINT) AS n_2grams, distinct_2grams,
+       CAST(greatest(n_words - 2, 0) AS BIGINT) AS n_3grams, distinct_3grams,
+       greatest(n_words - 1, 0) > 0
+         AND 100 * (greatest(n_words - 1, 0) - distinct_2grams)
+             >= {dup_pct} * greatest(n_words - 1, 0) AS repetitive
+FROM r
+"""

@@ -113,3 +113,28 @@ def test_pack_token_budget_is_partitioning_invariant(spark, docs):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_repetition_stats_zero_token_and_repeat_edge(spark):
+    rows = [
+        (1, "a b a b a b a b"),          # heavy 2-gram repetition
+        (2, ""),                          # empty → all zeros
+        (3, None),                        # null → all zeros
+        (4, "all distinct words here"),  # no repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        CU.repetition_stats(df, "doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_words"] == 8 and out.loc[1, "distinct_words"] == 2
+    assert out.loc[1, "n_2grams"] == 7 and out.loc[1, "distinct_2grams"] == 2
+    assert bool(out.loc[1, "repetitive"])
+    for i in (2, 3):
+        assert (out.loc[i, ["n_words", "distinct_words", "n_2grams",
+                            "distinct_2grams", "n_3grams", "distinct_3grams"]] == 0).all()
+        assert not bool(out.loc[i, "repetitive"])
+    assert out.loc[4, "distinct_words"] == out.loc[4, "n_words"] == 4
+    assert not bool(out.loc[4, "repetitive"])
