@@ -1055,3 +1055,39 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.repetition_stats(
         t(spark, sf_dir, "documents"), "doc_id", "text", dup_pct=5
     )
+
+
+# The deduped corpus itself: singletons + one keep-best winner per near-dup
+# cluster — the artifact the preceding dedup stages exist to produce.
+@register(
+    "dedup_survivors_documents",
+    lambda: CU.dedup_survivors_sql(
+        "documents",
+        DD.neardup_clusters_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N),
+        "doc_id",
+        "n_chars",
+    ),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    clusters = DD.neardup_clusters(
+        docs, "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    )
+    return CU.dedup_survivors(docs, clusters, "doc_id", "n_chars")
+
+
+# Unblocked embedding near-dup (banded SRP-LSH + exact confirm): the scale
+# path when no blocking label exists. The oracle embeds the same seeded
+# planes as literals, reproducing the exact banded candidate set — the driver
+# value-checks the full bucketing composition; recall vs the exact pair set
+# is asserted on planted perturbation near-dups in tests.
+@register(
+    "embedding_neardup_lsh",
+    lambda: _OR.embedding_neardup_lsh_sql(
+        threshold=_NEARDUP_T, n_bits=32, bands=8, dim=64
+    ),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.neardup_pairs_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=32, bands=8
+    )

@@ -343,3 +343,44 @@ SELECT {id_col}, n_words, distinct_words,
              >= {dup_pct} * greatest(n_words - 1, 0) AS repetitive
 FROM r
 """
+
+def dedup_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """The deduped corpus: every singleton (no near-dup partner) plus the ONE
+    keep-best winner per cluster. Emits ({id_col}, was_clustered) — join back
+    to the corpus for payload columns so the wide rows never ride through the
+    election.
+
+    Losers are removed with a broadcast anti-join on the (dup-rate-
+    proportional) loser id set — the same small-side shape as keep_best's
+    cluster join; at pathological dup rates the size-gated bucketed fallback
+    in pipeline.run applies.
+    """
+    elected = keep_best(df, clusters, id_col, quality_col)
+    losers = elected.filter(~F.col("keep")).select(id_col)
+    winners = elected.filter(F.col("keep")).select(id_col)
+    kept = df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+    return kept.join(
+        F.broadcast(winners.withColumn("was_clustered", F.lit(True))),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("was_clustered", F.lit(False)).alias("was_clustered"))
+
+
+def dedup_survivors_sql(
+    table: str, clusters_sql: str, id_col: str, quality_col: str
+) -> str:
+    """DuckDB twin of `dedup_survivors`."""
+    kb = keep_best_sql(table, clusters_sql, id_col, quality_col)
+    return f"""
+WITH elected AS ({kb})
+SELECT t.{id_col},
+       coalesce((SELECT keep FROM elected e WHERE e.{id_col} = t.{id_col}), FALSE)
+         AS was_clustered
+FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT {id_col} FROM elected WHERE NOT keep)
+"""

@@ -271,3 +271,67 @@ def ann_lsh_topk(
     q = queries.withColumn("bucket", srp_bucket_col(qvec_col, n_bits, dim))
     joined = cand.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
     return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a blocking column — the scale path
+    when no label exists: banded sign-random-projection buckets generate
+    candidates (a pair qualifies if ANY of `bands` r-bit signature chunks
+    matches, r = n_bits/bands), then an exact rounded-cosine confirm ≥
+    threshold removes every false positive.
+
+    Recall for a true pair at cosine c is 1-(1-p^r)^bands with
+    p = 1 - acos(c)/π — ≈1 for genuine near-dups (c ≥ 0.95 at the 32/8
+    default), falling smoothly for lower thresholds; the exact
+    `neardup_pairs_blocked` (or a larger `bands`) covers low-threshold
+    sweeps. Only (band, chunk, id) rows shuffle for candidate generation —
+    vectors join back by id for the confirm, so the wide embedding column
+    never rides the banded exchange (the MinHash-LSH shape, dedup.py)."""
+    from data_quality_check_spark.operators.dedup import _pin
+
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    r = n_bits // bands
+    mask = (1 << r) - 1
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = vecs.select("id", srp_bucket_col("v", n_bits, dim).alias("sig"))
+    chunks = _pin(
+        sig.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bc"),
+        ).select("id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    )
+    a = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_a"))
+    b = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

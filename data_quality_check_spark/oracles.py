@@ -243,3 +243,38 @@ r AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
 """
+
+def embedding_neardup_lsh_sql(
+    threshold: float, n_bits: int, bands: int, dim: int
+) -> str:
+    """Pure-SQL twin of similarity.neardup_pairs_lsh: identical seeded planes
+    as float64 literals → identical signatures → identical banded candidate
+    set → identical exact confirm, so the driver value-checks the whole
+    bucketing composition (recall properties are asserted separately in
+    tests/test_dedup_similarity.py)."""
+    from data_quality_check_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(n_bits, dim)
+    bucket = _bucket_sql("ev", planes)
+    r = n_bits // bands
+    mask = (1 << r) - 1
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+s AS (SELECT vec_id, {bucket} AS sig FROM v),
+chunks AS (
+  SELECT vec_id, band, (sig >> (band * {r})) & {mask} AS chunk
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM chunks a JOIN chunks b USING (band, chunk)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(va.ev, vb.ev), 4) AS cosine
+  FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
+"""

@@ -250,3 +250,26 @@ def test_connected_components_long_path_converges(spark):
     _release_local_checkpoint(labels)  # done acting on the result
     # no NEW storage blocks survive this test (session may carry others' caches)
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) <= before
+
+
+def test_embedding_neardup_lsh_recall_on_planted_neardups(spark):
+    """Banded SRP (32 bits / 8 bands) must recover essentially all planted
+    high-cosine near-dup pairs (tiny perturbations, cosine >= 0.99: per-pair
+    miss probability ~1e-6) and never emit a pair below the confirm
+    threshold."""
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        pert = v + rng.standard_normal(64) * 0.02  # cosine ~0.9998
+        rows.append((1000 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.neardup_pairs_lsh(df, threshold=0.95, n_bits=32, bands=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    planted = {(i, 1000 + i) for i in range(40)}
+    assert planted <= pairs, planted - pairs
+    # exact confirm: nothing below threshold survives
+    assert all(r.cosine >= 0.95 for r in got)
+    # random 64-dim gaussians are near-orthogonal: no cross-base pair confirms
+    assert pairs == planted
