@@ -81,16 +81,29 @@ def neardup_pairs_blocked(
     vec_col: str = "embedding",
     block_col: str = "label",
 ) -> DataFrame:
-    """Exact cosine-threshold pairs within blocking-key groups (id_a < id_b)."""
-    a = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    """Exact cosine-threshold pairs within blocking-key groups (id_a < id_b).
+
+    Norms are computed once per vector BEFORE the block join (|block| rows)
+    rather than per pair (|block|² rows) — same float64 operations hoisted, so
+    the rounded cosine is bit-identical to cosine_col's."""
+    normed = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
-    b = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    a = normed.select(
+        "blk", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        "blk", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -326,12 +339,26 @@ def neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # Precompute each vector's norm ONCE before the pair join: the confirm then
+    # costs one dot-product fold per candidate pair instead of three (dot +
+    # both norms) — same float64 operations as cosine_col, just hoisted, so the
+    # rounded value (and the oracle hash) is unchanged.
+    normed = vecs.select("id", "v", _norm(F.col("v")).alias("nrm"))
+    va = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
