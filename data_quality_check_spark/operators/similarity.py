@@ -49,14 +49,32 @@ def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
     """Shared exact-rerank tail of every top-k operator (brute force and both
     ANN paths): rounded cosine, rank per query with deterministic tie-break on
     id, keep rank ≤ k. One definition so the rounding/tie-break contract cannot
-    drift between operators."""
+    drift between operators.
+
+    When the callers pre-hoisted norms (`_cn` on the candidate side before the
+    join multiplied rows, `_qn` on the query side before the broadcast), the
+    per-pair cost drops from three 64-element folds to one — the same float64
+    operations in the same order, so the rounded value cannot drift."""
+    if "_cn" in joined.columns and "_qn" in joined.columns:
+        cos = _dot(F.col(vec_col), F.col(qvec_col)) / (F.col("_cn") * F.col("_qn"))
+    else:
+        cos = cosine_col(F.col(vec_col), F.col(qvec_col))
     scored = joined.select(
         F.col(qid_col),
         F.col(id_col),
-        F.round(cosine_col(F.col(vec_col), F.col(qvec_col)), 4).alias("cosine"),
+        F.round(cos, 4).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hoist_norms(df: DataFrame, vec_col: str, queries: DataFrame, qvec_col: str):
+    """Per-vector norms computed once per ROW on each join input (n + q rows)
+    instead of once per candidate PAIR (n × q rows) in the rerank."""
+    return (
+        df.withColumn("_cn", _norm(F.col(vec_col))),
+        queries.withColumn("_qn", _norm(F.col(qvec_col))),
+    )
 
 
 def cosine_topk(
@@ -70,6 +88,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (brute force; broadcast the
     query side — the candidate side streams, no shuffle until the final top-k)."""
+    df, queries = _hoist_norms(df, vec_col, queries, qvec_col)
     joined = df.crossJoin(F.broadcast(queries)).filter(F.col(id_col) != F.col(qid_col))
     return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
 
@@ -258,6 +277,7 @@ def ann_ivf_topk(
     )
     # null/ragged embeddings get a NULL cell and fall out of the inner join —
     # same degrade-to-absent behavior as the JVM-side cosine path
+    df, queries = _hoist_norms(df, vec_col, queries, qvec_col)
     cand = df.withColumn("cell", ivf_assign_udf(cents)(F.col(vec_col)))
     q = queries.withColumn(
         "cell", F.explode(ivf_probe_udf(cents, nprobe)(F.col(qvec_col)))
@@ -280,6 +300,7 @@ def ann_lsh_topk(
     """Approximate top-k: candidates share the query's SRP bucket, exact rerank
     inside. At 10^12 scale the bucket join replaces the crossJoin — candidates
     drop by ~2^n_bits while recall stays high for near-duplicate queries."""
+    df, queries = _hoist_norms(df, vec_col, queries, qvec_col)
     cand = df.withColumn("bucket", srp_bucket_col(vec_col, n_bits, dim))
     q = queries.withColumn("bucket", srp_bucket_col(qvec_col, n_bits, dim))
     joined = cand.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
