@@ -401,31 +401,47 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> D
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, ngram: int = 1
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    pin: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ k: band the 64 bits into 4
-    16-bit chunks (pigeonhole: any pair with ≤3 differing bits shares ≥1 chunk),
-    join on chunk equality, verify with bit_count(xor)."""
-    narrow = _narrow(df, id_col, text_col)
-    # pin the signatures: the pandas-UDF stage (and its python-worker spin-up)
-    # must run once, not once per self-join side
-    sh = _pin(with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash"))
-    chunks = sh.select(
+    """All pairs (id_a < id_b) whose 64-bit signatures differ in ≤ max_hamming
+    bits — EXACT (recall 1) by the pigeonhole principle: the 64 bits are banded
+    into max_hamming+1 chunks, so a qualifying pair must agree on ≥1 whole
+    chunk; the banded equi-join generates candidates, `bit_count(xor)`
+    verifies. Works over ANY 64-bit signature column: SimHash text signatures
+    (`simhash_near_pairs`) and image perceptual hashes (phash) alike.
+
+    Only (chunk, ckey, id, sig) rows shuffle; the signature table is pinned so
+    its lineage (often a pandas-UDF stage) runs once, not once per self-join
+    side."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
+    if pin:
+        sig = _pin(sig)
+
+    def _ckey(i: int) -> F.Column:
+        # last chunk absorbs the remainder bits (shift then mask to the top)
+        w = width if i < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        shifted = F.shiftrightunsigned(F.col("_sig"), i * width)
+        return shifted.bitwiseAND(F.lit((1 << w) - 1)) if w < 64 else shifted
+
+    chunks = sig.select(
         "id",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("chunk"), _ckey(i).alias("ckey"))
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.ckey")
+    ).select("id", "_sig", "cc.chunk", "cc.ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(b, ["chunk", "ckey"])
@@ -433,11 +449,22 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, ngram: int = 1
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k: band the 64 bits into
+    max_hamming+1 chunks (pigeonhole: any pair with ≤k differing bits shares
+    ≥1 chunk), join on chunk equality, verify with bit_count(xor)."""
+    narrow = _narrow(df, id_col, text_col)
+    sh = with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash")
+    return hamming_near_pairs(sh, "id", "simhash", max_hamming)
 
 
 # ---------------- near-dup clusters (connected components) ----------------

@@ -273,3 +273,30 @@ def test_embedding_neardup_lsh_recall_on_planted_neardups(spark):
     assert all(r.cosine >= 0.95 for r in got)
     # random 64-dim gaussians are near-orthogonal: no cross-base pair confirms
     assert pairs == planted
+
+
+def test_hamming_near_pairs_matches_brute_force(spark):
+    """Pigeonhole banding is EXACT (recall 1) for any 64-bit signature column —
+    checked against a brute-force popcount over random longs plus planted
+    near-dup perturbations (the phash image near-dup path)."""
+    rng = np.random.RandomState(7)
+    sigs = list(rng.randint(-(2**63), 2**63 - 1, size=60, dtype=np.int64))
+    for i in range(0, 20, 2):  # plant pairs at hamming 1-3
+        flips = rng.choice(64, size=(i % 3) + 1, replace=False)
+        v = sigs[i]
+        for f in flips:
+            v = np.int64(v ^ np.int64(1) << np.int64(int(f)))
+        sigs.append(v)
+    rows = [(i, int(s)) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.hamming_near_pairs(df, "id", "phash", max_hamming=3).collect()
+    }
+    expect = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((int(sigs[i]) ^ int(sigs[j])) & (2**64 - 1)).count("1")
+            if h <= 3:
+                expect.add((i, j, h))
+    assert got == expect and len(expect) >= 10
