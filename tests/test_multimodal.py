@@ -128,3 +128,32 @@ def test_bilinear_resize_properties(spark):
     assert thumb.shape == (8, 8, 3)
     np.testing.assert_array_equal(thumb, bilinear_resize(img, 8, 8))
     assert rows[1]["out"] is None and rows[2]["out"] is None
+
+
+def test_phash_hamming_neardup_finds_injected_image_dups(spark):
+    """The image-axis near-dup path: hamming_near_pairs over the fixture's
+    phash column recovers the injected near-dup groups (re-encoded copies
+    share the leader's phash → hamming 0), and every reported pair verifies
+    against a driver-side popcount."""
+    from data_quality_check_spark.operators.dedup import hamming_near_pairs, release_pins
+    from data_quality_check_spark.pipeline.fixtures import generate_images_pdf
+
+    pdf = generate_images_pdf(n=400, dup_rate=0.05)
+    sig = pdf.groupby("image_id", as_index=False).first()[["image_id", "phash"]]
+    df = spark.createDataFrame(sig)
+    got = hamming_near_pairs(df, "image_id", "phash", max_hamming=2).collect()
+    release_pins()
+    by_hash = sig.groupby("phash")["image_id"].apply(list)
+    expect = set()
+    for ids in by_hash:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expect.add((ids[i], ids[j]))
+    assert expect, "fixture should inject shared-phash near-dup groups"
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    assert expect <= got_pairs
+    ph = dict(zip(sig["image_id"], sig["phash"]))
+    for r in got:
+        h = bin((int(ph[r.id_a]) ^ int(ph[r.id_b])) & (2**64 - 1)).count("1")
+        assert h == r.hamming and h <= 2
