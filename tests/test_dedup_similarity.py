@@ -293,6 +293,7 @@ def test_hamming_near_pairs_matches_brute_force(spark):
         (r.id_a, r.id_b, r.hamming)
         for r in DD.hamming_near_pairs(df, "id", "phash", max_hamming=3).collect()
     }
+    DD.release_pins()
     expect = set()
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
