@@ -122,6 +122,10 @@ class FilterConfig:
     # slice fits the budget (decision rows are 3 narrow columns, ~50 B each;
     # 2M rows ≈ 100 MB per executor — a safe explicit-broadcast size).
     max_broadcast_decisions: int = 2_000_000
+    # None → exact-phash dedup only; k → ALSO group ids whose phashes are
+    # within Hamming k (perceptual near-dups: re-encodes, slight crops) via
+    # banded pairs + connected components over the DISTINCT-phash table.
+    near_dup_hamming: int | None = None
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
 
@@ -188,6 +192,66 @@ def dup_decisions(df: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_decisions(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """dup_decisions extended to PERCEPTUAL near-dups: ids whose phashes sit
+    within Hamming `max_hamming` of each other form ONE group (connected
+    components over pigeonhole-banded pairs, dedup.hamming_near_pairs), and
+    the min image_id per group wins. Output contract, determinism, and resume
+    semantics are identical to dup_decisions — a resumed run re-derives the
+    same decisions because every stage is a pure function of the full input.
+
+    Cost: the Hamming pair join + components run over the DISTINCT-phash
+    table — bounded by the corpus's perceptual diversity, not its row count
+    (the fixture measures ~11k distinct hashes per 20k rows; a 10^12-row crawl
+    still has ~10^9 distinct phashes, a table the banded self-join handles
+    with the same shape the text SimHash path uses). The full-width input
+    pays exactly what the exact path pays: one broadcast semi-join."""
+    from data_quality_check_spark.operators.dedup import (
+        connected_components,
+        hamming_near_pairs,
+    )
+
+    narrow = df.select("image_id", "phash", "rid")
+    ph_counts = narrow.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
+    edges = hamming_near_pairs(
+        ph_counts.select("phash"), "phash", "phash", max_hamming
+    )
+    labels = connected_components(edges).withColumnRenamed("id", "phash")
+    # acting phashes: near a different phash (component member) or repeated
+    # (exact dups / same-id copies); group key = component, else own phash
+    acting = (
+        ph_counts.join(labels, "phash", "left")
+        .filter((F.col("n") > 1) | F.col("comp").isNotNull())
+        .select("phash", F.coalesce("comp", "phash").alias("gkey"))
+    )
+    cand = narrow.join(F.broadcast(acting), "phash")
+    ids = cand.groupBy("image_id").agg(
+        F.min("gkey").alias("gkey"),
+        F.min("rid").alias("keep_rid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    groups = ids.groupBy("gkey").agg(
+        F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
+    )
+    return (
+        ids.join(groups, "gkey")
+        .filter((F.col("n_ids") > 1) | (F.col("n_rows") > 1))
+        .select(
+            "image_id",
+            (F.col("image_id") != F.col("winner")).alias("is_loser"),
+            "keep_rid",
+        )
+    )
+
+
+def decisions_for(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Exact-phash decisions, or the perceptual near-dup variant when
+    cfg.near_dup_hamming is set."""
+    if cfg.near_dup_hamming is not None:
+        return near_dup_decisions(df, cfg.near_dup_hamming)
+    return dup_decisions(df)
+
+
 def with_rid(df: DataFrame) -> DataFrame:
     """Stable physical row id: `xxhash64(_metadata.file_path,
     _metadata.row_index)` — a pure function of WHERE the row sits in storage
@@ -241,7 +305,7 @@ def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> D
     if "rid" not in df.columns:
         df = with_rid(df)
     if dups is None:
-        dups = dup_decisions(df)
+        dups = decisions_for(df, cfg)
     return finalize(score_rows(df, cfg), cfg, dups)
 
 
@@ -425,7 +489,7 @@ def run_filter(
     # resume granularity: a kill mid-run loses at most one group.
     from pyspark.storagelevel import StorageLevel
 
-    dups = dup_decisions(df).persist(StorageLevel.MEMORY_AND_DISK)
+    dups = decisions_for(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     spill_dir = os.path.join(checkpoint_dir, "dup_decisions", cfg.run_id)
     totals = {"rows_in": 0, "rows_kept": 0}
     try:

@@ -352,3 +352,43 @@ def test_dup_broadcast_fallback_identical(spark, tmp_path_factory):
     # and committed more than one manifest group (per-group checkpointing)
     manifests = spark.read.parquet(os.path.join(ckpt_f, "manifest"))
     assert manifests.select("committed_at").distinct().count() > 1
+
+
+def test_near_dup_decisions_groups_by_phash_hamming(spark):
+    """Perceptual mode: ids whose phashes differ by <= k bits form one group
+    (min id wins); the exact path leaves them untouched. Same-id copies keep
+    exactly one physical row in both modes."""
+    from data_quality_check_spark.operators.dedup import release_pins
+    from data_quality_check_spark.pipeline.run import dup_decisions, near_dup_decisions
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("img_a", base, 1),
+        ("img_b", base ^ (1 << 7), 2),     # hamming 1 from img_a → near-dup
+        ("img_c", base ^ 0xFF00000000, 3),  # hamming 8 → unrelated
+        ("img_d", 42, 4),                   # same-id copies, same phash
+        ("img_d", 42, 5),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, rid long")
+
+    exact = {r.image_id: r for r in dup_decisions(df).collect()}
+    near = {r.image_id: r for r in near_dup_decisions(df, max_hamming=3).collect()}
+    release_pins()
+
+    # exact mode: only the same-id copy pair acts; no cross-id losers
+    assert set(exact) == {"img_d"}
+    assert not exact["img_d"].is_loser and exact["img_d"].keep_rid == 4
+
+    # near mode: img_b loses to img_a (hamming 1); img_c untouched; img_d same
+    assert set(near) == {"img_a", "img_b", "img_d"}
+    assert not near["img_a"].is_loser
+    assert near["img_b"].is_loser
+    assert not near["img_d"].is_loser and near["img_d"].keep_rid == 4
+
+    # config dispatch picks the right variant
+    from data_quality_check_spark.pipeline.run import FilterConfig, decisions_for
+
+    got_n = {r.image_id for r in decisions_for(df, FilterConfig(near_dup_hamming=3)).collect()}
+    got_e = {r.image_id for r in decisions_for(df, FilterConfig()).collect()}
+    release_pins()
+    assert got_n == set(near) and got_e == set(exact)
