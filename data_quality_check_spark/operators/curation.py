@@ -130,6 +130,7 @@ def contamination_overlap(
     text_col: str,
     ngram: int = 3,
     threshold_pct: int = 50,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Flag training documents whose shingle sets overlap an evaluation set —
     the train/test contamination check every LLM data pipeline runs before a
@@ -144,6 +145,9 @@ def contamination_overlap(
     The eval shingle universe is deduped then broadcast (eval benchmarks are
     tiny next to the train corpus); the train side never shuffles its text —
     only (id, matched-token) pairs move, re-aggregated map-side by id.
+    `broadcast_eval=False` drops the hint for corpus-vs-corpus overlap checks
+    where the "eval" side is itself huge: the probe becomes a plain shuffled
+    equi-join on the token, with AQE handling hot-shingle skew.
     """
     toks = train.select(
         F.col(id_col).alias("_id"), shingles_col(text_col, ngram).alias("_toks")
@@ -154,7 +158,9 @@ def contamination_overlap(
         eval_df.select(F.explode(shingles_col(text_col, ngram)).alias("tok"))
         .distinct()
     )
-    shared = exploded.join(F.broadcast(eval_toks), "tok").groupBy(
+    if broadcast_eval:
+        eval_toks = F.broadcast(eval_toks)
+    shared = exploded.join(eval_toks, "tok").groupBy(
         "_id", "n_tok"
     ).agg(F.count(F.lit(1)).alias("n_shared"))
     return shared.select(

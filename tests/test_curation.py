@@ -138,3 +138,36 @@ def test_repetition_stats_zero_token_and_repeat_edge(spark):
         assert not bool(out.loc[i, "repetitive"])
     assert out.loc[4, "distinct_words"] == out.loc[4, "n_words"] == 4
     assert not bool(out.loc[4, "repetitive"])
+
+
+def test_contamination_shuffle_fallback_same_result(spark, docs):
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    a = CU.contamination_overlap(train, ev, "doc_id", "text", ngram=3).toPandas()
+    # broadcast_eval=False drops the HINT (the planner may still pick a
+    # broadcast when the side is small); disable auto-broadcast to genuinely
+    # drive the shuffled-join path the huge-eval case would take
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        nob = CU.contamination_overlap(
+            train, ev, "doc_id", "text", ngram=3, broadcast_eval=False
+        )
+        plan = _plan(nob)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        b = nob.toPandas()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    key = ["doc_id", "n_tok", "n_shared", "contaminated"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )

@@ -125,3 +125,66 @@ def test_langid_scores_batch_composition_invariant(texts):
         assert counts[i] == n1[0]
         np.testing.assert_allclose(conf[i], c1[0], rtol=1e-9)
         np.testing.assert_allclose(ppl[i], p1[0], rtol=1e-9)
+
+
+# ───────────────────── curation properties ─────────────────────
+
+from data_quality_check_spark.operators import curation as CU  # noqa: E402
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "longword"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    return pd.DataFrame({
+        "doc_id": range(n),
+        "lang": [draw(st.sampled_from(["en", "fr", "zh"])) for _ in range(n)],
+        "text": [draw(_doc) for _ in range(n)],
+    })
+
+
+@given(pdf=_corpus(), quota=st.integers(min_value=1, max_value=5))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_quota_sample_properties(spark, pdf, quota):
+    df = spark.createDataFrame(pdf)
+    out = CU.quota_sample(df, "doc_id", "lang", quota).toPandas()
+    sizes = pdf.groupby("lang").size()
+    got = out.groupby("lang").size()
+    # every group keeps exactly min(quota, its size); ids come from the group
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == min(quota, n)
+    merged = out.merge(pdf, on="doc_id", suffixes=("", "_src"))
+    assert (merged["lang"] == merged["lang_src"]).all()
+
+
+@given(pdf=_corpus(), budget=st.integers(min_value=0, max_value=30))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_pack_token_budget_properties(spark, pdf, budget):
+    df = spark.createDataFrame(pdf)
+    out = CU.pack_token_budget(df, "doc_id", "lang", "text", budget).toPandas()
+    assert (out["cum_tokens"] <= budget).all()
+    # maximality: for each group, the FIRST excluded doc (in the seeded order)
+    # would have overflowed the budget
+    key = (pdf["doc_id"] % 2_147_483_648 * 1103515245 + 12345) % 2_147_483_648
+    pdf = pdf.assign(okey=key, ntok=pdf["text"].str.strip().str.split().str.len())
+    pdf["ntok"] = pdf["ntok"].where(pdf["text"].str.strip() != "", 0)
+    for lang, grp in pdf.sort_values(["okey", "doc_id"]).groupby("lang"):
+        kept = set(out[out["lang"] == lang]["doc_id"])
+        run = 0
+        for r in grp.itertuples():
+            if run + r.ntok <= budget:
+                run += r.ntok
+                assert r.doc_id in kept, (lang, r.doc_id)
+            else:
+                assert r.doc_id not in kept
+                break  # greedy prefix stops at the first overflow
