@@ -1096,3 +1096,17 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs_lsh(
         t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=60, bands=20
     )
+
+
+# The SCALE variant of token-budget packing (two-phase: per-(group, key-range)
+# sums decide full/boundary buckets; only ~1/1024 of each group pays the exact
+# running-sum window). Exactly equivalent to pack_token_budget, so it shares
+# the same window-SQL oracle — the driver value-checks the decomposition.
+@register(
+    "pack_token_budget_scalable_documents",
+    CU.pack_token_budget_sql("documents", "doc_id", "lang", "text", _TOKEN_BUDGET),
+)
+def q_pack_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.pack_token_budget_scalable(
+        t(spark, sf_dir, "documents"), "doc_id", "lang", "text", _TOKEN_BUDGET
+    )

@@ -394,3 +394,76 @@ SELECT t.{id_col},
 FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT {id_col} FROM elected WHERE NOT keep)
 """
+
+def pack_token_budget_scalable(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    budget: int,
+    key_buckets: int = 1024,
+) -> DataFrame:
+    """`pack_token_budget` without the per-group global sort — the 100 TB
+    path, EXACT-equivalent to the window version (same greedy prefix in the
+    same seeded order, same output columns).
+
+    Because cum_tokens is monotone, the kept set is a PREFIX of each group's
+    key order, so it decomposes by key range:
+
+      1. bucket every row by the top bits of its order key (map-side);
+      2. aggregate token sums per (group, bucket) — the only wide shuffle,
+         map-side combined, groups × key_buckets result rows;
+      3. a running sum over that TINY table finds each group's boundary
+         bucket (prefix ≤ budget < prefix + bucket_sum);
+      4. rows in buckets before the boundary are kept outright (broadcast
+         join, no sort); only the boundary bucket's rows — ~1/key_buckets of
+         each group — pay the exact running-sum window, seeded with the
+         bucket's prefix.
+
+    Zero-token rows past the overflow point are excluded in both variants
+    (their cum already exceeds the budget).
+    """
+    from data_quality_check_spark.functions.text import token_count_col
+
+    # top bits of the 31-bit key preserve key order across buckets
+    shift = max(0, 31 - (key_buckets - 1).bit_length())
+    base = df.select(
+        id_col,
+        group_col,
+        _sample_key(id_col).alias("_qkey"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("_bkt", F.shiftright(F.col("_qkey"), shift))
+    per = base.groupBy(group_col, "_bkt").agg(F.sum("n_tokens").alias("_s"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = per.withColumn("_pre", F.sum("_s").over(wb) - F.col("_s"))
+    marked = base.join(F.broadcast(per), [group_col, "_bkt"])
+    full = marked.filter(F.col("_pre") + F.col("_s") <= budget).select(
+        id_col, group_col, "_bkt", "_qkey", "n_tokens", F.col("_pre").alias("_seed")
+    )
+    boundary = marked.filter(
+        (F.col("_pre") <= budget) & (F.col("_pre") + F.col("_s") > budget)
+    )
+    wr = (
+        Window.partitionBy(group_col, "_bkt")
+        .orderBy("_qkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bkept = (
+        boundary.withColumn("_cum", F.col("_pre") + F.sum("n_tokens").over(wr))
+        .filter(F.col("_cum") <= budget)
+        .select(id_col, group_col, "_qkey", "n_tokens", "_pre", "_cum")
+    )
+    # full buckets: cum = seed (tokens before the bucket) + within-bucket
+    # running sum — recomputed with the same tiny window (the bucket is fully
+    # kept, so the filter is already decided; this just emits the column)
+    fkept = full.withColumn(
+        "_cum", F.col("_seed") + F.sum("n_tokens").over(wr)
+    ).select(id_col, group_col, "_qkey", "n_tokens", F.col("_seed").alias("_pre"), "_cum")
+    return (
+        fkept.unionByName(bkept)
+        .select(id_col, group_col, "n_tokens", F.col("_cum").alias("cum_tokens"))
+    )

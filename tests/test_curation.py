@@ -171,3 +171,28 @@ def test_contamination_shuffle_fallback_same_result(spark, docs):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_pack_scalable_equals_window_variant(spark, docs):
+    a = CU.pack_token_budget(docs, "doc_id", "lang", "text", 800).toPandas()
+    b = CU.pack_token_budget_scalable(docs, "doc_id", "lang", "text", 800).toPandas()
+    key = ["doc_id", "lang", "n_tokens", "cum_tokens"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+def test_pack_scalable_single_giant_group(spark):
+    # one group dominating the corpus — the case the decomposition exists for;
+    # also exercises many boundary/full buckets and zero-token rows
+    rows = [(i, "g", "w " * (i % 4)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = CU.pack_token_budget(df, "doc_id", "lang", "text", 700).toPandas()
+    b = CU.pack_token_budget_scalable(
+        df, "doc_id", "lang", "text", 700, key_buckets=64
+    ).toPandas()
+    key = ["doc_id", "lang", "n_tokens", "cum_tokens"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    assert len(a) > 0 and (a["cum_tokens"] <= 700).all()
