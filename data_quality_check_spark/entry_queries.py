@@ -1110,3 +1110,18 @@ def q_pack_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.pack_token_budget_scalable(
         t(spark, sf_dir, "documents"), "doc_id", "lang", "text", _TOKEN_BUDGET
     )
+
+
+# Embedding near-dup clusters (LSH pairs -> connected components): the same
+# recursive-CTE oracle shape as the text clustering, over the value-checked
+# LSH pair stage — pairs AND labeling verified end to end on embedding edges.
+@register(
+    "embedding_neardup_clusters",
+    lambda: _OR.embedding_neardup_clusters_sql(
+        threshold=_NEARDUP_T, n_bits=60, bands=20, dim=64
+    ),
+)
+def q_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.neardup_clusters_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=60, bands=20
+    )

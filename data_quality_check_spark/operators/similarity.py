@@ -393,3 +393,25 @@ def neardup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+def neardup_clusters_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS: banded-SRP pair generation feeding the
+    shared pointer-jumping connected-components labeling (dedup.py) — the
+    pairs → clusters step of an embedding dedup pipeline, mirroring the text
+    path's neardup_clusters_minhash."""
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs
+
+    pairs = neardup_pairs_lsh(
+        df, threshold=threshold, n_bits=n_bits, bands=bands, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return _clusters_from_pairs(pairs, id_col, max_iter)

@@ -278,3 +278,29 @@ p AS (
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """
+
+def embedding_neardup_clusters_sql(
+    threshold: float, n_bits: int, bands: int, dim: int
+) -> str:
+    """Recursive-CTE twin of similarity.neardup_clusters_lsh: the LSH pair
+    query feeds the same min-reachable-id labeling used by the text
+    clustering oracle, so the driver value-checks pair generation AND the
+    distributed components labeling over embedding edges."""
+    pair_sql = embedding_neardup_lsh_sql(threshold, n_bits, bands, dim)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, count(*) AS csize FROM labels GROUP BY comp)
+SELECT l.id AS vec_id, l.comp AS component, s.csize AS csize
+FROM labels l JOIN sizes s USING (comp)
+"""
