@@ -365,6 +365,11 @@ def neardup_pairs_lsh(
     a = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_a"))
     b = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_b"))
     cand = (
+        # distinct BEFORE the confirm, measured, not assumed: at r=3 bands a
+        # candidate pair typically agrees on SEVERAL bands (sf0.1: 5.09M raw
+        # candidate rows → 1.84M distinct pairs), so deduping first shrinks
+        # the confirm's fold work 2.8× for the cost of one narrow two-long
+        # shuffle; confirming duplicates instead measured ~2× slower overall.
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
