@@ -188,3 +188,25 @@ def test_pack_token_budget_properties(spark, pdf, budget):
             else:
                 assert r.doc_id not in kept
                 break  # greedy prefix stops at the first overflow
+
+
+@given(pdf=_corpus(), budget=st.integers(min_value=0, max_value=30),
+       kb=st.sampled_from([2, 4, 1024]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_pack_scalable_equals_window_on_arbitrary_corpora(spark, pdf, budget, kb):
+    """The bucket decomposition is EXACT for any corpus, budget, and bucket
+    count — tiny key_buckets force every group through the boundary-window
+    path repeatedly."""
+    df = spark.createDataFrame(pdf)
+    a = CU.pack_token_budget(df, "doc_id", "lang", "text", budget).toPandas()
+    b = CU.pack_token_budget_scalable(
+        df, "doc_id", "lang", "text", budget, key_buckets=kb
+    ).toPandas()
+    key = ["doc_id", "lang", "n_tokens", "cum_tokens"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
