@@ -225,10 +225,8 @@ def pack_token_budget(
     Scale: a running sum needs a per-group sort, so groups shuffle whole —
     fine for the intended group arity (languages/domains/sources: tens to
     thousands of groups). When one group is a large fraction of a 10^12-row
-    corpus, the practical variant first estimates the order-key cutoff whose
-    prefix sums to the budget (quantile sketch over (key, tokens)), then
-    filters `key < cutoff` map-side — same semantics minus the boundary doc;
-    that estimate path is the documented fallback, not implemented here.
+    corpus, use `pack_token_budget_scalable` below: the exact two-phase
+    bucket decomposition with no per-group global sort.
     """
     from data_quality_check_spark.functions.text import token_count_col
 
