@@ -1125,3 +1125,37 @@ def q_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_clusters_lsh(
         t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_bits=60, bands=20
     )
+
+
+# Cross-table referential integrity (a core DQ check the reference's
+# single-table engine never reaches): orphan counts in both directions of the
+# documents↔embeddings 1:1 relationship, plus the matched count. Anti-joins
+# compile to broadcast/shuffled hash joins with null-aware semantics handled
+# by the engine; counts fused into one row.
+_INTEGRITY_SQL = """
+SELECT
+  CAST((SELECT count(*) FROM documents d
+        WHERE d.doc_id NOT IN (SELECT vec_id FROM embeddings)) AS BIGINT)
+    AS docs_without_embedding,
+  CAST((SELECT count(*) FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT doc_id FROM documents)) AS BIGINT)
+    AS embeddings_without_doc,
+  CAST((SELECT count(*) FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id) AS BIGINT) AS matched
+"""
+
+
+@register("integrity_documents_embeddings", _INTEGRITY_SQL)
+def q_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE plan (full-outer join + fused counts), not three driver actions:
+    # each unmatched row surfaces a null on the other side exactly once
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    embs = t(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(embs, docs.doc_id == embs.vec_id, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("docs_without_embedding"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("embeddings_without_doc"),
+        F.count(
+            F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+        ).alias("matched"),
+    )
