@@ -196,3 +196,10 @@ def test_pack_scalable_single_giant_group(spark):
         map(tuple, b[key].values.tolist())
     )
     assert len(a) > 0 and (a["cum_tokens"] <= 700).all()
+
+
+def test_pack_scalable_broadcasts_bucket_sums(spark, docs):
+    # the per-(group, key-bucket) sum table must come back as a broadcast —
+    # the full-width side never shuffles for the bucket classification
+    plan = _plan(CU.pack_token_budget_scalable(docs, "doc_id", "lang", "text", 800))
+    assert "BroadcastHashJoin" in plan
