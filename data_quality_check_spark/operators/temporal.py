@@ -149,3 +149,71 @@ def range_join_bucketed(
         .filter(cond)
         .drop("_bkt")
     )
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session summaries by inactivity gap — the classic event-log operator:
+    a new session starts when the gap since the user's previous event exceeds
+    `gap_minutes`. Emits one row per (user, session ordinal) with the event
+    count and integer-microsecond start/end (epoch µs — the repo's engine-
+    stable timestamp convention).
+
+    Shape: ONE shuffle on the user key serves both windows and the final
+    aggregation (same partitioning); the lag → flag → running-sum labeling is
+    the standard linear sessionization, skew-bounded by events-per-user.
+    Structured Streaming's session_window covers the streaming side
+    (streaming/windows.py); this is its batch/backfill twin.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy("ts_us", "_eid")
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = df.select(
+        user_col,
+        F.col(id_col).alias("_eid"),
+        # NTZ → timestamp cast is shift-free under the session's UTC TZ
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    lagged = ev.withColumn("_prev", F.lag("ts_us").over(w))
+    flagged = lagged.withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("ts_us") - F.col("_prev") > gap_us), 1
+        ).otherwise(0),
+    )
+    labeled = flagged.withColumn("session_id", F.sum("_new").over(ws))
+    return labeled.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+def sessionize_sql(
+    table: str, user_col: str, ts_col: str, id_col: str, gap_minutes: int = 30
+) -> str:
+    """DuckDB twin of `sessionize`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT {user_col}, {id_col} AS _eid, epoch_us({ts_col}) AS ts_us FROM {table}
+),
+l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY {user_col} ORDER BY ts_us, _eid) AS _prev
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN _prev IS NULL OR ts_us - _prev > {gap_us} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY {user_col} ORDER BY ts_us, _eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM l
+)
+SELECT {user_col}, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us
+FROM s GROUP BY 1, 2
+"""

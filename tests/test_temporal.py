@@ -161,3 +161,23 @@ def test_reserved_internal_names_rejected(spark):
         range_join_bucketed(base.withColumn("_bkt", F.lit(0)), ivals, "ts", "start", "end", by="k")
     with pytest.raises(ValueError, match="reserves internal"):
         range_join_bucketed(base, ivals.withColumn("_bkt", F.lit(0)), "ts", "start", "end", by="k")
+
+
+def test_sessionize_gap_semantics(spark):
+    from data_quality_check_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:10:00"),   # 10 min gap → same session
+        (3, 10, "2024-01-01 01:00:00"),   # 50 min gap → new session
+        (4, 20, "2024-01-01 00:00:00"),   # other user, own session numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap_minutes=30).collect()
+    got = {(r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us) for r in out}
+    assert set(got) == {(10, 1), (10, 2), (20, 1)}
+    assert got[(10, 1)][0] == 2 and got[(10, 2)][0] == 1 and got[(20, 1)][0] == 1
+    # session bounds are the member events' min/max µs
+    assert got[(10, 1)][1] < got[(10, 1)][2] < got[(10, 2)][1]
