@@ -30,6 +30,43 @@ from data_quality_check_spark.session import parallelize_scan
 
 _PINNED: list = []  # frames pinned by _pin/localCheckpoint awaiting release
 
+# Candidate-volume observability (VERDICT r2 item 7): every banded candidate
+# generator routes its pre-verify pair frame through observe_candidates(), so
+# the candidate count rides along with the consuming action (an `observe` node
+# costs one long per task — no extra job). bench.py reads the counts after each
+# query and reports candidate/total-pair fractions in BENCH.md, so a banding
+# config regression surfaces in the bench record instead of silently burning
+# cluster time.
+CANDIDATE_OBS: dict[str, object] = {}
+
+
+def observe_candidates(cand: DataFrame, op: str) -> DataFrame:
+    """Attach a named candidate-count observation to a candidate-pair frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    CANDIDATE_OBS[op] = obs
+    return cand.observe(obs, F.count(F.lit(1)).alias("candidates"))
+
+
+def candidate_counts(reset: bool = True) -> dict[str, int]:
+    """Candidate counts from observations whose action has completed; entries
+    whose plan never executed are skipped (never blocks)."""
+    out: dict[str, int] = {}
+    for op, obs in list(CANDIDATE_OBS.items()):
+        try:
+            jmap = obs._jo.getOrEmpty()
+            if jmap.size() > 0:
+                out[op] = int(jmap.get("candidates"))
+        except Exception:
+            try:
+                out[op] = int(obs.get["candidates"])
+            except Exception:
+                pass
+        if reset:
+            CANDIDATE_OBS.pop(op, None)
+    return out
+
 
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a signature/token DataFrame that feeds both sides of a self-join.
@@ -322,6 +359,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    cands = observe_candidates(cands, "minhash_lsh_pairs")
     # confirm with exact Jaccard on the candidate set only
     toksets = base
     out = (
@@ -443,7 +481,7 @@ def hamming_near_pairs(
         ).alias("cc"),
     ).select("id", "_sig", "cc.chunk", "cc.ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    cand = (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -451,9 +489,9 @@ def hamming_near_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    cand = observe_candidates(cand, "hamming_near_pairs")
+    return cand.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def simhash_near_pairs(

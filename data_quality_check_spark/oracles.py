@@ -244,27 +244,59 @@ r AS (
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {k}
 """
 
-def embedding_neardup_lsh_sql(
-    threshold: float, n_bits: int, bands: int, dim: int
-) -> str:
-    """Pure-SQL twin of similarity.neardup_pairs_lsh: identical seeded planes
-    as float64 literals → identical signatures → identical banded candidate
-    set → identical exact confirm, so the driver value-checks the whole
-    bucketing composition (recall properties are asserted separately in
-    tests/test_dedup_similarity.py)."""
-    from data_quality_check_spark.operators.similarity import srp_planes
+def _planted_gate_paths(sf_dir: str, bands: int, bits_per_band: int, dim: int
+                        ) -> tuple[str, str]:
+    """Materialize the planted embedding gate table and its banded-SRP chunk
+    table to scratch parquet — BOTH from shared kernels: the planted vectors
+    from gate_fixtures.planted_embeddings_pdf (bit-identical to the Spark
+    `transform` construction — exact IEEE arithmetic, see gate_fixtures.py)
+    and the chunks from similarity.srp_band_chunks (the batch-invariant
+    signature kernel the Spark pandas UDF runs). The RELATIONAL stages — the
+    banded self-join, the distinct, the exact cosine confirm — stay genuine
+    DuckDB SQL."""
+    from data_quality_check_spark.gate_fixtures import planted_embeddings_pdf
+    from data_quality_check_spark.operators.similarity import (
+        srp_band_chunks,
+        srp_planes,
+    )
 
-    planes = srp_planes(n_bits, dim)
-    bucket = _bucket_sql("ev", planes)
-    r = n_bits // bands
-    mask = (1 << r) - 1
+    pdf = _read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
+    planted = planted_embeddings_pdf(pdf)
+    vec_path = _write_parquet(
+        planted.rename(columns={"embedding": "ev"}),
+        _scratch(sf_dir, "emb_gate_planted.parquet"),
+    )
+    planes = srp_planes(bands * bits_per_band, dim)
+    x = np.asarray(planted["embedding"].tolist(), dtype=np.float64)
+    ch = srp_band_chunks(x, planes, bands)
+    ids = planted["vec_id"].to_numpy()
+    chunk_pdf = pd.DataFrame(
+        {
+            "vec_id": np.repeat(ids, bands),
+            "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+            "chunk": ch.reshape(-1),
+        }
+    )
+    chunk_path = _write_parquet(
+        chunk_pdf,
+        _scratch(sf_dir, f"emb_gate_chunks_b{bands}_r{bits_per_band}.parquet"),
+    )
+    return vec_path, chunk_path
+
+
+def embedding_neardup_lsh_sql(
+    sf_dir: str, threshold: float, bands: int, bits_per_band: int, dim: int = 64
+) -> str:
+    """Twin of similarity.neardup_pairs_lsh over the PLANTED gate table:
+    shared-kernel signatures from scratch parquet (`_planted_gate_paths`),
+    banded join + distinct + exact rounded-cosine confirm as genuine SQL —
+    the driver value-checks the whole bucketing composition at the production
+    threshold (recall/candidate-fraction properties are asserted separately
+    in tests/test_dedup_similarity.py)."""
+    vec_path, chunk_path = _planted_gate_paths(sf_dir, bands, bits_per_band, dim)
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-s AS (SELECT vec_id, {bucket} AS sig FROM v),
-chunks AS (
-  SELECT vec_id, band, (sig >> (band * {r})) & {mask} AS chunk
-  FROM s CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band)
-),
+WITH v AS (SELECT vec_id, ev FROM '{vec_path}'),
+chunks AS (SELECT vec_id, band, chunk FROM '{chunk_path}'),
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM chunks a JOIN chunks b USING (band, chunk)
@@ -279,14 +311,15 @@ p AS (
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """
 
+
 def embedding_neardup_clusters_sql(
-    threshold: float, n_bits: int, bands: int, dim: int
+    sf_dir: str, threshold: float, bands: int, bits_per_band: int, dim: int = 64
 ) -> str:
     """Recursive-CTE twin of similarity.neardup_clusters_lsh: the LSH pair
     query feeds the same min-reachable-id labeling used by the text
     clustering oracle, so the driver value-checks pair generation AND the
     distributed components labeling over embedding edges."""
-    pair_sql = embedding_neardup_lsh_sql(threshold, n_bits, bands, dim)
+    pair_sql = embedding_neardup_lsh_sql(sf_dir, threshold, bands, bits_per_band, dim)
     return f"""
 WITH RECURSIVE pairs AS ({pair_sql}),
 sym AS (
@@ -303,4 +336,36 @@ labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
 sizes AS (SELECT comp, count(*) AS csize FROM labels GROUP BY comp)
 SELECT l.id AS vec_id, l.comp AS component, s.csize AS csize
 FROM labels l JOIN sizes s USING (comp)
+"""
+
+
+def embedding_neardup_ivf_sql(
+    sf_dir: str, threshold: float, n_centroids: int
+) -> str:
+    """SQL twin of similarity.neardup_pairs_ivf: twin-trained centroid
+    literals (ivf_centroids_twin — identical sample, identical kernel) assign
+    every vector to its max-cosine cell, then exact within-cell pairs at the
+    threshold — the low-τ blocking path SRP-LSH cannot serve."""
+    cents = ivf_centroids_twin(sf_dir, n_centroids)
+    values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {values}) AS t(cell, cv)),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+assign AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT v.vec_id, v.ev, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cell
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.ev, b.ev), 4) AS cosine
+  FROM assign a JOIN assign b USING (cell)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """

@@ -1,5 +1,7 @@
 """Correctness tests for dedup and similarity operators on controlled fixtures."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -253,9 +255,9 @@ def test_connected_components_long_path_converges(spark):
 
 
 def test_embedding_neardup_lsh_recall_on_planted_neardups(spark):
-    """Banded SRP (32 bits / 8 bands) must recover essentially all planted
-    high-cosine near-dup pairs (tiny perturbations, cosine >= 0.99: per-pair
-    miss probability ~1e-6) and never emit a pair below the confirm
+    """Banded SRP (r=14 bits x 20 bands) must recover essentially all planted
+    high-cosine near-dup pairs (tiny perturbations, cosine >= 0.999: per-pair
+    miss probability ~1e-5) and never emit a pair below the confirm
     threshold."""
     rng = np.random.RandomState(3)
     base = rng.standard_normal((40, 64))
@@ -265,7 +267,7 @@ def test_embedding_neardup_lsh_recall_on_planted_neardups(spark):
         pert = v + rng.standard_normal(64) * 0.02  # cosine ~0.9998
         rows.append((1000 + i, [float(x) for x in pert]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = SIM.neardup_pairs_lsh(df, threshold=0.95, n_bits=32, bands=8).collect()
+    got = SIM.neardup_pairs_lsh(df, threshold=0.95).collect()
     pairs = {(r.id_a, r.id_b) for r in got}
     planted = {(i, 1000 + i) for i in range(40)}
     assert planted <= pairs, planted - pairs
@@ -273,6 +275,78 @@ def test_embedding_neardup_lsh_recall_on_planted_neardups(spark):
     assert all(r.cosine >= 0.95 for r in got)
     # random 64-dim gaussians are near-orthogonal: no cross-base pair confirms
     assert pairs == planted
+
+
+def test_lsh_low_threshold_raises(spark):
+    """SRP banding cannot prune below ~0.8 (VERDICT r2 item 1) — the operator
+    must refuse and name the blocking alternatives, not silently go O(n^2)."""
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="neardup_pairs_ivf"):
+        SIM.neardup_pairs_lsh(df, threshold=0.35)
+
+
+def test_planted_embeddings_parity(spark, sf_dir):
+    """The Spark `transform` construction and the pandas twin of the planted
+    gate table must agree BIT-FOR-BIT (the oracle computes signatures from the
+    twin's vectors, so any float drift would break the gate)."""
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark import gate_fixtures as GF
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    spark_rows = {
+        r.vec_id: r.embedding
+        for r in GF.planted_embeddings_df(emb).collect()
+    }
+    pdf = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    twin = GF.planted_embeddings_pdf(pdf)
+    assert len(twin) == len(spark_rows)
+    for vid, vec in zip(twin["vec_id"], twin["embedding"]):
+        sv = spark_rows[vid]
+        assert len(sv) == len(vec)
+        for a, b in zip(sv, vec):
+            assert a == b, (vid, a, b, a - b)
+
+
+def test_lsh_candidate_fraction_subquadratic(spark, sf_dir):
+    """THE scale property of the banded-SRP near-dup path (VERDICT r2 item 1):
+    on the planted gate table the candidate stage must pass <= 5% of all
+    n(n-1)/2 pairs (round 2's r=3 config passed ~93%) while still recovering
+    every planted near-dup pair at the production threshold."""
+    from data_quality_check_spark import gate_fixtures as GF
+    from data_quality_check_spark.operators.dedup import candidate_counts
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    gate = GF.planted_embeddings_df(emb)
+    n = gate.count()
+    candidate_counts(reset=True)  # drop observations from earlier tests
+    got = SIM.neardup_pairs_lsh(gate, threshold=0.9).collect()
+    counts = candidate_counts()
+    assert "neardup_pairs_lsh" in counts, counts
+    frac = counts["neardup_pairs_lsh"] / (n * (n - 1) / 2)
+    assert frac <= 0.05, f"candidate fraction {frac:.4f} exceeds 5% — not sub-quadratic"
+    # recall 1.0 on the planted pairs (cosine ~0.9987 >> threshold)
+    base_ids = [r.vec_id for r in emb.select("vec_id").collect() if r.vec_id % GF.PLANT_EVERY == 0]
+    planted = {(i, i + GF.PLANT_ID_OFFSET) for i in base_ids}
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert planted <= pairs, planted - pairs
+
+
+def test_neardup_pairs_ivf_blocks_by_cell(vectors):
+    """IVF-cell blocking (the low-threshold path): clustered same-label vectors
+    land in shared cells, so their high-cosine pairs surface; every emitted
+    pair passes the exact confirm."""
+    pdf, df = vectors
+    got = SIM.neardup_pairs_ivf(
+        df.select("vec_id", "embedding"), threshold=0.9, n_centroids=4
+    ).collect()
+    assert len(got) > 10
+    assert all(r.cosine >= 0.9 for r in got)
+    # cells block like labels on this clustered fixture: pairs stay in-label
+    lab = {r.vec_id: r.label for r in df.select("vec_id", "label").collect()}
+    assert all(lab[r.id_a] == lab[r.id_b] for r in got)
 
 
 def test_hamming_near_pairs_matches_brute_force(spark):
