@@ -353,27 +353,36 @@ def dedup_survivors(
     clusters: DataFrame,
     id_col: str,
     quality_col: str,
+    max_broadcast_ids: int = 2_000_000,
 ) -> DataFrame:
     """The deduped corpus: every singleton (no near-dup partner) plus the ONE
     keep-best winner per cluster. Emits ({id_col}, was_clustered) — join back
     to the corpus for payload columns so the wide rows never ride through the
     election.
 
-    Losers are removed with a broadcast anti-join on the (dup-rate-
-    proportional) loser id set — the same small-side shape as keep_best's
-    cluster join; at pathological dup rates the size-gated bucketed fallback
-    in pipeline.run applies.
+    Losers are removed with an anti-join on the (dup-rate-proportional) loser
+    id set. The broadcast is SIZE-GATED (VERDICT r2 item 2, mirroring
+    pipeline.run's max_broadcast_decisions): the elected table is pinned
+    anyway — one cheap count on it decides the join strategy. At or below
+    `max_broadcast_ids` clustered rows both joins broadcast (id rows are
+    ~16 B; 2M ≈ 32 MB per executor); above it — a 30%-duplicate crawl at
+    10^12 rows would otherwise try to ship ~10^11 ids to every executor —
+    they fall back to plain shuffled joins, where AQE and the id-hash
+    partitioning take over. Output is identical on both paths
+    (tests/test_curation.py pins it).
     """
     from data_quality_check_spark.operators.dedup import _pin
 
     # the election feeds BOTH the loser anti-join and the winner flag join —
     # pin it so the corpus-clusters join + window run once, not per branch
     elected = _pin(keep_best(df, clusters, id_col, quality_col))
+    small = elected.count() <= max_broadcast_ids
+    hint = F.broadcast if small else (lambda d: d)
     losers = elected.filter(~F.col("keep")).select(id_col)
     winners = elected.filter(F.col("keep")).select(id_col)
-    kept = df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+    kept = df.select(id_col).join(hint(losers), id_col, "left_anti")
     return kept.join(
-        F.broadcast(winners.withColumn("was_clustered", F.lit(True))),
+        hint(winners.withColumn("was_clustered", F.lit(True))),
         id_col,
         "left",
     ).select(id_col, F.coalesce("was_clustered", F.lit(False)).alias("was_clustered"))

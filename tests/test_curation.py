@@ -203,3 +203,26 @@ def test_pack_scalable_broadcasts_bucket_sums(spark, docs):
     # the full-width side never shuffles for the bucket classification
     plan = _plan(CU.pack_token_budget_scalable(docs, "doc_id", "lang", "text", 800))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_survivors_size_gate_paths_identical(spark, docs):
+    """VERDICT r2 item 2: past max_broadcast_ids the loser/winner joins must
+    take the shuffled (non-broadcast) path and produce IDENTICAL output —
+    a forced gate (threshold 0) exercises the fallback branch."""
+    clusters = DD.neardup_clusters(docs, "doc_id", "text", 0.6, ngram=3)
+    clusters = clusters.persist()
+    try:
+        broadcast_path = CU.dedup_survivors(
+            docs, clusters, "doc_id", "n_chars"
+        ).toPandas()
+        shuffled_path = CU.dedup_survivors(
+            docs, clusters, "doc_id", "n_chars", max_broadcast_ids=0
+        ).toPandas()
+    finally:
+        clusters.unpersist()
+        DD.release_pins()
+    key = ["doc_id", "was_clustered"]
+    assert sorted(map(tuple, broadcast_path[key].values.tolist())) == sorted(
+        map(tuple, shuffled_path[key].values.tolist())
+    )
+    assert broadcast_path["was_clustered"].sum() > 0  # winners flagged on both

@@ -375,3 +375,52 @@ def test_hamming_near_pairs_matches_brute_force(spark):
             if h <= 3:
                 expect.add((i, j, h))
     assert got == expect and len(expect) >= 10
+
+
+def test_hamming_bucket_cap_escalation_bounded_and_exact(spark):
+    """VERDICT r2 item 3: adversarial common-chunk signatures (every phash
+    shares chunk 0 → one giant one-level bucket) must stay sub-quadratic in
+    candidates under bucket_cap escalation while keeping recall EXACTLY 1
+    (second-level pigeonhole over the complement bits)."""
+    from data_quality_check_spark.operators.dedup import candidate_counts
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    common_low16 = 0xBEEF
+    highs = rng.randint(0, 2**48, size=n).astype(np.uint64)
+    highs = np.unique(highs)[: n - 8]
+    sigs = [(int(h) << 16) | common_low16 for h in highs]
+    # plant near pairs at hamming 1-3 (bit flips in the high 48 bits)
+    for i in range(8):
+        v = sigs[i]
+        for f in rng.choice(48, size=(i % 3) + 1, replace=False):
+            v ^= 1 << (16 + int(f))
+        sigs.append(v)
+    sigs = [np.int64(np.uint64(s)) for s in sigs]
+    n = len(sigs)
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "id long, phash long"
+    )
+    candidate_counts(reset=True)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.hamming_near_pairs(
+            df, "id", "phash", max_hamming=3, bucket_cap=100
+        ).collect()
+    }
+    counts = candidate_counts()
+    DD.release_pins()
+    # brute force ground truth
+    arr = np.array([np.uint64(s) for s in sigs], dtype=np.uint64)
+    expect = set()
+    for i in range(n):
+        ham = np.array(
+            [bin(int(arr[i] ^ arr[j])).count("1") for j in range(i + 1, n)]
+        )
+        for off in np.flatnonzero(ham <= 3):
+            expect.add((i, i + 1 + int(off), int(ham[off])))
+    assert got == expect  # recall exactly 1, no false positives
+    total_pairs = n * (n - 1) / 2
+    frac = counts["hamming_near_pairs"] / total_pairs
+    # without escalation the common chunk alone yields >= 100% of all pairs
+    assert frac <= 0.10, f"candidate fraction {frac:.3f} — escalation failed"

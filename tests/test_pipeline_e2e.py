@@ -392,3 +392,26 @@ def test_near_dup_decisions_groups_by_phash_hamming(spark):
     got_e = {r.image_id for r in decisions_for(df, FilterConfig()).collect()}
     release_pins()
     assert got_n == set(near) and got_e == set(exact)
+
+
+def test_near_dup_acting_broadcast_gate_identical(spark):
+    """ADVICE r2: the internal `acting` semi-join broadcast in
+    near_dup_decisions is size-gated; forcing the shuffled path
+    (max_broadcast=0) must yield identical decisions."""
+    from data_quality_check_spark.operators.dedup import release_pins
+    from data_quality_check_spark.pipeline.run import near_dup_decisions
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("img_a", base, 1),
+        ("img_b", base ^ (1 << 7), 2),
+        ("img_c", base ^ 0xFF00000000, 3),
+        ("img_d", 42, 4),
+        ("img_d", 42, 5),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, rid long")
+    bcast = sorted(map(tuple, near_dup_decisions(df, 3).collect()))
+    release_pins()
+    shuffled = sorted(map(tuple, near_dup_decisions(df, 3, max_broadcast=0).collect()))
+    release_pins()
+    assert bcast == shuffled
