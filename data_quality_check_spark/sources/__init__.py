@@ -1,7 +1,11 @@
 from data_quality_check_spark.sources.readers import (
+    azure_blob_conf,
+    gcs_conf,
     load,
     list_tables,
     read_csv,
+    read_excel,
+    read_http_csv,
     read_jdbc_query,
     read_parquet,
     s3_anonymous_conf,
@@ -9,9 +13,13 @@ from data_quality_check_spark.sources.readers import (
 )
 
 __all__ = [
+    "azure_blob_conf",
+    "gcs_conf",
     "load",
     "list_tables",
     "read_csv",
+    "read_excel",
+    "read_http_csv",
     "read_jdbc_query",
     "read_parquet",
     "s3_anonymous_conf",

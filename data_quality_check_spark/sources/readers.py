@@ -102,6 +102,32 @@ def s3_anonymous_conf(spark: SparkSession) -> None:
     )
 
 
+def azure_blob_conf(spark: SparkSession, account: str, key: str) -> None:
+    """Configure Azure Blob / ADLS Gen2 access for `abfss://` paths
+    (reference S5, app_v3.py:721-726 BlobServiceClient account-key auth; the
+    ABFS-connector equivalent is the per-account key property). After this,
+    `read_csv`/`read_parquet`/`load` work on
+    abfss://<container>@<account>.dfs.core.windows.net/... paths, given the
+    hadoop-azure jar on the cluster (deploy-time concern, not code)."""
+    spark.conf.set(
+        f"spark.hadoop.fs.azure.account.key.{account}.dfs.core.windows.net", key
+    )
+
+
+def gcs_conf(spark: SparkSession, keyfile: str | None = None) -> None:
+    """Configure GCS access for `gs://` paths (reference S6, app_v3.py:727-732
+    google-cloud-storage service-account auth; the gcs-connector equivalent is
+    service-account keyfile auth). Pass `keyfile=None` on GCE/Dataproc where
+    the connector uses the instance's application-default credentials."""
+    spark.conf.set(
+        "spark.hadoop.google.cloud.auth.service.account.enable", "true"
+    )
+    if keyfile is not None:
+        spark.conf.set(
+            "spark.hadoop.google.cloud.auth.service.account.json.keyfile", keyfile
+        )
+
+
 def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
     """Catalog table listing (reference S10: Unity-Catalog REST call)."""
     return [t.name for t in spark.catalog.listTables(database)]
@@ -207,7 +233,13 @@ def _read_xlsx_minimal(path: str, sheet: int | str = 0) -> list[list]:
         return rows
 
 
-def read_excel(spark: SparkSession, path: str, sheet: int | str = 0, header: bool = True) -> DataFrame:
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    header: bool = True,
+    **options,
+) -> DataFrame:
     """Excel upload → DataFrame (reference S2, app_v3.py:701 `pd.read_excel`).
 
     Excel files are driver-sized by nature (an .xlsx cannot be split), so this
@@ -215,12 +247,23 @@ def read_excel(spark: SparkSession, path: str, sheet: int | str = 0, header: boo
     `pd.read_excel` when an engine (openpyxl) is installed, otherwise the
     built-in minimal SpreadsheetML parser above. The resulting DataFrame is a
     normal distributed frame feeding the same profiling plans as any source.
+
+    Extra `**options` from the `load()` facade are ignored (they target the
+    distributed readers; ADVICE r2). Legacy `.xls` (BIFF, not a zip) needs a
+    pandas engine — a clear error is raised before the zip-based fallback
+    could fail opaquely.
     """
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet, header=0 if header else None)
     except ImportError:
+        if path.lower().endswith(".xls"):
+            raise ImportError(
+                f"{path}: legacy .xls needs a pandas Excel engine — "
+                "install xlrd (or convert to .xlsx, which the built-in "
+                "SpreadsheetML fallback reads without dependencies)"
+            ) from None
         rows = _read_xlsx_minimal(path, sheet)
         if not rows:
             pdf = pd.DataFrame()
