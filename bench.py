@@ -113,51 +113,111 @@ def bench_queries(spark) -> tuple[dict[str, float], float]:
 
     times: dict[str, float] = {}
     total = 0.0
-    from data_quality_check_spark.operators.dedup import release_pins
+    from data_quality_check_spark.operators.dedup import candidate_counts, release_pins
 
+    candidates: dict[str, dict[str, int]] = {}
     for name, fn in ((n, qs[n]) for n in ordered):
         t0 = time.perf_counter()
         rows = fn(spark, SF_DIR).collect()
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
+        # candidate-volume observability (VERDICT r2 item 7): banded candidate
+        # generators observe() their pre-verify pair counts; record them per
+        # query so banding-config regressions surface in BENCH, not in silently
+        # burned cluster time
+        cc = candidate_counts()
+        if cc:
+            candidates[name] = cc
         # free signature/label caches pinned by dedup queries so 36+ queries in
         # one session don't accumulate storage blocks until eviction
         release_pins()
-        log(f"[bench] {name}: {dt:.3f}s ({len(rows)} rows)")
-    return times, total
+        log(f"[bench] {name}: {dt:.3f}s ({len(rows)} rows)"
+            + (f" candidates={cc}" if cc else ""))
+    return times, total, candidate_fractions(spark, candidates)
 
 
-def bench_pipeline(spark, fixture: str) -> dict:
+def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
+    """candidate pairs / n(n-1)/2 per observed query — n is the candidate
+    universe of that query's banded op (documents for text dedup, the planted
+    gate table for embedding LSH)."""
+    from data_quality_check_spark import gate_fixtures as GF
+
+    if not candidates:
+        return {}
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_gate = GF.planted_embeddings_df(
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ).count()
+    denom_of = {
+        "neardup_pairs_lsh": n_gate * (n_gate - 1) / 2,
+        "minhash_lsh_pairs": n_docs * (n_docs - 1) / 2,
+        "hamming_near_pairs": n_docs * (n_docs - 1) / 2,
+    }
+    out: dict[str, dict] = {}
+    for qname, cc in candidates.items():
+        for op, cnt in cc.items():
+            if op in denom_of and denom_of[op] > 0:
+                out.setdefault(qname, {})[op] = {
+                    "candidates": cnt,
+                    "fraction": round(cnt / denom_of[op], 5),
+                }
+    return out
+
+
+def bench_pipeline(spark, fixture: str, reps: int = 5) -> dict:
+    """Pipeline headline with the scaling bench's measurement discipline
+    (VERDICT r2 item 3): one discarded warmup, then `reps` measured reps, each
+    GATED on the external co-tenant being quiet (<1.5 busy cores, up to 5 min
+    wait — a dedicated cluster node has no co-tenant), reporting the MEDIAN
+    with all rep times + the external-core figure each rep actually ran
+    against, plus the median rep's per-stage breakdown (run.STEP_TIMINGS)."""
+    from bench_scaling import _wait_for_quiet
+    from data_quality_check_spark.pipeline import run as RUN
     from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
 
-    out = tempfile.mkdtemp(prefix="dqcs_bench_out_")
-    try:
-        t0 = time.perf_counter()
-        summary = run_filter(
-            spark,
-            fixture,
-            os.path.join(out, "data"),
-            os.path.join(out, "ckpt"),
-            cfg=FilterConfig(),
-        )
-        dt = time.perf_counter() - t0
-        rows = summary["rows_in"] or 0
-        return {
-            "images": rows,
-            "sec": round(dt, 3),
-            "images_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
-            "rows_kept": summary["rows_kept"],
-        }
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    results = []  # (dt, summary, ext_cores, stage_timings)
+    for rep in range(reps + 1):
+        ext = 0.0 if rep == 0 else _wait_for_quiet()
+        out = tempfile.mkdtemp(prefix="dqcs_bench_out_")
+        RUN.STEP_TIMINGS.clear()
+        try:
+            t0 = time.perf_counter()
+            summary = run_filter(
+                spark,
+                fixture,
+                os.path.join(out, "data"),
+                os.path.join(out, "ckpt"),
+                cfg=FilterConfig(),
+            )
+            dt = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        log(f"[bench] pipeline rep {rep}{' (warmup)' if rep == 0 else ''}: "
+            f"{dt:.3f}s ext_cores={ext}")
+        if rep > 0:
+            results.append((dt, summary, ext, list(RUN.STEP_TIMINGS)))
+    by_time = sorted(results, key=lambda r: r[0])
+    dt, summary, _, stages = by_time[len(by_time) // 2]  # median rep
+    rows = summary["rows_in"] or 0
+    return {
+        "images": rows,
+        "sec": round(dt, 3),
+        "images_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+        "rows_kept": summary["rows_kept"],
+        "rep_secs": [round(r[0], 3) for r in results],  # run order
+        "rep_ext_cores": [r[2] for r in results],
+        "median_of": len(results),
+        "images_per_sec_best": round(rows / by_time[0][0], 1),
+        "stage_sec": {name: round(sec, 3) for name, sec in stages},
+    }
 
 
 def main() -> None:
     fixture = cached_image_fixture(PIPELINE_ROWS)
     spark = build_spark(CPUS)
     try:
-        times, total = bench_queries(spark)
+        times, total, cand_fracs = bench_queries(spark)
         pipe = bench_pipeline(spark, fixture)
     finally:
         spark.stop()
@@ -168,6 +228,7 @@ def main() -> None:
         "queries": times,
         "sf": sf_value(SF_DIR),
         "cpus": CPUS,
+        "candidate_fractions": cand_fracs,
         "pipeline": pipe,
     }
     print(json.dumps(result), flush=True)

@@ -98,15 +98,22 @@ DROP_REASONS = [
 ]
 
 
+STEP_TIMINGS: list[tuple[str, float]] = []  # (step, sec) per _step, newest last
+
+
 @contextmanager
 def _step(name: str):
-    """Wall-time a job step to stderr when SPARK_GRAFT_TIMING is set."""
+    """Wall-time a job step: always recorded into STEP_TIMINGS (bench.py reads
+    the per-stage breakdown from there), echoed to stderr when
+    SPARK_GRAFT_TIMING is set."""
     import sys
 
     t0 = time.perf_counter()
     yield
+    dt = time.perf_counter() - t0
+    STEP_TIMINGS.append((name, dt))
     if os.environ.get("SPARK_GRAFT_TIMING"):
-        print(f"[timing] {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
+        print(f"[timing] {name}: {dt:.2f}s", file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -514,7 +521,8 @@ def run_filter(
     spill_dir = os.path.join(checkpoint_dir, "dup_decisions", cfg.run_id)
     totals = {"rows_in": 0, "rows_kept": 0}
     try:
-        n_act = dups.count()
+        with _step("dup_decisions_count"):
+            n_act = dups.count()
         if n_act <= cfg.max_broadcast_decisions:
             groups = [pending]
             slice_for = lambda grp: dups  # noqa: E731
