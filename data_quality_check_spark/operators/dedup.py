@@ -594,14 +594,26 @@ def hamming_near_pairs(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, ngram: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    ngram: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k: band the 64 bits into
     max_hamming+1 chunks (pigeonhole: any pair with ≤k differing bits shares
-    ≥1 chunk), join on chunk equality, verify with bit_count(xor)."""
+    ≥1 chunk), join on chunk equality, verify with bit_count(xor).
+
+    `bucket_cap` defaults to None here (one-level banding): text SimHash
+    signatures spread over the full 64 bits, so one-level candidates stay
+    ~n²·4/2^16 — fine to ~10^7 distinct signatures. Pass a cap for larger
+    corpora or skew-prone signatures; the phash pipeline path
+    (run.near_dup_decisions) keeps hamming_near_pairs' default cap because
+    perceptual hashes cluster on common image structure."""
     narrow = _narrow(df, id_col, text_col)
     sh = with_simhash(narrow, "id", "_txt", ngram).select("id", "simhash")
-    return hamming_near_pairs(sh, "id", "simhash", max_hamming)
+    return hamming_near_pairs(sh, "id", "simhash", max_hamming, bucket_cap=bucket_cap)
 
 
 # ---------------- near-dup clusters (connected components) ----------------
