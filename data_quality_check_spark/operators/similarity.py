@@ -367,6 +367,21 @@ def srp_chunks_udf(planes: np.ndarray, bands: int, dim: int):
     return chunks
 
 
+def _srp_chunk_table(vecs: DataFrame, planes: np.ndarray, bands: int, dim: int) -> DataFrame:
+    """(id, band, chunk) table — one row per vector per band. The UDF gets an
+    asNondeterministic fence (pure kernel; fence only): without it Spark's
+    InferFiltersFromGenerate pushes a `size(_ch) > 0` predicate below the
+    posexplode that references the UDF column directly, and the plan runs the
+    whole SRP Arrow stage TWICE per row (once for the inferred filter, once
+    for the projection) — doubling the signature compute at materialization."""
+    udf = srp_chunks_udf(planes, bands, dim).asNondeterministic()
+    return (
+        vecs.withColumn("_ch", udf(F.col("v")))
+        .filter(F.col("_ch").isNotNull())
+        .select("id", F.posexplode("_ch").alias("band", "chunk"))
+    )
+
+
 # SRP-LSH per-bit match probability for a pair at cosine c is
 # p = 1 − acos(c)/π. Below p ≈ 0.6 (c ≈ 0.31) there is no separation from
 # random pairs (p = 0.5): no (r, bands) prunes. Production thresholds are
@@ -426,11 +441,7 @@ def neardup_pairs_lsh(
         )
     planes = srp_planes(bands * bits_per_band, dim, seed)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    chunks = _pin(
-        vecs.withColumn("_ch", srp_chunks_udf(planes, bands, dim)(F.col("v")))
-        .filter(F.col("_ch").isNotNull())
-        .select("id", F.posexplode("_ch").alias("band", "chunk"))
-    )
+    chunks = _pin(_srp_chunk_table(vecs, planes, bands, dim))
     a = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_a"))
     b = chunks.select(F.col("band"), F.col("chunk"), F.col("id").alias("id_b"))
     cand = (

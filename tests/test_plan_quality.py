@@ -174,3 +174,42 @@ def test_grouped_ppl_runs_langid_once(spark, tmp_path):
             break  # the narrow right-side scan exists
     else:
         raise AssertionError("expected a narrow (caption, no bytes) scan branch")
+
+
+def test_embedding_lsh_band_join_is_narrow_and_pinned(spark, sf_dir):
+    """The banded-SRP near-dup candidate stage must (a) self-join on the
+    narrow (band, chunk) key — the wide embedding column joins back by id
+    only for the confirm — (b) feed both self-join sides from the pinned
+    chunk table, and (c) evaluate the SRP signature UDF exactly ONCE in that
+    lineage (the asNondeterministic fence stops InferFiltersFromGenerate
+    from duplicating the Arrow stage below the posexplode)."""
+    import os as _os
+    import re as _re
+
+    from data_quality_check_spark.operators import similarity as SIM
+    from data_quality_check_spark.operators.dedup import release_pins
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+
+    # (c) the signature lineage itself: one Arrow stage, not two
+    planes = SIM.srp_planes(20 * 14, 64, 11)
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    chunk_plan = (
+        SIM._srp_chunk_table(vecs, planes, 20, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert chunk_plan.count("ArrowEvalPython") == 1
+
+    try:
+        df = SIM.neardup_pairs_lsh(emb, threshold=0.9)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_pins()
+    # (a) candidate self-join keyed on narrow (band, chunk) — strategy is
+    # AQE's choice (broadcast at test scale, shuffle at cluster scale), the
+    # KEY is the design: the wide vector column never rides this join.
+    assert _re.search(r"Join \[band#\d+, chunk#\d+L?\], \[band#\d+", plan)
+    # (b) pinned chunk table feeds both sides
+    assert "InMemoryTableScan" in plan
+    # the confirm is JVM-side: aggregate-fold cosine, no row-at-a-time Python
+    assert "BatchEvalPython" not in plan
