@@ -145,7 +145,13 @@ def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
 
     if not candidates:
         return {}
-    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    # the incremental-dedup gate's increment/corpus split (entry_queries)
+    n_new = docs.filter(F.col("doc_id") % 4 == 0).count()
+    n_seen = docs.filter(F.col("doc_id") % 4 != 0).count()  # null ids join neither side
     n_gate = GF.planted_embeddings_df(
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     ).count()
@@ -153,6 +159,8 @@ def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
         "neardup_pairs_lsh": n_gate * (n_gate - 1) / 2,
         "minhash_lsh_pairs": n_docs * (n_docs - 1) / 2,
         "hamming_near_pairs": n_docs * (n_docs - 1) / 2,
+        "dedup_incremental_cross": n_new * n_seen,
+        "dedup_incremental_self": n_new * (n_new - 1) / 2,
     }
     out: dict[str, dict] = {}
     for qname, cc in candidates.items():

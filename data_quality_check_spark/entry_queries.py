@@ -1121,6 +1121,34 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.dedup_survivors(docs, clusters, "doc_id", "n_chars")
 
 
+# Incremental-crawl dedup: keep/drop every doc of a NEW increment against the
+# already-curated SEEN corpus (exact fingerprint + MinHash-LSH near-dup, both
+# cross-corpus and within-increment) without re-clustering the corpus — the
+# between-runs counterpart of the whole-table dedup queries above. Split is
+# deterministic (doc_id % 4 = 0 → increment); the oracle runs the exact
+# cross/self Jaccard with the identical reason priority.
+_INC_NEW_SQL = "SELECT * FROM documents WHERE doc_id % 4 = 0"
+_INC_SEEN_SQL = "SELECT * FROM documents WHERE doc_id % 4 <> 0"
+
+
+@register(
+    "dedup_incremental_documents",
+    DD.dedup_incremental_sql(
+        _INC_NEW_SQL, _INC_SEEN_SQL, "doc_id", "text", _JACCARD_T, _SHINGLE_N
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return DD.dedup_incremental(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "doc_id",
+        "text",
+        threshold=_JACCARD_T,
+        ngram=_SHINGLE_N,
+    )
+
+
 # Unblocked embedding near-dup (banded SRP-LSH + exact confirm): the scale
 # path when no blocking label exists, at the PRODUCTION threshold over the
 # planted gate table (raw embeddings + deterministic near-dup copies at

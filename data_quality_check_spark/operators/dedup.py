@@ -301,37 +301,28 @@ def minhash_signature_col(text_col: str, num_hashes: int = 128, ngram: int = 1) 
     return sig
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 126,
-    bands: int = 42,
-    threshold: float = 0.6,
-    ngram: int = 1,
-) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH, confirmed by exact Jaccard.
+def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """(id, toks) — distinct shingle sets; shingle-less docs (fewer than
+    `ngram` words) are excluded so they can't collide on an empty-signature
+    band key (they have no Jaccard similarity to anything)."""
+    return (
+        _narrow(df, id_col, text_col)
+        .select("id", shingles_col("_txt", ngram).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+
+
+def _minhash_band_table(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bkey) MinHash LSH band table from a `_shingle_base` frame.
 
     Signatures are computed as an explode → hash → groupBy(id) min-aggregation:
     one map-side-combined hash aggregate over (id, shingle-hash) rows, never a
     nested per-hash re-evaluation of the tokenizer (Catalyst's CollapseProject
     would re-inline an array-expression signature `num_hashes` times). This is
     the shape that survives 10^12 rows: tokens shuffle once for the signature
-    agg, then only (band_key, id) pairs shuffle for the LSH join.
-
-    rows/bands r = num_hashes/bands; candidate recall at similarity s is
-    1-(1-s^r)^bands (r=3, b=42: miss ≈3.6e-5 at s=0.6, →0 above). The exact
-    Jaccard confirm on candidates removes all false positives. Documents with no
-    shingles (fewer than `ngram` words) are excluded up front so they can't
-    collide on an empty-signature band key.
-    """
+    agg, then only (band, bkey, id) rows ride the LSH join."""
     r = num_hashes // bands
     params = _minhash_params(num_hashes)
-    base = (
-        _narrow(df, id_col, text_col)
-        .select("id", shingles_col("_txt", ngram).alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
     hashed = base.select("id", F.explode("toks").alias("tok")).withColumn(
         "x", F.abs(F.xxhash64("tok")) % MERSENNE31
     )
@@ -341,7 +332,7 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(params)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -357,6 +348,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkey")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 126,
+    bands: int = 42,
+    threshold: float = 0.6,
+    ngram: int = 1,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, confirmed by exact Jaccard.
+
+    Signature/band shape: see `_minhash_band_table` (one map-side-combined
+    hash aggregate; only (band, bkey, id) rows ride the LSH join).
+
+    rows/bands r = num_hashes/bands; candidate recall at similarity s is
+    1-(1-s^r)^bands (r=3, b=42: miss ≈3.6e-5 at s=0.6, →0 above). The exact
+    Jaccard confirm on candidates removes all false positives. Documents with no
+    shingles (fewer than `ngram` words) are excluded up front so they can't
+    collide on an empty-signature band key.
+    """
+    base = _shingle_base(df, id_col, text_col, ngram)
+    banded = _minhash_band_table(base, num_hashes, bands)
     banded = _pin(banded)  # the 126-min signature agg must not run once per join side
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -367,10 +382,18 @@ def minhash_lsh_pairs(
     )
     cands = observe_candidates(cands, "minhash_lsh_pairs")
     # confirm with exact Jaccard on the candidate set only
-    toksets = base
-    out = (
-        cands.join(toksets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
-        .join(toksets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
+    return _confirm_jaccard(cands, base, base, threshold)
+
+
+def _confirm_jaccard(
+    cands: DataFrame, toks_a: DataFrame, toks_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact rounded-Jaccard confirm: candidate (id_a, id_b) pairs joined back
+    to their shingle sets, kept when round(jaccard, 6) ≥ threshold. The two
+    token-set sides may be different corpora (incremental dedup)."""
+    return (
+        cands.join(toks_a.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
+        .join(toks_b.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
         .withColumn(
             "jaccard",
@@ -381,7 +404,189 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 126,
+    bands: int = 42,
+    ngram: int = 1,
+) -> DataFrame:
+    """Incremental-crawl dedup: a keep/drop decision for every NEW document
+    against an already-curated SEEN corpus, without re-clustering the corpus —
+    the shape a continuously-crawling training pipeline actually runs (the
+    reference's duplicate accounting, engine.py:407-415, is whole-table; this
+    is its between-runs counterpart).
+
+    Output: one row per new doc — ({id_col}, keep, reason), reason ∈
+    {exact_seen, exact_new, near_seen, near_new, kept}, first match in that
+    priority order:
+
+      * exact_seen — content fingerprint already in the seen corpus;
+      * exact_new  — same fingerprint as a SMALLER-id doc in the increment
+        (first-id-wins within the increment, the same winner rule as
+        `exact_dup_groups`);
+      * near_seen  — Jaccard ≥ threshold with some seen doc (MinHash-LSH
+        banded candidates, exact confirm — recall identical to
+        `minhash_lsh_pairs` since band keys don't depend on corpus split);
+      * near_new   — Jaccard ≥ threshold with a SMALLER-id doc in the
+        increment (greedy by id: deterministic without computing clusters —
+        an increment is small relative to the corpus, and its internal dup
+        structure is re-examined against the merged corpus on the next run).
+
+    Scale shape: the seen corpus is touched ONLY through two narrow derived
+    tables — its distinct fingerprints and its (band, bkey, id) MinHash band
+    table — both of which a production pipeline persists once and appends to
+    per run (they are pure column derivations, no self-join). The cross
+    candidate join is new-bands × seen-bands on (band, bkey): increment-sized
+    × 1 row per band per seen doc, never seen × seen. Within-increment work is
+    quadratic only in the increment. The new side's shingle sets and band
+    table are pinned — each feeds two consumers."""
+    from pyspark.sql import Window
+
+    new_ids = new_df.select(
+        F.col(id_col).alias("id"), fingerprint_col(F.col(text_col)).alias("fp")
+    )
+    fp_seen = (
+        seen_df.select(fingerprint_col(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("_in_seen", F.lit(True))
+    )
+    # exact flags in one pass: a fingerprint join marks seen content, a window
+    # min marks the increment's first-id winner per fingerprint (null
+    # fingerprints — null text — are never exact dups of each other)
+    marked = new_ids.join(fp_seen, "fp", "left").withColumn(
+        "_min_id", F.min("id").over(Window.partitionBy("fp"))
+    )
+
+    base_new = _pin(_shingle_base(new_df, id_col, text_col, ngram))
+    base_seen = _shingle_base(seen_df, id_col, text_col, ngram)
+    banded_new = _pin(_minhash_band_table(base_new, num_hashes, bands))
+    banded_seen = _minhash_band_table(base_seen, num_hashes, bands)
+
+    cand_seen = (
+        banded_new.alias("a")
+        .join(banded_seen.alias("b"), ["band", "bkey"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand_seen = observe_candidates(cand_seen, "dedup_incremental_cross")
+    near_seen = (
+        _confirm_jaccard(cand_seen, base_new, base_seen, threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("_near_seen", F.lit(True))
+    )
+
+    cand_new = (
+        banded_new.alias("a")
+        .join(banded_new.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand_new = observe_candidates(cand_new, "dedup_incremental_self")
+    near_new = (
+        _confirm_jaccard(cand_new, base_new, base_new, threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_near_new", F.lit(True))
+    )
+
+    reason = (
+        F.when(F.col("_in_seen"), F.lit("exact_seen"))
+        .when(
+            F.col("fp").isNotNull() & (F.col("id") > F.col("_min_id")),
+            F.lit("exact_new"),
+        )
+        .when(F.col("_near_seen"), F.lit("near_seen"))
+        .when(F.col("_near_new"), F.lit("near_new"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        marked.join(near_seen, "id", "left")
+        .join(near_new, "id", "left")
+        .withColumn("reason", reason)
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("reason") == "kept").alias("keep"),
+            "reason",
+        )
+    )
+
+
+def dedup_incremental_sql(
+    new_sql: str,
+    seen_sql: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    ngram: int = 1,
+) -> str:
+    """DuckDB oracle twin of `dedup_incremental`. Near decisions come from
+    EXACT cross/self Jaccard joins — a valid oracle for the MinHash-banded
+    path because band keys are corpus-independent, so the (126, 42) config's
+    recall-1-at-this-data property pinned by the `minhash_neardup_documents`
+    gate carries over to any split of the same table."""
+    from data_quality_check_spark.functions.text import fingerprint_sql
+
+    j = (
+        "round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6)"
+        f" >= {threshold!r}"
+    )
+    return f"""
+WITH newd AS ({new_sql}),
+seen AS ({seen_sql}),
+fp_new AS (SELECT {id_col} AS id, {fingerprint_sql(text_col)} AS fp FROM newd),
+fp_seen AS (SELECT DISTINCT {fingerprint_sql(text_col)} AS fp FROM seen),
+toks_new AS (
+  SELECT {id_col} AS id, unnest({shingles_sql(text_col, ngram)}) AS tok FROM newd
+),
+sizes_new AS (SELECT id, count(*) AS sz FROM toks_new GROUP BY id),
+toks_seen AS (
+  SELECT {id_col} AS id, unnest({shingles_sql(text_col, ngram)}) AS tok FROM seen
+),
+sizes_seen AS (SELECT id, count(*) AS sz FROM toks_seen GROUP BY id),
+cross_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks_new a JOIN toks_seen b USING (tok) GROUP BY a.id, b.id
+),
+near_seen AS (
+  SELECT DISTINCT id_a AS id FROM cross_inter
+  JOIN sizes_new sa ON sa.id = id_a JOIN sizes_seen sb ON sb.id = id_b
+  WHERE {j}
+),
+self_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks_new a JOIN toks_new b USING (tok)
+  WHERE a.id < b.id GROUP BY a.id, b.id
+),
+near_new AS (
+  SELECT DISTINCT id_b AS id FROM self_inter
+  JOIN sizes_new sa ON sa.id = id_a JOIN sizes_new sb ON sb.id = id_b
+  WHERE {j}
+),
+marked AS (
+  SELECT f.id, f.fp,
+         f.fp IS NOT NULL AND f.fp IN (SELECT fp FROM fp_seen) AS in_seen,
+         min(f.id) OVER (PARTITION BY f.fp) AS min_id
+  FROM fp_new f
+),
+reasons AS (
+  SELECT m.id,
+    CASE WHEN m.in_seen THEN 'exact_seen'
+         WHEN m.fp IS NOT NULL AND m.id > m.min_id THEN 'exact_new'
+         WHEN m.id IN (SELECT id FROM near_seen) THEN 'near_seen'
+         WHEN m.id IN (SELECT id FROM near_new) THEN 'near_new'
+         ELSE 'kept' END AS reason
+  FROM marked m
+)
+SELECT id AS {id_col}, reason = 'kept' AS keep, reason FROM reasons
+"""
 
 
 # ---------------- SimHash ----------------

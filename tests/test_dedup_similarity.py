@@ -424,3 +424,49 @@ def test_hamming_bucket_cap_escalation_bounded_and_exact(spark):
     frac = counts["hamming_near_pairs"] / total_pairs
     # without escalation the common chunk alone yields >= 100% of all pairs
     assert frac <= 0.10, f"candidate fraction {frac:.3f} — escalation failed"
+
+
+def test_dedup_incremental_semantics(spark):
+    """Every reason branch of dedup_incremental on a hand-built increment:
+    exact_seen beats near_seen, first-id-wins within the increment for both
+    exact and near dups, null-text docs are never dups of each other."""
+    seen = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a completely different sentence about spark engines"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact_seen
+            (11, "the quick brown fox jumps over the lazy dog yesterday"),  # near_seen (j=0.8)
+            (12, "rain in spain falls mainly on the plain"),  # kept (first of its group)
+            (13, "rain in spain falls mainly on the plain"),  # exact_new (dup of 12)
+            (14, "rain in spain falls mainly on the plain friends"),  # near_new (j=0.889 vs 12)
+            (15, "zzz qqq unique snowflake text vvv www xyz"),  # kept
+            (16, None),  # kept — null text has no fingerprint, no shingles
+            (17, None),  # kept — NOT an exact dup of 16
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["keep"], r["reason"])
+            for r in DD.dedup_incremental(
+                new, seen, "doc_id", "text", threshold=0.6, ngram=1
+            ).collect()
+        }
+    finally:
+        DD.release_pins()
+    assert got == {
+        10: (False, "exact_seen"),
+        11: (False, "near_seen"),
+        12: (True, "kept"),
+        13: (False, "exact_new"),
+        14: (False, "near_new"),
+        15: (True, "kept"),
+        16: (True, "kept"),
+        17: (True, "kept"),
+    }
