@@ -213,3 +213,28 @@ def test_embedding_lsh_band_join_is_narrow_and_pinned(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     # the confirm is JVM-side: aggregate-fold cosine, no row-at-a-time Python
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_incremental_plan_is_jvm_only_and_pinned(spark, sf_dir):
+    """dedup_incremental must stay whole-JVM (MinHash signatures are nested
+    array expressions, fingerprints are md5 — no Python stage anywhere) and
+    feed the increment's band table to both candidate joins from one pinned
+    lineage (the 126-min signature agg runs once)."""
+    import os as _os
+
+    from data_quality_check_spark.operators import dedup as DD
+    from data_quality_check_spark.operators.dedup import release_pins
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    try:
+        df = DD.dedup_incremental(
+            docs.filter(F.col("doc_id") % 4 == 0),
+            docs.filter(F.col("doc_id") % 4 != 0),
+            "doc_id", "text", threshold=0.6, ngram=3,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_pins()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # pinned band/shingle tables reused
