@@ -470,3 +470,27 @@ def test_dedup_incremental_semantics(spark):
         16: (True, "kept"),
         17: (True, "kept"),
     }
+
+
+def test_dedup_incremental_candidate_fraction(spark, sf_dir):
+    """Scale property of the incremental path: the MinHash band joins must
+    pass only a tiny fraction of the n_new x n_seen (cross) and
+    n_new(n_new-1)/2 (self) pair universes — the banded candidate volume is
+    what makes increment-vs-corpus dedup sub-quadratic."""
+    from data_quality_check_spark.operators.dedup import candidate_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    seen = docs.filter(F.col("doc_id") % 4 != 0)
+    n_new, n_seen = new.count(), seen.count()
+    candidate_counts(reset=True)
+    try:
+        DD.dedup_incremental(new, seen, "doc_id", "text", 0.6, ngram=3).collect()
+        counts = candidate_counts()
+    finally:
+        DD.release_pins()
+    assert {"dedup_incremental_cross", "dedup_incremental_self"} <= counts.keys()
+    cross_frac = counts["dedup_incremental_cross"] / (n_new * n_seen)
+    self_frac = counts["dedup_incremental_self"] / (n_new * (n_new - 1) / 2)
+    assert cross_frac <= 0.05, f"cross candidate fraction {cross_frac:.4f}"
+    assert self_frac <= 0.05, f"self candidate fraction {self_frac:.4f}"
