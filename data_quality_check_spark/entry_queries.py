@@ -1278,3 +1278,49 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.sessionize(
         t(spark, sf_dir, "events"), "user_id", "ts", "event_id", _SESSION_GAP_MIN
     )
+
+
+# Image-axis heuristic filter (the north rule's payload): per-image validity
+# flags (degenerate dims / implausible encoded size / disallowed container)
+# + keep decision over the deterministic synthetic image-metadata gate table
+# (gate_fixtures.synthetic_image_meta_df — the driver fixtures carry no image
+# table; the brief mandates small-scale deterministic synthesis). Flags only
+# ever touch (w, h, fmt, length(bytes)) — pixel bytes never enter the plan, so
+# at 10^12 images this is a metadata-column scan, not an image read.
+from data_quality_check_spark.gate_fixtures import synthetic_image_meta_df  # noqa: E402
+
+_IMG_FLAG_EXPRS = {
+    **H.image_flags_sql("w", "h", "byte_len"),
+    "flag_bad_fmt": H.bad_fmt_sql("fmt"),
+}
+_IMG_FLAGS_SQL = (
+    f"WITH img AS ({{synth}})\n"
+    "SELECT image_id, w, h, fmt, byte_len,\n"
+    + ",\n".join(f"       {e} AS {k}" for k, e in _IMG_FLAG_EXPRS.items())
+    + ",\n       NOT ("
+    + " OR ".join(_IMG_FLAG_EXPRS.values())
+    + ") AS keep\nFROM img"
+)
+
+
+def _img_flags_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    return _IMG_FLAGS_SQL.format(synth=synthetic_image_meta_sql("documents"))
+
+
+@register("image_quality_flags", _img_flags_oracle)
+def q_image_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    flags = {
+        **H.image_flags(F.col("w"), F.col("h"), F.col("byte_len")),
+        "flag_bad_fmt": H.bad_fmt_flag(F.col("fmt")),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & ~c
+    return img.select(
+        "image_id", "w", "h", "fmt", "byte_len",
+        *[c.alias(k) for k, c in flags.items()],
+        keep.alias("keep"),
+    )

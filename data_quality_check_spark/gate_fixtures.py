@@ -80,3 +80,64 @@ def planted_embeddings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out_ids = np.concatenate([ids, bids + PLANT_ID_OFFSET])
     out_vecs = [row.tolist() for row in x] + [row.tolist() for row in planted]
     return pd.DataFrame({"vec_id": out_ids, "embedding": out_vecs})
+
+
+# ── Synthetic image-metadata gate table (the north rule's image axis) ──
+#
+# The driver fixtures carry no image table, and the brief mandates a
+# deterministic small-scale synthesis ("input_hint": image_id/bytes/w/h/fmt/
+# caption/phash). The flag logic only ever touches length(bytes) — by design
+# (pipeline/heuristics.py `with_flags` never ships pixel bytes through a
+# shuffle) — so the gate table carries `byte_len` directly and stays pure
+# int64 arithmetic over doc_id, expressible identically in Spark Columns and
+# DuckDB SQL (nonnegative operands, so `%` agrees; integer division is
+# Spark `DIV` ≡ DuckDB `//`). Injection rates: ~1/97 degenerate dims, ~1/89
+# truncated files, ~1/83 oversized files, 2/5 disallowed containers.
+
+IMG_FMTS = ("png", "jpeg", "webp", "gif", "bmp")
+
+
+def _meta_exprs(div_op: str) -> dict[str, str]:
+    """The shared int64 arithmetic, as SQL expression strings. `div_op` is the
+    only dialect difference: integer division is `DIV` in Spark SQL, `//` in
+    DuckDB; `%` and CASE agree (operands are all nonnegative)."""
+    w = "(16 + (doc_id * 7919) % 2040)"
+    h = "(CASE WHEN doc_id % 97 = 0 THEN 4 ELSE 16 + (doc_id * 104729) % 2040 END)"
+    raw = f"({w} * {h} * 3)"
+    byte_len = (
+        f"(CASE WHEN doc_id % 89 = 0 THEN 8"
+        f" WHEN doc_id % 83 = 0 THEN {raw} + 4096"
+        f" ELSE 100 + {raw} {div_op} (2 + doc_id % 23) END)"
+    )
+    return {"w": w, "h": h, "byte_len": byte_len}
+
+
+def synthetic_image_meta_df(docs: DataFrame) -> DataFrame:
+    """Spark construction: one image-metadata row per document. Single
+    codegen'd projection over the documents scan — no UDF, no shuffle."""
+    e = _meta_exprs("DIV")
+    fmt = F.element_at(
+        F.array(*[F.lit(v) for v in IMG_FMTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(e["w"]).cast("int").alias("w"),
+        F.expr(e["h"]).cast("int").alias("h"),
+        fmt.alias("fmt"),
+        F.expr(e["byte_len"]).cast("long").alias("byte_len"),
+        F.col("text").alias("caption"),
+    )
+
+
+def synthetic_image_meta_sql(docs_rel: str = "documents") -> str:
+    """DuckDB twin: identical arithmetic as a plain SELECT over documents."""
+    e = _meta_exprs("//")
+    fmts = ", ".join(f"'{v}'" for v in IMG_FMTS)
+    return (
+        f"SELECT doc_id AS image_id, CAST({e['w']} AS INT) AS w,"
+        f" CAST({e['h']} AS INT) AS h,"
+        f" ([{fmts}])[CAST(doc_id % 5 + 1 AS INT)] AS fmt,"
+        f" CAST({e['byte_len']} AS BIGINT) AS byte_len, text AS caption"
+        f" FROM {docs_rel}"
+    )

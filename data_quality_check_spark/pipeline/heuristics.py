@@ -22,6 +22,11 @@ REPETITION_MIN_TOKENS = 6
 MAX_REPETITION = 0.5  # flag when distinct/total < 0.5
 MAX_ASPECT = 8.0
 BYTES_SLACK = 64  # header + zlib overhead allowance
+# Decodable-container allowlist for the image axis (validity-dimension analogue
+# of the reference's domain rules, engine.py:475-499): containers the decode
+# stage (pipeline/codecs.py) accepts. Rows in other containers are flagged, not
+# decoded — same analyze-then-degrade posture as the rule DSL.
+FMT_ALLOWED = ("png", "jpeg", "webp")
 ALPHA_CLASS = "[^A-Za-zÀ-ÿ0-9 ]"  # chars NOT counted as "texty"
 # The literal complement of ALPHA_CLASS, for `F.translate`. Counting texty chars
 # as length(c) - length(translate(c, ALPHA_CHARS, "")) is arithmetically identical
@@ -97,6 +102,14 @@ def image_flags(w: Column, h: Column, byte_len: Column) -> dict[str, Column]:
     }
 
 
+def bad_fmt_flag(fmt: Column) -> Column:
+    """True when the container format is outside FMT_ALLOWED (NULL counts as
+    bad: an unreadable container can't be decoded). Kept OUT of FLAG_COLS —
+    the reference labels predate this image-axis rule, so the filter pipeline's
+    keep/drop parity contract is unchanged; gate queries opt in explicitly."""
+    return _nvl(~F.lower(fmt).isin(*FMT_ALLOWED), True)
+
+
 def with_flags(df: DataFrame, caption_col: str = "caption") -> DataFrame:
     """Adds all heuristic flag columns in one projection (single codegen stage).
 
@@ -140,6 +153,27 @@ def caption_flags_sql(c: str) -> dict[str, str]:
             f" AND len(list_distinct({toks})) / len({toks}) < {MAX_REPETITION}, FALSE)"
         ),
     }
+
+
+def image_flags_sql(w: str, h: str, byte_len: str) -> dict[str, str]:
+    """DuckDB twins of `image_flags` — same NULL-defaults-to-True coalescing,
+    same double-division aspect arithmetic, same int64 raw-size product."""
+    aspect_bad = (
+        f"(CAST({w} AS DOUBLE) / {h} > {MAX_ASPECT}"
+        f" OR CAST({h} AS DOUBLE) / {w} > {MAX_ASPECT})"
+    )
+    raw = f"(CAST({w} AS BIGINT) * {h} * 3)"
+    return {
+        "flag_bad_dims": f"COALESCE({w} <= 0 OR {h} <= 0 OR {aspect_bad}, TRUE)",
+        "flag_bytes_implausible": (
+            f"COALESCE({byte_len} < 16 OR {byte_len} > {raw} + {BYTES_SLACK}, TRUE)"
+        ),
+    }
+
+
+def bad_fmt_sql(fmt: str) -> str:
+    allowed = ", ".join(f"'{v}'" for v in FMT_ALLOWED)
+    return f"COALESCE(lower({fmt}) NOT IN ({allowed}), TRUE)"
 
 
 def heuristic_ok() -> Column:

@@ -316,6 +316,59 @@ def test_whitespace_captions_agree_with_golden(spark):
     assert not golden[golden["caption"] == "\tN/A"]["keep"].iloc[0]
 
 
+def test_image_flag_semantics(spark):
+    """Edge semantics of the image-axis flags: NULL metadata defaults to
+    flagged (can't validate what isn't there), format match is case-folded,
+    and the byte-plausibility window is [16, 3wh + slack]."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.pipeline import heuristics as H
+
+    rows = [
+        # (w, h, byte_len, fmt) -> (bad_dims, bytes_implausible, bad_fmt)
+        (100, 100, 5000, "png", False, False, False),
+        (100, 100, 5000, "PNG", False, False, False),  # case-folded
+        (None, 100, 5000, "png", True, True, False),  # null dim flags both
+        (100, 100, None, "gif", False, True, True),  # null bytes; bad container
+        (100, 100, 5000, None, False, False, True),  # null fmt is bad
+        (1000, 100, 5000, "webp", True, False, False),  # aspect 10 > 8
+        (100, 100, 8, "jpeg", False, True, False),  # truncated file
+        (10, 10, 10 * 10 * 3 + 64, "png", False, False, False),  # slack edge: ok
+        (10, 10, 10 * 10 * 3 + 65, "png", False, True, False),  # past slack
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "w int, h int, byte_len long, fmt string",
+    )
+    flags = H.image_flags(F.col("w"), F.col("h"), F.col("byte_len"))
+    got = df.select(
+        flags["flag_bad_dims"].alias("d"),
+        flags["flag_bytes_implausible"].alias("b"),
+        H.bad_fmt_flag(F.col("fmt")).alias("f"),
+    ).collect()
+    for row, exp in zip(got, rows):
+        assert (row.d, row.b, row.f) == exp[4:], (row, exp)
+
+
+def test_synthetic_image_meta_injection_rates(spark):
+    """The deterministic gate synthesis must actually exercise every flag."""
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_df
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("a caption").alias("text")
+    )
+    img = synthetic_image_meta_df(docs).collect()
+    assert len(img) == 500
+    degenerate = sum(1 for r in img if r.h == 4)
+    truncated = sum(1 for r in img if r.byte_len == 8)
+    oversized = sum(1 for r in img if r.byte_len == r.w * r.h * 3 + 4096)
+    bad_fmt = sum(1 for r in img if r.fmt in ("gif", "bmp"))
+    assert degenerate == len([i for i in range(500) if i % 97 == 0])
+    assert truncated == len([i for i in range(500) if i % 89 == 0])
+    assert oversized == len([i for i in range(500) if i % 83 == 0 and i % 89 != 0])
+    assert bad_fmt == 200
+
+
 def test_dup_broadcast_fallback_identical(spark, tmp_path_factory):
     """A ~50% duplicate-rate input forced down the non-broadcast path
     (max_broadcast_decisions tiny → bucket-partitioned decision spill +

@@ -106,6 +106,18 @@ def test_quality_flags_is_one_codegen_projection(spark):
     assert "lang" not in read and "n_chars" not in read  # scan pruned to doc_id,text
 
 
+def test_image_flags_is_one_codegen_projection(spark):
+    """The image-axis flag query (synthesis + flags + keep) must likewise be a
+    single map-side projection: at 10^12 images this is a metadata scan."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["image_quality_flags"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "lang" not in read and "source" not in read  # pruned to doc_id,text
+
+
 def test_asof_join_is_one_shuffle_no_join_node(spark):
     """The as-of join must compile to union + ONE hash exchange on the key +
     window — never a join operator (an inequality join would be O(n·m))."""
