@@ -1280,6 +1280,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style duplicated-span dedup stats: per document, how many of its 8-word
+# spans occur in ≥2 documents (the line-dedup analogue for caption corpora
+# without sentence structure). One regexp pass per row, spans shuffle as md5
+# fingerprints, size-gated broadcast of the dup-span set.
+_SPAN_WORDS = 8
+
+
+@register(
+    "line_dedup_documents",
+    DD.duplicate_span_stats_sql("documents", "doc_id", "text", _SPAN_WORDS),
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicate_span_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", span_words=_SPAN_WORDS
+    )
+
+
 # Image-axis heuristic filter (the north rule's payload): per-image validity
 # flags (degenerate dims / implausible encoded size / disallowed container)
 # + keep decision over the deterministic synthetic image-metadata gate table

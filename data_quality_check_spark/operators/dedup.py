@@ -272,6 +272,111 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold!r}
 """
 
 
+# ---------------- duplicated-span (pseudo-line) dedup stats ----------------
+
+
+def _span_pattern(span_words: int) -> str:
+    # greedy leftmost matching chunks the normalized (single-space) word stream
+    # into consecutive non-overlapping runs of ≤ span_words words; identical
+    # semantics in Java regex and RE2 (no backrefs, no lookaround)
+    return rf"(?:\S+ ){{0,{span_words - 1}}}\S+"
+
+
+def _span_norm(text_col) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+    min_docs: int = 2,
+    max_broadcast_spans: int = 4_000_000,
+) -> DataFrame:
+    """C4-style duplicated-span statistics: per document, how many of its
+    fixed-width word spans also occur in ≥ `min_docs` documents (C4 §2.2
+    removes any three-sentence span occurring more than once in the corpus;
+    corpora without sentence structure — captions — use fixed `span_words`
+    chunks instead). Emits ({id_col}, n_spans, dup_spans, dup_frac); documents
+    whose normalized text is empty yield no spans and are omitted.
+
+    Plan shape for 10^12 rows:
+      * span extraction is ONE regexp pass per row (regexp_extract_all with a
+        greedy non-overlapping chunk pattern — no HOF lambda re-evaluating the
+        tokenizer per element, no token explode);
+      * spans shuffle as 128-bit md5 fingerprints, never as raw strings;
+      * the global span-frequency agg is a partial/final hash agg keyed on the
+        fingerprint (uniformly distributed — no salting needed);
+      * the dup-span set (≥min_docs) is usually a small fraction of all spans:
+        it broadcasts when ≤ `max_broadcast_spans` (counted on the pinned agg
+        output — same size gate as `dedup_survivors`), else falls back to a
+        shuffled left join where AQE handles any residual skew. A boilerplate
+        span shared by millions of docs is ONE key on the build side either
+        way — the probe side stays balanced because each doc row carries it
+        independently.
+
+    The span lineage feeds both the frequency agg and the probe side but is
+    deliberately NOT pinned: like the exploded Jaccard token table (BENCH.md
+    finding 4), recomputing the regexp+md5 map stage is cheaper than caching
+    a row-per-span table — and at corpus scale it wouldn't fit anyway.
+    """
+    spans = _spread(df.select(F.col(id_col).alias("id"), _span_norm(F.col(text_col)).alias("_t"))).select(
+        "id",
+        F.explode(
+            F.regexp_extract_all("_t", F.lit(_span_pattern(span_words)), 0)
+        ).alias("_s"),
+    ).select("id", F.md5("_s").alias("sp"))
+    dup_sp = _pin(
+        spans.groupBy("sp")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("sp")
+    )
+    hint = F.broadcast if dup_sp.count() <= max_broadcast_spans else (lambda d: d)
+    flagged = spans.join(
+        hint(dup_sp.withColumn("_dup", F.lit(1))), "sp", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("_dup").alias("dup_spans"),
+            F.round(
+                F.count("_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def duplicate_span_stats_sql(
+    table: str, id_col: str, text_col: str, span_words: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of `duplicate_span_stats` (same normalization, same greedy
+    chunk regex, same md5 span keys, same one-double-division rounding)."""
+    norm = f"lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')))"
+    pat = _span_pattern(span_words)
+    return f"""
+WITH spans AS (
+  SELECT {id_col} AS id, md5(s) AS sp
+  FROM (
+    SELECT {id_col}, unnest(regexp_extract_all({norm}, '{pat}')) AS s
+    FROM {table}
+  )
+),
+dup AS (
+  SELECT sp FROM spans GROUP BY sp HAVING count(DISTINCT id) >= {min_docs}
+)
+SELECT s.id AS {id_col},
+       count(*) AS n_spans,
+       count(d.sp) AS dup_spans,
+       round(CAST(count(d.sp) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM spans s LEFT JOIN dup d ON s.sp = d.sp
+GROUP BY s.id
+"""
+
+
 # ---------------- MinHash + LSH ----------------
 
 

@@ -494,3 +494,51 @@ def test_dedup_incremental_candidate_fraction(spark, sf_dir):
     self_frac = counts["dedup_incremental_self"] / (n_new * (n_new - 1) / 2)
     assert cross_frac <= 0.05, f"cross candidate fraction {cross_frac:.4f}"
     assert self_frac <= 0.05, f"self candidate fraction {self_frac:.4f}"
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Span accounting: a span shared by >=2 DOCS counts (per occurrence), a
+    span repeated only WITHIN one doc does not, whitespace/case variants
+    normalize to the same span, and empty docs vanish (no spans)."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-word span
+    rows = [
+        (1, shared + " tail1 a b c d e f g"),  # span1=shared, span2=tail
+        (2, "  " + shared.upper() + "\t extra x y z 1 2 3 4"),  # normalizes
+        (3, "self self2 self3 self4 self5 self6 self7 self8 "
+            "self self2 self3 self4 self5 self6 self7 self8"),  # within-doc only
+        (4, ""),  # no spans -> omitted
+        (5, "lone span words here only four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans, r.dup_frac)
+        for r in DD.duplicate_span_stats(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+        5: (1, 0, 0.0),
+    }
+
+
+def test_duplicate_span_stats_gate_paths_identical(spark):
+    """The size-gated broadcast of the dup-span set must not change output:
+    force the shuffled-join fallback (max_broadcast_spans=0) and compare."""
+    docs = [(i, f"a b c d e f g h uniq{i} t u v w x y z q") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        map(tuple, DD.duplicate_span_stats(df, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            DD.duplicate_span_stats(
+                df, "doc_id", "text", max_broadcast_spans=0
+            ).collect(),
+        )
+    )
+    assert a == b
+    # 17 words -> 3 spans: the leading 8 words and the final 1-word remnant
+    # are corpus-wide duplicates, the uniq{i} middle span is solo
+    assert all(r == (r[0], 3, 2, 0.666667) for r in a)
