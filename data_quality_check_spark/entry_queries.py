@@ -1280,6 +1280,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Categorical distribution drift (PSI) — the snapshot-monitoring op the
+# single-table reference never reaches. The gate demo splits events at the
+# integer-µs midpoint of its time range (deterministic; production passes two
+# genuine snapshots) and measures event_type drift early → late.
+from data_quality_check_spark.operators import drift as DR  # noqa: E402
+
+_DRIFT_MID_SQL = (
+    "(SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS _mid FROM events)"
+)
+_DRIFT_SQL = DR.categorical_drift_sql(
+    f"(SELECT event_type FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) <= _mid)",
+    f"(SELECT event_type FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) > _mid)",
+    "event_type",
+)
+
+
+@register("drift_psi_events", _DRIFT_SQL)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
+    return DR.categorical_drift(
+        tagged.filter(F.col("_us") <= F.col("_mid")),
+        tagged.filter(F.col("_us") > F.col("_mid")),
+        "event_type",
+    )
+
+
 # C4-style duplicated-span dedup stats: per document, how many of its 8-word
 # spans occur in ≥2 documents (the line-dedup analogue for caption corpora
 # without sentence structure). One regexp pass per row, spans shuffle as md5

@@ -1,0 +1,101 @@
+"""Categorical distribution drift between two table snapshots (PSI).
+
+The reference profiles one table at a time (engine.py:439-553 recomputes
+scores per run); the natural productionization at 10^12 rows is monitoring
+HOW the distribution moves between snapshots — yesterday's crawl vs today's,
+train vs eval, pre- vs post-filter. The Population Stability Index is the
+standard per-category decomposition: psi = Σ (p_a − p_b)·ln(p_a/p_b), with
+Laplace smoothing so categories that appear or vanish entirely stay finite.
+
+Scale shape: each side is ONE partial/final hash agg on the category key
+(map-side combine does almost all the work — output is K rows, K = category
+cardinality); the K-row frames then full-outer join and pick up the 1-row
+totals via a broadcast cross join. Nothing after the two aggs touches more
+than K rows, so the operator costs two scans — inherent, the snapshots are
+different tables — and two tiny exchanges.
+
+Float determinism (driver value-hash): counts stay integer end-to-end; each
+probability is ONE double division of exact integers, identical in Spark and
+DuckDB; ln/round(…,6) are the only transcendental steps and both engines
+round the same correctly-rounded-division inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Per-category drift between snapshot A and snapshot B of `col`.
+
+    Emits ({col}, n_a, n_b, p_a, p_b, psi_term); total PSI = sum(psi_term).
+    p's are Laplace-smoothed: (n + 1) / (total + K) with K = distinct
+    categories across both snapshots. NULL categories count as a category.
+    """
+    # null-safe key equality (≡ the twin's IS NOT DISTINCT FROM): a NULL
+    # category present on both sides must merge into one row, not two
+    ca = df_a.groupBy(F.col(col).alias("_ka")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = df_b.groupBy(F.col(col).alias("_kb")).agg(F.count(F.lit(1)).alias("n_b"))
+    j = ca.join(cb, F.col("_ka").eqNullSafe(F.col("_kb")), "full_outer").select(
+        F.coalesce("_ka", "_kb").alias(col),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("_ta"),
+        F.sum("n_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    p_a = (F.col("n_a") + 1) / (F.col("_ta") + F.col("_k"))
+    p_b = (F.col("n_b") + 1) / (F.col("_tb") + F.col("_k"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            col,
+            "n_a",
+            "n_b",
+            F.round(p_a, 6).alias("p_a"),
+            F.round(p_b, 6).alias("p_b"),
+            F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+        )
+    )
+
+
+def categorical_drift_sql(rel_a: str, rel_b: str, col: str) -> str:
+    """DuckDB twin of `categorical_drift`. `rel_a`/`rel_b` are relation
+    expressions (table names or parenthesized subqueries)."""
+    return f"""
+WITH ca AS (SELECT {col}, count(*) AS n_a FROM {rel_a} GROUP BY {col}),
+cb AS (SELECT {col}, count(*) AS n_b FROM {rel_b} GROUP BY {col}),
+j AS (
+  SELECT coalesce(ca.{col}, cb.{col}) AS {col},
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL JOIN cb ON ca.{col} IS NOT DISTINCT FROM cb.{col}
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+         count(*) AS k
+  FROM j
+)
+SELECT {col}, n_a, n_b,
+       round(CAST(n_a + 1 AS DOUBLE) / (ta + k), 6) AS p_a,
+       round(CAST(n_b + 1 AS DOUBLE) / (tb + k), 6) AS p_b,
+       round((CAST(n_a + 1 AS DOUBLE) / (ta + k)
+              - CAST(n_b + 1 AS DOUBLE) / (tb + k))
+             * ln((CAST(n_a + 1 AS DOUBLE) / (ta + k))
+                  / (CAST(n_b + 1 AS DOUBLE) / (tb + k))), 6) AS psi_term
+FROM j, tot
+"""
+
+
+def time_split_mid(df: DataFrame, ts_col: str) -> DataFrame:
+    """1-row frame with the integer-µs midpoint of [min(ts), max(ts)] — the
+    deterministic split key for drift-over-time demos/tests (production use
+    passes two genuine snapshots instead)."""
+    # cast handles TIMESTAMP_NTZ inputs; the session pins UTC so the cast is
+    # an identity on the stored microseconds (matching DuckDB's epoch_us)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return df.agg(
+        F.min(us).alias("_mn"),
+        F.max(us).alias("_mx"),
+    ).select(F.expr("(_mn + _mx) DIV 2").alias("_mid"))

@@ -1,0 +1,61 @@
+"""Categorical PSI drift: smoothing, null-key merge, zero-drift identity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators.drift import categorical_drift, time_split_mid
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "cat string")
+
+
+def test_identical_snapshots_zero_psi(spark):
+    a = _df(spark, ["x"] * 5 + ["y"] * 3)
+    out = categorical_drift(a, a, "cat").collect()
+    assert {r.cat for r in out} == {"x", "y"}
+    for r in out:
+        assert r.n_a == r.n_b and r.p_a == r.p_b
+        assert r.psi_term == 0.0
+
+
+def test_appearing_and_vanishing_categories_stay_finite(spark):
+    a = _df(spark, ["x"] * 4 + ["gone"] * 2)
+    b = _df(spark, ["x"] * 4 + ["new"] * 2)
+    got = {r.cat: r for r in categorical_drift(a, b, "cat").collect()}
+    assert set(got) == {"x", "gone", "new"}
+    assert got["gone"].n_b == 0 and got["new"].n_a == 0
+    for r in got.values():
+        assert math.isfinite(r.psi_term)
+        assert 0.0 < r.p_a < 1.0 and 0.0 < r.p_b < 1.0
+    # the vanished category's mass moved A→B-smoothed-floor: positive term
+    assert got["gone"].psi_term > 0 and got["new"].psi_term > 0
+
+
+def test_null_category_merges_to_one_row(spark):
+    a = _df(spark, ["x", None, None])
+    b = _df(spark, ["x", None])
+    out = categorical_drift(a, b, "cat").collect()
+    assert len(out) == 2  # not 3: NULL on both sides is ONE category
+    null_row = next(r for r in out if r.cat is None)
+    assert (null_row.n_a, null_row.n_b) == (2, 1)
+
+
+def test_laplace_probabilities_sum_to_one(spark):
+    a = _df(spark, ["x"] * 7 + ["y"] * 2 + ["z"])
+    b = _df(spark, ["x"] * 3 + ["w"] * 3)
+    rows = categorical_drift(a, b, "cat").collect()
+    # (n_i + 1) / (total + K) over all K categories sums to exactly 1
+    assert abs(sum(r.p_a for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_b for r in rows) - 1.0) < 1e-4
+
+
+def test_time_split_mid_is_inclusive_integer_midpoint(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-03 00:00:00",)], "s string"
+    ).select(F.to_timestamp("s").alias("ts"))
+    [row] = time_split_mid(df, "ts").collect()
+    mn = 1704067200 * 10**6
+    mx = mn + 2 * 86400 * 10**6
+    assert row._mid == (mn + mx) // 2
