@@ -1309,6 +1309,29 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Numeric drift (binned PSI) over the same early/late split — the companion
+# monitor for measure columns. 16 fixed-width bins derived from the combined
+# span (production passes yesterday's `edges` and pays one agg per side).
+_NDRIFT_SQL = DR.numeric_drift_sql(
+    f"(SELECT value FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) <= _mid)",
+    f"(SELECT value FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) > _mid)",
+    "value",
+)
+
+
+@register("numeric_drift_events_value", _NDRIFT_SQL)
+def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
+    return DR.numeric_drift(
+        tagged.filter(F.col("_us") <= F.col("_mid")),
+        tagged.filter(F.col("_us") > F.col("_mid")),
+        "value",
+    )
+
+
 # C4-style duplicated-span dedup stats: per document, how many of its 8-word
 # spans occur in ≥2 documents (the line-dedup analogue for caption corpora
 # without sentence structure). One regexp pass per row, spans shuffle as md5

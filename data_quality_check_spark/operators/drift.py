@@ -88,6 +88,99 @@ FROM j, tot
 """
 
 
+def numeric_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 16,
+    edges: "tuple[float, float] | None" = None,
+) -> DataFrame:
+    """Binned PSI between two snapshots of a numeric column.
+
+    Fixed-width bins over [mn, mx]; NULL values form their own category (the
+    Laplace smoothing in `categorical_drift` keeps every term finite). Output:
+    (bin, lo, hi, n_a, n_b, p_a, p_b, psi_term); total PSI = sum(psi_term).
+
+    Scale shape: with `edges` given (the production monitoring path — reuse
+    yesterday's edges so bins are comparable across runs), each side is ONE
+    map-side-combined agg on a computed bin key, exactly like the categorical
+    op. With edges=None the span is derived from a union-scan of both inputs
+    first (2 scans/side total) — fine for ad-hoc, documented cost at scale.
+
+    Float determinism: the bin index is floor(((x - mn) * bins) / (mx - mn))
+    with that exact association in both engines — every step is a single IEEE
+    double op on identical inputs, so the integer bin is bit-identical.
+    """
+    v = F.col(col).cast("double")
+    if edges is None:
+        span = (
+            df_a.select(v.alias("_v"))
+            .unionAll(df_b.select(v.alias("_v")))
+            .agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+        )
+    else:
+        mn, mx = edges
+        span = df_a.sparkSession.range(1).select(
+            F.lit(float(mn)).alias("_mn"), F.lit(float(mx)).alias("_mx")
+        )
+
+    def _binned(df: DataFrame) -> DataFrame:
+        idx = F.floor(((v - F.col("_mn")) * F.lit(float(bins))) / (F.col("_mx") - F.col("_mn")))
+        return df.crossJoin(F.broadcast(span)).select(
+            F.when(v.isNull(), F.lit(None).cast("long"))
+            .when(F.col("_mx") == F.col("_mn"), F.lit(0).cast("long"))
+            .otherwise(F.greatest(F.least(idx, F.lit(bins - 1)), F.lit(0)).cast("long"))
+            .alias("bin")
+        )
+
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    return (
+        categorical_drift(_binned(df_a), _binned(df_b), "bin")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "bin",
+            F.round(F.col("_mn") + F.col("bin").cast("double") * width, 6).alias("lo"),
+            F.round(F.col("_mn") + (F.col("bin") + 1).cast("double") * width, 6).alias("hi"),
+            "n_a",
+            "n_b",
+            "p_a",
+            "p_b",
+            "psi_term",
+        )
+    )
+
+
+def numeric_drift_sql(rel_a: str, rel_b: str, col: str, bins: int = 16) -> str:
+    """DuckDB twin of `numeric_drift` (edges=None form). The bin expression
+    keeps the exact association of the Spark build — see the operator's
+    float-determinism note."""
+    b = float(bins)
+    span = (
+        f"(SELECT min(_v) AS _mn, max(_v) AS _mx FROM ("
+        f"SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_a} "
+        f"UNION ALL SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_b}))"
+    )
+
+    def binned(rel: str) -> str:
+        idx = f"CAST(floor(((CAST({col} AS DOUBLE) - _mn) * {b}) / (_mx - _mn)) AS BIGINT)"
+        return (
+            f"(SELECT CASE WHEN {col} IS NULL THEN NULL "
+            f"WHEN _mx = _mn THEN 0 "
+            f"ELSE greatest(least({idx}, {bins - 1}), 0) END AS bin "
+            f"FROM {rel}, {span} AS _sp)"
+        )
+
+    psi = categorical_drift_sql(binned(rel_a), binned(rel_b), "bin")
+    width = f"((_mx - _mn) / {b})"
+    return f"""
+SELECT bin,
+       round(_mn + CAST(bin AS DOUBLE) * {width}, 6) AS lo,
+       round(_mn + CAST(bin + 1 AS DOUBLE) * {width}, 6) AS hi,
+       n_a, n_b, p_a, p_b, psi_term
+FROM ({psi}) AS _psi, {span} AS _sp
+"""
+
+
 def time_split_mid(df: DataFrame, ts_col: str) -> DataFrame:
     """1-row frame with the integer-µs midpoint of [min(ts), max(ts)] — the
     deterministic split key for drift-over-time demos/tests (production use

@@ -4,7 +4,11 @@ import math
 
 from pyspark.sql import functions as F
 
-from data_quality_check_spark.operators.drift import categorical_drift, time_split_mid
+from data_quality_check_spark.operators.drift import (
+    categorical_drift,
+    numeric_drift,
+    time_split_mid,
+)
 
 
 def _df(spark, rows):
@@ -49,6 +53,52 @@ def test_laplace_probabilities_sum_to_one(spark):
     # (n_i + 1) / (total + K) over all K categories sums to exactly 1
     assert abs(sum(r.p_a for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.p_b for r in rows) - 1.0) < 1e-4
+
+
+def _num_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x double")
+
+
+def test_numeric_drift_zero_on_identical_snapshots(spark):
+    a = _num_df(spark, [float(i) for i in range(32)])
+    rows = numeric_drift(a, a, "x", bins=8).collect()
+    assert all(r.psi_term == 0.0 for r in rows)
+    assert {r.bin for r in rows} == set(range(8))  # 32 evenly spread values hit all bins
+
+
+def test_numeric_drift_detects_shift(spark):
+    a = _num_df(spark, [float(i) for i in range(100)])
+    b = _num_df(spark, [float(i) + 60.0 for i in range(100)])
+    rows = numeric_drift(a, b, "x", bins=8).collect()
+    assert sum(r.psi_term for r in rows) > 0.25  # standard "significant drift" bar
+    lo_bin = next(r for r in rows if r.bin == 0)
+    assert lo_bin.n_a > 0 and lo_bin.n_b == 0  # B vacated the low bins
+
+
+def test_numeric_drift_max_value_lands_in_top_bin(spark):
+    a = _num_df(spark, [0.0, 10.0])
+    rows = numeric_drift(a, a, "x", bins=4).collect()
+    assert {r.bin for r in rows} == {0, 3}
+    top = next(r for r in rows if r.bin == 3)
+    assert (top.lo, top.hi) == (7.5, 10.0)
+
+
+def test_numeric_drift_null_and_degenerate_span(spark):
+    a = _num_df(spark, [5.0, 5.0, None])
+    b = _num_df(spark, [5.0])
+    rows = numeric_drift(a, b, "x", bins=4).collect()
+    got = {r.bin: r for r in rows}
+    assert set(got) == {0, None}  # mx == mn → everything in bin 0; NULLs separate
+    assert (got[0].n_a, got[0].n_b) == (2, 1)
+    assert (got[None].n_a, got[None].n_b) == (1, 0)
+
+
+def test_numeric_drift_precomputed_edges_match_derived(spark):
+    a = _num_df(spark, [float(i) for i in range(50)])
+    b = _num_df(spark, [float(i) * 0.5 for i in range(50)])
+    derived = sorted(map(tuple, numeric_drift(a, b, "x", bins=8).collect()))
+    fixed = sorted(map(tuple, numeric_drift(a, b, "x", bins=8, edges=(0.0, 49.0)).collect()))
+    assert derived == fixed
 
 
 def test_time_split_mid_is_inclusive_integer_midpoint(spark):
