@@ -1332,6 +1332,33 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-column profile drift over an early/late orders split — the shape diff
+# (rows / nulls / distincts per column) between two snapshots of one table.
+_PDRIFT_COLS = ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderpriority"]
+_PDRIFT_MID_SQL = (
+    "(SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2 "
+    "AS _mid FROM orders)"
+)
+_PDRIFT_SQL = DR.profile_drift_sql(
+    f"(SELECT * FROM orders, {_PDRIFT_MID_SQL} WHERE epoch_us(o_orderdate) <= _mid)",
+    f"(SELECT * FROM orders, {_PDRIFT_MID_SQL} WHERE epoch_us(o_orderdate) > _mid)",
+    _PDRIFT_COLS,
+)
+
+
+@register("profile_drift_orders", _PDRIFT_SQL)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    tagged = od.select(
+        *_PDRIFT_COLS, F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(od, "o_orderdate")))
+    return DR.profile_drift(
+        tagged.filter(F.col("_us") <= F.col("_mid")),
+        tagged.filter(F.col("_us") > F.col("_mid")),
+        _PDRIFT_COLS,
+    )
+
+
 # C4-style duplicated-span dedup stats: per document, how many of its 8-word
 # spans occur in ≥2 documents (the line-dedup analogue for caption corpora
 # without sentence structure). One regexp pass per row, spans shuffle as md5

@@ -181,6 +181,84 @@ FROM ({psi}) AS _psi, {span} AS _sp
 """
 
 
+def profile_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: "list[str]", exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column shape diff between two snapshots: row/null/distinct counts
+    and null rates, one output row per profiled column.
+
+    The "did today's batch change shape" monitor the reference's per-run
+    rescoring (engine.py:439-553) implies but never materializes. Scale
+    shape: ONE fused agg per side (all null counts + distincts in a single
+    pass), a 1-row × 1-row cross join, then a stack() to K rows — nothing
+    after the two scans exceeds K = len(cols). Exact multi-distinct costs a
+    Catalyst EXPAND (×K scan width) like the profiler's exact mode; pass
+    exact_distinct=False for the HLL sketch at production scale.
+    """
+
+    def _side(df: DataFrame, suf: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"rows{suf}")]
+        for c in cols:
+            aggs.append(
+                F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0)).alias(f"nulls_{c}{suf}")
+            )
+            dist = F.count_distinct(c) if exact_distinct else F.approx_count_distinct(c)
+            aggs.append(dist.alias(f"dist_{c}{suf}"))
+        return df.agg(*aggs)
+
+    one = _side(df_a, "_a").crossJoin(_side(df_b, "_b"))
+    stack = ", ".join(
+        f"'{c}', `nulls_{c}_a`, `dist_{c}_a`, `nulls_{c}_b`, `dist_{c}_b`" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, nulls_a, distinct_a, nulls_b, distinct_b)"
+        ),
+        "rows_a",
+        "rows_b",
+    ).select(
+        "column_name",
+        "rows_a",
+        "rows_b",
+        "nulls_a",
+        "nulls_b",
+        F.round(F.col("nulls_a") / F.nullif(F.col("rows_a"), F.lit(0)), 6).alias("null_rate_a"),
+        F.round(F.col("nulls_b") / F.nullif(F.col("rows_b"), F.lit(0)), 6).alias("null_rate_b"),
+        "distinct_a",
+        "distinct_b",
+        (F.col("distinct_b") - F.col("distinct_a")).alias("distinct_delta"),
+    )
+
+
+def profile_drift_sql(rel_a: str, rel_b: str, cols: "list[str]") -> str:
+    """DuckDB twin of `profile_drift` (exact-distinct form)."""
+
+    def side(rel: str, suf: str) -> str:
+        parts = [f"count(*) AS rows{suf}"]
+        for c in cols:
+            parts.append(
+                f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)"
+                f" AS BIGINT) AS nulls_{c}{suf}"
+            )
+            parts.append(f"count(DISTINCT {c}) AS dist_{c}{suf}")
+        return f"(SELECT {', '.join(parts)} FROM {rel})"
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, rows_a, rows_b, nulls_{c}_a AS nulls_a, "
+        f"nulls_{c}_b AS nulls_b, "
+        f"round(nulls_{c}_a / nullif(rows_a, 0), 6) AS null_rate_a, "
+        f"round(nulls_{c}_b / nullif(rows_b, 0), 6) AS null_rate_b, "
+        f"dist_{c}_a AS distinct_a, dist_{c}_b AS distinct_b, "
+        f"dist_{c}_b - dist_{c}_a AS distinct_delta FROM both_sides"
+        for c in cols
+    )
+    return (
+        f"WITH both_sides AS (SELECT * FROM {side(rel_a, '_a')} AS _a, "
+        f"{side(rel_b, '_b')} AS _b)\n{rows}"
+    )
+
+
 def time_split_mid(df: DataFrame, ts_col: str) -> DataFrame:
     """1-row frame with the integer-µs midpoint of [min(ts), max(ts)] — the
     deterministic split key for drift-over-time demos/tests (production use

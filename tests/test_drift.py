@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from data_quality_check_spark.operators.drift import (
     categorical_drift,
     numeric_drift,
+    profile_drift,
     time_split_mid,
 )
 
@@ -99,6 +100,36 @@ def test_numeric_drift_precomputed_edges_match_derived(spark):
     derived = sorted(map(tuple, numeric_drift(a, b, "x", bins=8).collect()))
     fixed = sorted(map(tuple, numeric_drift(a, b, "x", bins=8, edges=(0.0, 49.0)).collect()))
     assert derived == fixed
+
+
+def test_profile_drift_counts_and_deltas(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, "y")], "id long, s string"
+    )
+    b = spark.createDataFrame([(1, None), (2, None), (3, "z")], "id long, s string")
+    got = {r.column_name: r for r in profile_drift(a, b, ["id", "s"]).collect()}
+    assert set(got) == {"id", "s"}
+    assert (got["s"].rows_a, got["s"].rows_b) == (4, 3)
+    assert (got["s"].nulls_a, got["s"].nulls_b) == (1, 2)
+    assert got["s"].null_rate_a == 0.25 and abs(got["s"].null_rate_b - 2 / 3) < 1e-5
+    assert (got["s"].distinct_a, got["s"].distinct_b) == (2, 1)
+    assert got["s"].distinct_delta == -1
+    assert got["id"].distinct_delta == -1 and got["id"].nulls_a == 0
+
+
+def test_profile_drift_empty_side_is_finite(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = a.filter(F.lit(False))
+    got = {r.column_name: r for r in profile_drift(a, b, ["s"]).collect()}
+    r = got["s"]
+    assert (r.rows_b, r.nulls_b, r.distinct_b) == (0, 0, 0)
+    assert r.null_rate_b is None  # 0/0 is undefined, not a crash
+
+
+def test_profile_drift_approx_mode_runs(spark):
+    a = spark.createDataFrame([(i, str(i % 7)) for i in range(100)], "id long, s string")
+    got = {r.column_name: r for r in profile_drift(a, a, ["s"], exact_distinct=False).collect()}
+    assert abs(got["s"].distinct_a - 7) <= 1  # HLL estimate, tight at tiny n
 
 
 def test_time_split_mid_is_inclusive_integer_midpoint(spark):
