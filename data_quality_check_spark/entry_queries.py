@@ -1041,6 +1041,37 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.quota_sample(t(spark, sf_dir, "documents"), "doc_id", "lang", _QUOTA)
 
 
+# Deterministic md5-threshold train/val/test assignment (leakage-safe,
+# append-stable — the splitter a training corpus uses instead of rand()).
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "exp1"
+
+
+@register(
+    "hash_split_documents",
+    f"""
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM (SELECT doc_id, n_chars,
+             {CU.hash_split_case_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SALT)}
+      FROM documents)
+GROUP BY split
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        CU.hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 @register(
     "dedup_keep_best_documents",
     lambda: CU.keep_best_sql(

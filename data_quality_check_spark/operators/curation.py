@@ -474,3 +474,79 @@ def pack_token_budget_scalable(
         fkept.unionByName(bkept)
         .select(id_col, group_col, "n_tokens", F.col("_cum").alias("cum_tokens"))
     )
+
+
+def split_thresholds(weights: "dict[str, float]", hex_digits: int = 8) -> "list[tuple[str, str]]":
+    """Cumulative md5-prefix thresholds for `hash_split`: [(label, hex_upper)]
+    for every split but the last (which is the CASE's ELSE arm).
+
+    A threshold is `floor(cum_weight * 16**hex_digits)` rendered as a
+    zero-padded lowercase hex string; a row lands in split k iff its 32-char
+    md5 is lexicographically < threshold k (and ≥ the previous one). String
+    comparison on fixed-alphabet lowercase hex is order-identical to comparing
+    the underlying integers, and both Spark and DuckDB emit the same lowercase
+    hex md5 — so the assignment is bit-identical across engines. Resolution is
+    16**-hex_digits (default ≈ 2.3e-10 of the keyspace).
+    """
+    if not weights or len(weights) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9 or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive and sum to 1, got {weights}")
+    out, cum, space = [], 0.0, 16**hex_digits
+    labels = list(weights)
+    for label in labels[:-1]:
+        cum += weights[label]
+        out.append((label, format(min(int(cum * space), space - 1), f"0{hex_digits}x")))
+    return out
+
+
+def _split_hash_key(id_col: str, salt: str) -> str:
+    # Shared Spark/DuckDB expression text: md5 of 'salt:id' (or just the id
+    # string). CAST(bigint AS string/varchar) is digits-only in both engines.
+    key = f"CAST({id_col} AS STRING)"
+    return f"md5(CONCAT('{salt}:', {key}))" if salt else f"md5({key})"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: "dict[str, float]",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the row id — the
+    standard leakage-safe splitter for training corpora (every engine from
+    tf.data to Dataflow recommends hash-mod splits over rand(); the reference
+    has only seeded pandas `sample`, engine.py:83-87, which is neither
+    distributed nor stable under appends).
+
+    Properties a 100 TB pipeline needs, all by construction:
+      * pure function of (salt, id): stable across runs, partitionings,
+        cluster sizes, and engine versions — no rand(), no zipWithIndex;
+      * append-safe: new rows never change existing rows' assignments;
+      * salt rotates the split without touching the data (new experiment =
+        new salt);
+      * exact-fraction control to 16^-8 via md5-prefix thresholds
+        (`split_thresholds`), enforced identically by the DuckDB oracle twin.
+
+    Plan shape: ONE narrow projection (md5 + chained CASE) — no shuffle, no
+    Python; the split column is free at scan time wherever it's consumed.
+    """
+    thresholds = split_thresholds(weights)
+    key = F.expr(_split_hash_key(id_col, salt))
+    labels = list(weights)
+    expr = F.lit(labels[-1])
+    for label, upper in reversed(thresholds):
+        expr = F.when(key < F.lit(upper), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_case_sql(
+    id_col: str, weights: "dict[str, float]", salt: str = "", out_col: str = "split"
+) -> str:
+    """DuckDB twin of `hash_split`'s assignment expression (one CASE)."""
+    thresholds = split_thresholds(weights)
+    key = _split_hash_key(id_col, salt).replace(" AS STRING)", " AS VARCHAR)")
+    arms = " ".join(f"WHEN {key} < '{upper}' THEN '{label}'" for label, upper in thresholds)
+    return f"CASE {arms} ELSE '{list(weights)[-1]}' END AS {out_col}"

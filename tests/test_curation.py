@@ -226,3 +226,48 @@ def test_dedup_survivors_size_gate_paths_identical(spark, docs):
         map(tuple, shuffled_path[key].values.tolist())
     )
     assert broadcast_path["was_clustered"].sum() > 0  # winners flagged on both
+
+
+def test_split_thresholds_exact_hex_boundaries():
+    assert CU.split_thresholds({"a": 0.5, "b": 0.5}) == [("a", "80000000")]
+    ts = CU.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert [t[0] for t in ts] == ["train", "val"]
+    assert int(ts[0][1], 16) == int(0.9 * 16**8)
+    with pytest.raises(ValueError):
+        CU.split_thresholds({"only": 1.0})
+    with pytest.raises(ValueError):
+        CU.split_thresholds({"a": 0.7, "b": 0.2})
+
+
+def test_hash_split_fractions_and_exhaustive(spark):
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    got = {r["split"]: r["n"] for r in CU.hash_split(df, "doc_id", w).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == set(w) and sum(got.values()) == 4000
+    assert abs(got["train"] / 4000 - 0.9) < 0.03
+    assert abs(got["val"] / 4000 - 0.05) < 0.02
+    assert abs(got["test"] / 4000 - 0.05) < 0.02
+
+
+def test_hash_split_append_safe_and_partitioning_invariant(spark):
+    w = {"train": 0.8, "eval": 0.2}
+    small = CU.hash_split(spark.range(500).withColumnRenamed("id", "doc_id"), "doc_id", w)
+    big = CU.hash_split(
+        spark.range(2000).withColumnRenamed("id", "doc_id").repartition(13), "doc_id", w
+    ).filter(F.col("doc_id") < 500)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_hash_split_salt_rotates_assignment(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    w = {"a": 0.5, "b": 0.5}
+    base = dict(CU.hash_split(df, "doc_id", w).collect())
+    salted = dict(CU.hash_split(df, "doc_id", w, salt="exp2").collect())
+    moved = sum(base[k] != salted[k] for k in base)
+    assert 300 < moved < 700  # ~half the keys move under an independent hash
+
+
+def test_hash_split_is_shuffle_free(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = CU.hash_split(df, "doc_id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
