@@ -577,6 +577,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus vocabulary heavy hitters (term + document frequency top-k): the
+# tf/df audit a crawl runs to surface boilerplate and candidate stopwords.
+from data_quality_check_spark.operators import vocab as VB  # noqa: E402
+
+_TOPK_TOKENS, _TOKEN_MIN_LEN = 25, 2
+
+
+@register(
+    "top_tokens_documents",
+    VB.top_tokens_sql("documents", "doc_id", "text", _TOPK_TOKENS, _TOKEN_MIN_LEN),
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return VB.top_tokens(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _TOPK_TOKENS, _TOKEN_MIN_LEN
+    )
+
+
 # Per-row heuristic keep/drop decision (the north-rule quality-filter semantics,
 # SURVEY.md §7.1) exposed on the gate's documents table: every caption flag from
 # pipeline/heuristics.py as a boolean column plus the combined `keep` decision.
