@@ -1468,3 +1468,31 @@ def q_image_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(k) for k, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+# Perceptual-hash near-dup pairs over the image gate table: the fixture
+# plants, for every 10th image, the previous image's 60-bit phash with 1-3
+# contiguous bits flipped (gate_fixtures.phash_expr), so the exact expected
+# answer is precisely the planted pair set — the image analogue of the
+# planted-embedding SRP gate. Spark side: the pigeonhole-banded
+# hamming_near_pairs (recall exactly 1, bucket-cap escalation); oracle:
+# brute-force bit_count(xor) self-join, feasible at the sf0.01 gate scale —
+# so the band join is value-checked end to end against exhaustive search.
+def _phash_pairs_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    return (
+        f"WITH img AS ({synthetic_image_meta_sql('documents')})\n"
+        "SELECT a.image_id AS id_a, b.image_id AS id_b,\n"
+        "       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming\n"
+        "FROM img a JOIN img b ON a.image_id < b.image_id\n"
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"
+    )
+
+
+@register("phash_near_pairs_images", _phash_pairs_oracle)
+def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    return DD.hamming_near_pairs(
+        img.select("image_id", "phash"), "image_id", "phash", max_hamming=3
+    )

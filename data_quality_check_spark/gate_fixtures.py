@@ -112,6 +112,49 @@ def _meta_exprs(div_op: str) -> dict[str, str]:
     return {"w": w, "h": h, "byte_len": byte_len}
 
 
+# ── deterministic 60-bit perceptual hash with PLANTED near-duplicates ──
+# Four 15-bit chunks, each (doc_id·prime) mod a DISTINCT 15-bit prime —
+# distinct moduli so the combined period is lcm ≈ 1.1×10^18 and no two ids in
+# any realistic fixture share a hash; random pairs land within Hamming 3 with
+# p ≈ 36k/2^60 ≈ 0 (verified: zero accidental pairs at 60k ids). Products
+# stay ≤ ~10^12, far inside int64 — DuckDB raises on BIGINT overflow, Spark
+# wraps, so every intermediate must be overflow-free in BOTH. Every 10th
+# image carries the PREVIOUS image's hash with a contiguous run of 1-3 bits
+# flipped — a planted near-dup at Hamming ≤ 3, so the phash gate query's
+# exact expected answer is precisely the planted pair set (the text-SimHash
+# analogue of the planted embeddings above).
+_PH_CHUNKS = ((7919, 32749), (104729, 32717), (1299709, 32713), (15485863, 32707))
+PHASH_PLANT_EVERY = 10
+
+
+def _phash_base(d: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(({d} * {p}) % {m}) * {1 << (15 * i)}"
+            for i, (p, m) in enumerate(_PH_CHUNKS)
+        )
+        + ")"
+    )
+
+
+def phash_expr(dialect: str) -> str:
+    """The phash column as SQL text; `dialect` ∈ {'spark', 'duckdb'} switches
+    the two non-shared spellings (XOR and left-shift on int64)."""
+    m = f"(doc_id % 3 + 1)"  # bits flipped: 1..3
+    p = "(doc_id % 57)"  # flip position: run stays inside the 60 bits
+    if dialect == "spark":
+        mask = f"shiftleft(shiftleft(CAST(1 AS BIGINT), {m}) - 1, {p})"
+        flipped = f"({_phash_base('(doc_id - 1)')} ^ {mask})"
+    else:
+        mask = f"(((CAST(1 AS BIGINT) << {m}) - 1) << {p})"
+        flipped = f"xor({_phash_base('(doc_id - 1)')}, {mask})"
+    return (
+        f"(CASE WHEN doc_id % {PHASH_PLANT_EVERY} = 0 AND doc_id > 0 "
+        f"THEN {flipped} ELSE {_phash_base('doc_id')} END)"
+    )
+
+
 def synthetic_image_meta_df(docs: DataFrame) -> DataFrame:
     """Spark construction: one image-metadata row per document. Single
     codegen'd projection over the documents scan — no UDF, no shuffle."""
@@ -127,6 +170,7 @@ def synthetic_image_meta_df(docs: DataFrame) -> DataFrame:
         fmt.alias("fmt"),
         F.expr(e["byte_len"]).cast("long").alias("byte_len"),
         F.col("text").alias("caption"),
+        F.expr(phash_expr("spark")).cast("long").alias("phash"),
     )
 
 
@@ -138,6 +182,7 @@ def synthetic_image_meta_sql(docs_rel: str = "documents") -> str:
         f"SELECT doc_id AS image_id, CAST({e['w']} AS INT) AS w,"
         f" CAST({e['h']} AS INT) AS h,"
         f" ([{fmts}])[CAST(doc_id % 5 + 1 AS INT)] AS fmt,"
-        f" CAST({e['byte_len']} AS BIGINT) AS byte_len, text AS caption"
+        f" CAST({e['byte_len']} AS BIGINT) AS byte_len, text AS caption,"
+        f" CAST({phash_expr('duckdb')} AS BIGINT) AS phash"
         f" FROM {docs_rel}"
     )

@@ -369,6 +369,33 @@ def test_synthetic_image_meta_injection_rates(spark):
     assert bad_fmt == 200
 
 
+def test_synthetic_phash_planted_pairs_exact(spark):
+    """The phash gate answer is EXACTLY the planted pair set: every 10th image
+    carries the previous image's 60-bit hash with doc_id%3+1 contiguous bits
+    flipped, and the distinct-prime chunk moduli make accidental Hamming≤3
+    pairs vanishingly rare (zero verified out to 60k ids offline)."""
+    from data_quality_check_spark.gate_fixtures import (
+        PHASH_PLANT_EVERY,
+        synthetic_image_meta_df,
+    )
+    from data_quality_check_spark.operators import dedup as DD
+
+    n = 3000
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"), F.lit("cap").alias("text")
+    )
+    img = synthetic_image_meta_df(docs)
+    pairs = DD.hamming_near_pairs(
+        img.select("image_id", "phash"), "image_id", "phash", max_hamming=3
+    ).collect()
+    DD.release_pins()
+    expected = {
+        (d - 1, d, d % 3 + 1)
+        for d in range(PHASH_PLANT_EVERY, n, PHASH_PLANT_EVERY)
+    }
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == expected
+
+
 def test_dup_broadcast_fallback_identical(spark, tmp_path_factory):
     """A ~50% duplicate-rate input forced down the non-broadcast path
     (max_broadcast_decisions tiny → bucket-partitioned decision spill +
