@@ -1490,9 +1490,79 @@ def _phash_pairs_oracle() -> str:
     )
 
 
+def _shared_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash Hamming pair stage shared by the three image-dedup gate
+    queries (pairs / clusters / keep-best) — at scale the confirmed pair
+    table is written once per dedup run and every downstream step joins
+    against it (same rationale as _shared_minhash_pairs)."""
+    return _scratch_materialize(
+        spark, sf_dir, "phash_pairs_h3",
+        lambda: DD.hamming_near_pairs(
+            synthetic_image_meta_df(t(spark, sf_dir, "documents")).select(
+                "image_id", "phash"
+            ),
+            "image_id", "phash", max_hamming=3,
+        ),
+    ).select("id_a", "id_b", "hamming")
+
+
 @register("phash_near_pairs_images", _phash_pairs_oracle)
 def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
-    return DD.hamming_near_pairs(
-        img.select("image_id", "phash"), "image_id", "phash", max_hamming=3
+    return _shared_phash_pairs(spark, sf_dir)
+
+
+# Phash near-dup CLUSTERS + canonical election — the two steps an image dedup
+# pipeline runs after pair generation. Clusters: the same pointer-jumping
+# min-label components used for text near-dups, here over phash edges; the
+# recursive-CTE oracle recomputes the labeling from the brute-force pair set.
+# Election: ONE winner per cluster by byte_len (the largest encoded file is
+# the least-recompressed copy), ties to the smallest image_id.
+def _phash_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_phash_pairs_oracle()}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, count(*) AS csize FROM labels GROUP BY comp)
+SELECT l.id AS image_id, l.comp AS component, s.csize AS csize
+FROM labels l JOIN sizes s USING (comp)
+"""
+
+
+@register("phash_clusters_images", _phash_clusters_sql)
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs
+
+    return _clusters_from_pairs(
+        _shared_phash_pairs(spark, sf_dir), "image_id", max_iter=50
     )
+
+
+def _phash_keep_best_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    return CU.keep_best_sql(
+        f"({synthetic_image_meta_sql('documents')})",
+        _phash_clusters_sql(),
+        "image_id",
+        "byte_len",
+    )
+
+
+@register("image_keep_best", _phash_keep_best_oracle)
+def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs
+
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    clusters = _clusters_from_pairs(
+        _shared_phash_pairs(spark, sf_dir), "image_id", max_iter=50
+    )
+    return CU.keep_best(img, clusters, "image_id", "byte_len")
