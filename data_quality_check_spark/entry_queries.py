@@ -1557,6 +1557,79 @@ def _phash_keep_best_oracle() -> str:
     )
 
 
+# Per-container-format profile of the image corpus: volume, compression
+# ratio, aggregate aspect, flag counts, and keep fraction — the report a
+# quality-filter run emits per format before deciding decode budgets. Every
+# ratio is a SINGLE division of EXACT int64 sums (never AVG over doubles), so
+# Spark and DuckDB agree bit-for-bit regardless of summation order; one
+# map-side-combinable groupBy on a 5-value key — no scale concerns.
+def _img_profile_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    e = H.image_flags_sql("w", "h", "byte_len")
+    bf = H.bad_fmt_sql("fmt")
+    return f"""
+WITH img AS ({synthetic_image_meta_sql('documents')}),
+f AS (
+  SELECT fmt, w, h, byte_len, CAST(w AS BIGINT) * h * 3 AS _raw,
+         {e['flag_bad_dims']} AS bad_dims,
+         {e['flag_bytes_implausible']} AS bad_bytes,
+         {bf} AS bad_fmt
+  FROM img
+)
+SELECT fmt,
+  COUNT(*) AS n_images,
+  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+  ROUND(CAST(SUM(byte_len) AS DOUBLE) / CAST(SUM(_raw) AS DOUBLE), 6)
+    AS compression_ratio,
+  ROUND(CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(h AS BIGINT)) AS DOUBLE), 6) AS aspect_sum_ratio,
+  CAST(SUM(CASE WHEN bad_dims THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dims,
+  CAST(SUM(CASE WHEN bad_bytes THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bytes_implausible,
+  ROUND(CAST(SUM(CASE WHEN NOT (bad_dims OR bad_bytes OR bad_fmt)
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_frac
+FROM f GROUP BY fmt
+"""
+
+
+@register("image_format_profile", _img_profile_oracle)
+def q_image_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    flags = {
+        **H.image_flags(F.col("w"), F.col("h"), F.col("byte_len")),
+        "bad_fmt": H.bad_fmt_flag(F.col("fmt")),
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & ~c
+    raw = F.col("w").cast("long") * F.col("h") * 3
+    proj = img.select(
+        "fmt", "w", "h", "byte_len", raw.alias("_raw"),
+        flags["flag_bad_dims"].alias("bad_dims"),
+        flags["flag_bytes_implausible"].alias("bad_bytes"),
+        keep.alias("_keep"),
+    )
+    n = F.count(F.lit(1))
+    return proj.groupBy("fmt").agg(
+        n.alias("n_images"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.round(F.sum("byte_len").cast("double") / F.sum("_raw"), 6).alias(
+            "compression_ratio"
+        ),
+        F.round(
+            F.sum(F.col("w").cast("long")).cast("double")
+            / F.sum(F.col("h").cast("long")),
+            6,
+        ).alias("aspect_sum_ratio"),
+        F.sum(F.col("bad_dims").cast("long")).alias("n_bad_dims"),
+        F.sum(F.col("bad_bytes").cast("long")).alias("n_bytes_implausible"),
+        F.round(F.sum(F.col("_keep").cast("long")).cast("double") / n, 6).alias(
+            "keep_frac"
+        ),
+    )
+
+
 @register("image_keep_best", _phash_keep_best_oracle)
 def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_check_spark.operators.dedup import _clusters_from_pairs
