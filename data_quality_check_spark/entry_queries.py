@@ -1639,3 +1639,88 @@ def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shared_phash_pairs(spark, sf_dir), "image_id", max_iter=50
     )
     return CU.keep_best(img, clusters, "image_id", "byte_len")
+
+
+# Cross-modal keep decision — the two graft axes joined: per image, does the
+# IMAGE side pass (dims/size/container), does the CAPTION side pass (the
+# pipeline's dropping caption flags — flag_untrimmed normalizes rather than
+# drops, exactly as in heuristics.heuristic_ok), and is the row a phash
+# near-dup LOSER (keep-best election)? Both flag families come from ONE
+# projection of the same row — no join; only the loser set joins in. That
+# join deliberately carries NO broadcast hint: the loser side is
+# dup-rate-proportional, so AQE promotes it to broadcast when it fits and
+# falls back to a shuffled join past that — the scale-correct default.
+_CAPTION_DROP = [
+    "flag_caption_missing", "flag_fake_null", "flag_too_short",
+    "flag_too_long", "flag_low_alpha", "flag_repetitive",
+]
+
+
+def _multimodal_keep_oracle() -> str:
+    cf = H.caption_flags_sql("caption")
+    imf = H.image_flags_sql("w", "h", "byte_len")
+    keep_img = f"NOT ({imf['flag_bad_dims']} OR {imf['flag_bytes_implausible']} OR {H.bad_fmt_sql('fmt')})"
+    keep_cap = "NOT (" + " OR ".join(cf[k] for k in _CAPTION_DROP) + ")"
+    elect = _phash_keep_best_oracle()
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    return f"""
+WITH img AS ({synthetic_image_meta_sql('documents')}),
+elect AS ({elect}),
+losers AS (SELECT image_id FROM elect WHERE NOT keep),
+f AS (
+  SELECT image_id, {keep_img} AS keep_image, {keep_cap} AS keep_caption
+  FROM img
+)
+SELECT f.image_id, f.keep_image, f.keep_caption,
+       l.image_id IS NOT NULL AS is_dup_loser,
+       f.keep_image AND f.keep_caption AND l.image_id IS NULL AS keep,
+       CASE WHEN NOT f.keep_image THEN 'image'
+            WHEN NOT f.keep_caption THEN 'caption'
+            WHEN l.image_id IS NOT NULL THEN 'duplicate'
+            ELSE 'kept' END AS drop_reason
+FROM f LEFT JOIN losers l USING (image_id)
+"""
+
+
+@register("multimodal_keep_decisions", _multimodal_keep_oracle)
+def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs
+
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    cf = H.caption_flags(F.col("caption"))
+    keep_cap = F.lit(True)
+    for k in _CAPTION_DROP:
+        keep_cap = keep_cap & ~cf[k]
+    imf = {
+        **H.image_flags(F.col("w"), F.col("h"), F.col("byte_len")),
+        "bad_fmt": H.bad_fmt_flag(F.col("fmt")),
+    }
+    keep_img = F.lit(True)
+    for c in imf.values():
+        keep_img = keep_img & ~c
+    flags = img.select(
+        "image_id", keep_img.alias("keep_image"), keep_cap.alias("keep_caption")
+    )
+    clusters = _clusters_from_pairs(
+        _shared_phash_pairs(spark, sf_dir), "image_id", max_iter=50
+    )
+    losers = (
+        CU.keep_best(img, clusters, "image_id", "byte_len")
+        .filter(~F.col("keep"))
+        .select("image_id", F.lit(True).alias("_loser"))
+    )
+    j = flags.join(losers, "image_id", "left")
+    is_loser = F.coalesce(F.col("_loser"), F.lit(False))
+    keep = F.col("keep_image") & F.col("keep_caption") & ~is_loser
+    reason = (
+        F.when(~F.col("keep_image"), F.lit("image"))
+        .when(~F.col("keep_caption"), F.lit("caption"))
+        .when(is_loser, F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "image_id", "keep_image", "keep_caption",
+        is_loser.alias("is_dup_loser"), keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
