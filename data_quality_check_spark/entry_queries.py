@@ -1724,3 +1724,26 @@ def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_loser.alias("is_dup_loser"), keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+# Cross-modal caption↔image alignment (CLIP-style gate, deterministic stub
+# encoders — functions/alignment.py): hashed-trigram caption embedding vs
+# phash-bit image signature, cosine, thresholded keep flag. One Arrow
+# projection, no shuffle. Oracle = driver-process twin of the same kernel over
+# the DuckDB-evaluated image gate table (oracles.alignment_sql).
+_ALIGN_TAU = 0.0
+
+
+@register(
+    "alignment_scores_images", lambda: _OR.alignment_sql(ORACLE_SF_DIR, _ALIGN_TAU)
+)
+def q_alignment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions.alignment import with_alignment
+
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents")).select(
+        "image_id", "caption", "phash"
+    )
+    out = with_alignment(img, "caption", "phash", _ALIGN_TAU)
+    return out.select(
+        "image_id", F.round("align_score", 6).alias("align_score"), "aligned"
+    )

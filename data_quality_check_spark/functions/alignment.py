@@ -1,0 +1,112 @@
+"""Cross-modal caption↔image alignment scoring (CLIP-style gate, stub encoder).
+
+A multimodal quality filter needs one score the unimodal flag families cannot
+produce: does the caption describe THIS image? Production systems compute it as
+the cosine between a text-encoder and an image-encoder embedding (CLIP). The
+real encoders are models this container does not carry, so — per the brief's
+multimodal-stub rule — the two encoders here are deterministic fakes with the
+REAL Spark-side shape: the text side is a hashed char-trigram bag (the same
+`textmodel` n-gram hashing the langid/perplexity stages use, one contiguous
+buffer per Arrow batch, no per-row Python), the image side is the 60-bit
+perceptual hash mapped to a ±1 vector (one dimension per bit). Swapping in real
+encoders changes ONLY the two `*_embedding` kernels; the UDF signature, Arrow
+batching, plan shape (map-side projection, no shuffle), and threshold gate are
+the production article.
+
+Batch invariance (required because the DuckDB oracle twin runs the same kernel
+driver-side over ONE batch while Spark streams many): every step is per-row —
+trigram bucketing accumulates with `np.add.at` inside each row, and all
+reductions are `np.sum(axis=1)` over the fixed ALIGN_DIM width, so a row's
+score never depends on its Arrow-batch neighbours (property-tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from data_quality_check_spark.functions.textmodel import _encode_batch, _trigram_ids
+
+ALIGN_DIM = 60  # one text-embedding dimension per phash bit
+
+
+def caption_embedding(texts) -> np.ndarray:
+    """(n, ALIGN_DIM) float64 hashed-trigram counts, one row per caption.
+
+    Trigrams spanning a string boundary in the concatenated batch buffer are
+    masked out exactly as `textmodel._segment_sums` does, so the counts are a
+    pure function of each caption alone.
+    """
+    buf, offsets = _encode_batch(texts)
+    ids = _trigram_ids(buf)
+    n = len(offsets) - 1
+    out = np.zeros((n, ALIGN_DIM), dtype=np.float64)
+    if len(ids) == 0:
+        return out
+    valid = np.ones(len(ids), dtype=bool)
+    boundary = offsets[1:-1]
+    for d in (1, 2):
+        idx = boundary - d
+        idx = idx[(idx >= 0) & (idx < len(ids))]
+        valid[idx] = False
+    pos = np.nonzero(valid)[0]
+    # greatest s with offsets[s] <= pos: empty strings repeat an offset and
+    # side='right' skips past them to the segment that actually owns the byte
+    row = np.searchsorted(offsets, pos, side="right") - 1
+    np.add.at(out, (row, ids[pos] % ALIGN_DIM), 1.0)
+    return out
+
+
+def image_embedding(phashes: np.ndarray) -> np.ndarray:
+    """(n, ALIGN_DIM) ±1.0 vector from the low ALIGN_DIM bits of each phash."""
+    shifts = np.arange(ALIGN_DIM, dtype=np.int64)[None, :]
+    bits = (phashes.astype(np.int64)[:, None] >> shifts) & 1
+    return bits.astype(np.float64) * 2.0 - 1.0
+
+
+def alignment_scores(texts, phashes: np.ndarray) -> np.ndarray:
+    """Per-row cosine between the two embeddings; 0.0 for empty captions
+    (zero text vector — undefined cosine, defined here as unaligned)."""
+    c = caption_embedding(texts)
+    img = image_embedding(phashes)
+    dot = np.sum(c * img, axis=1)
+    cn = np.sqrt(np.sum(c * c, axis=1))
+    denom = cn * np.sqrt(float(ALIGN_DIM))
+    return np.where(cn > 0.0, dot / np.where(denom == 0.0, 1.0, denom), 0.0)
+
+
+@F.pandas_udf(DoubleType())
+def alignment_udf(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    for texts, phashes in batches:
+        yield pd.Series(
+            alignment_scores(
+                texts.fillna("").tolist(),
+                phashes.fillna(0).to_numpy(np.int64),
+            )
+        )
+
+
+def with_alignment(
+    df: DataFrame,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Adds `align_score` (double) and `aligned` (score ≥ threshold).
+
+    Map-side only: one Arrow projection over (caption, phash), no shuffle —
+    the plan a 10^12-row scoring stage needs (the score lands next to the row
+    it scores; any later filter/agg sees it as an ordinary column).
+    asNondeterministic fences the UDF so the derived boolean reuses the one
+    evaluation instead of re-running the kernel per reference.
+    """
+    score = alignment_udf.asNondeterministic()(F.col(caption_col), F.col(phash_col))
+    return df.withColumn("align_score", score).withColumn(
+        "aligned", F.col("align_score") >= F.lit(float(threshold))
+    )

@@ -369,3 +369,42 @@ p AS (
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """
+
+
+# ───────────────────────── cross-modal alignment ─────────────────────────
+
+
+def alignment_sql(sf_dir: str, threshold: float) -> str:
+    """Driver-process twin of functions.alignment.with_alignment over the
+    synthetic image gate table. The (image_id, caption, phash) rows come from
+    DuckDB evaluating the SAME SQL twin the phash/image gate queries are
+    hash-verified against (gate_fixtures.synthetic_image_meta_sql), then the
+    shared batch-invariant kernel scores them in one driver batch — so the
+    value-hash checks Spark's Arrow batching + UDF plumbing against a
+    single-process execution, exactly the model_scores pattern."""
+    import duckdb
+
+    from data_quality_check_spark.functions.alignment import alignment_scores
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    con = duckdb.connect()
+    docs = os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs}'")
+    meta = con.execute(
+        f"SELECT image_id, caption, phash FROM ({synthetic_image_meta_sql('documents')})"
+    ).df()
+    con.close()
+    scores = alignment_scores(
+        meta["caption"].fillna("").tolist(), meta["phash"].to_numpy(np.int64)
+    )
+    out = pd.DataFrame(
+        {
+            "image_id": meta["image_id"],
+            # aligned is decided on the RAW score (as the Spark side does),
+            # rounding is display-only
+            "align_score": spark_round(scores, 6),
+            "aligned": scores >= float(threshold),
+        }
+    )
+    path = _write_parquet(out, _scratch(sf_dir, "alignment_scores.parquet"))
+    return f"SELECT image_id, align_score, aligned FROM '{path}'"

@@ -157,3 +157,62 @@ def test_phash_hamming_neardup_finds_injected_image_dups(spark):
     for r in got:
         h = bin((int(ph[r.id_a]) ^ int(ph[r.id_b])) & (2**64 - 1)).count("1")
         assert h == r.hamming and h <= 2
+
+
+# ── cross-modal alignment (functions/alignment.py) ──
+
+
+def test_alignment_kernel_batch_invariant():
+    """A row's score must not depend on its batch neighbours (the oracle twin
+    scores ONE driver batch while Spark streams many Arrow batches). Includes
+    the adversarial shapes: empty caption, <3-byte caption, batch boundary."""
+    import numpy as np
+
+    from data_quality_check_spark.functions.alignment import alignment_scores
+
+    texts = ["the quick brown fox", "", "ab", "jumps over", "the lazy dog", "ab ab ab"]
+    hashes = np.array([5, 0, 7, 123456789, 2**59 - 11, 42], dtype=np.int64)
+    full = alignment_scores(texts, hashes)
+    for cut in (1, 2, 3, 5):
+        parts = np.concatenate(
+            [
+                alignment_scores(texts[:cut], hashes[:cut]),
+                alignment_scores(texts[cut:], hashes[cut:]),
+            ]
+        )
+        assert np.array_equal(full, parts), f"batch split at {cut} changed scores"
+
+
+def test_alignment_empty_caption_scores_zero():
+    import numpy as np
+
+    from data_quality_check_spark.functions.alignment import alignment_scores
+
+    got = alignment_scores(["", "xy"], np.array([99, 99], dtype=np.int64))
+    assert got[0] == 0.0 and got[1] == 0.0  # <3 bytes → no trigrams → zero vector
+
+
+def test_with_alignment_matches_kernel(spark):
+    import numpy as np
+
+    from data_quality_check_spark.functions.alignment import (
+        alignment_scores,
+        with_alignment,
+    )
+    from data_quality_check_spark.pipeline.fixtures import generate_images_pdf
+
+    pdf = generate_images_pdf(n=300, dup_rate=0.0)[["image_id", "caption", "phash"]]
+    df = spark.createDataFrame(pdf).repartition(7)  # force multiple Arrow batches
+    got = (
+        with_alignment(df, "caption", "phash", threshold=0.0)
+        .select("image_id", "align_score", "aligned")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want = alignment_scores(
+        pdf["caption"].fillna("").tolist(), pdf["phash"].to_numpy(np.int64)
+    )
+    order = pdf["image_id"].argsort().to_numpy()
+    assert np.array_equal(got["align_score"].to_numpy(), want[order])
+    assert (got["aligned"].to_numpy() == (want[order] >= 0.0)).all()

@@ -250,3 +250,15 @@ def test_dedup_incremental_plan_is_jvm_only_and_pinned(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # pinned band/shingle tables reused
+
+
+def test_alignment_is_one_arrow_projection_no_shuffle(spark):
+    """The cross-modal alignment score must be a map-side Arrow projection:
+    exactly ONE Python eval node (the kernel runs once despite the derived
+    `aligned` referencing the score — the asNondeterministic fence), and no
+    key shuffle: at 10^12 rows the score lands next to its row for free."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    plan = _plan(EQ.queries()["alignment_scores_images"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
