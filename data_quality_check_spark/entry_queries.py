@@ -1747,3 +1747,34 @@ def q_alignment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "image_id", F.round("align_score", 6).alias("align_score"), "aligned"
     )
+
+
+# Rate-based data-mix sampling (curation.mixture_sample): target language
+# mixture over the documents table, decided row-locally with zero shuffle.
+# The oracle rebuilds the SAME thresholds from DuckDB-exact group counts and
+# applies the identical md5-prefix predicate.
+_MIX_WEIGHTS = {"en": 0.4, "fr": 0.15, "de": 0.15, "zh": 0.15, "es": 0.15}
+_MIX_ROWS = 300
+
+
+def _mixture_oracle() -> str:
+    import duckdb
+
+    docs = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    con = duckdb.connect()
+    counts = {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT lang, count(*) FROM '{docs}' GROUP BY 1").fetchall()
+    }
+    con.close()
+    th = CU.mixture_thresholds(counts, _MIX_WEIGHTS, _MIX_ROWS)
+    where = CU.mixture_sample_where_sql("lang", th, "doc_id")
+    return f"SELECT doc_id, lang FROM documents WHERE {where}"
+
+
+@register("mixture_sample_documents", _mixture_oracle)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return CU.mixture_sample(docs, "lang", _MIX_WEIGHTS, _MIX_ROWS, "doc_id").select(
+        "doc_id", "lang"
+    )

@@ -550,3 +550,95 @@ def hash_split_case_sql(
     key = _split_hash_key(id_col, salt).replace(" AS STRING)", " AS VARCHAR)")
     arms = " ".join(f"WHEN {key} < '{upper}' THEN '{label}'" for label, upper in thresholds)
     return f"CASE {arms} ELSE '{list(weights)[-1]}' END AS {out_col}"
+
+
+# ── mixture (data-mix) sampling ──
+
+
+def mixture_thresholds(
+    counts: "dict[str, int]",
+    weights: "dict[str, float]",
+    output_rows: int,
+    hex_digits: int = 8,
+) -> "dict[str, str]":
+    """Per-group md5-prefix keep thresholds for `mixture_sample`.
+
+    Group g's Bernoulli keep-rate is min(1, output_rows·w_g / n_g) (weights
+    normalized to sum 1), rendered as a zero-padded hex threshold exactly like
+    `split_thresholds`. rate ≥ 1 renders as 'g' — lexicographically above
+    every hex md5, i.e. keep-all, with no row lost to clamping. The thresholds
+    are computed ONCE driver-side and embedded as literals in both the Spark
+    and the oracle plan, so there is no cross-engine float arithmetic at all.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be nonnegative, got {weights}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must not all be zero")
+    space = 16**hex_digits
+    out = {}
+    for g, w in weights.items():
+        n = counts.get(g, 0)
+        if n <= 0 or w == 0:
+            continue
+        rate = min(1.0, output_rows * (w / total_w) / n)
+        v = int(rate * space)
+        out[g] = "g" if v >= space else format(v, f"0{hex_digits}x")
+    return out
+
+
+def _mixture_threshold_case(group_col: str, thresholds: "dict[str, str]") -> str:
+    arms = " ".join(f"WHEN '{g}' THEN '{t}'" for g, t in thresholds.items())
+    return f"CASE {group_col} {arms} END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: "dict[str, float]",
+    output_rows: int,
+    id_col: str,
+    salt: str = "",
+    counts: "dict[str, int] | None" = None,
+) -> DataFrame:
+    """Rate-based data-mix sampling: draw ~`output_rows` rows whose group
+    mixture matches `weights` (the Pile/LLaMA-style source/language reweighting
+    step). The complement of `quota_sample`: quota gives EXACT per-group caps
+    at the price of a quota-bounded shuffle; mixture gives expected-size
+    Bernoulli sampling with ZERO shuffle — at 10^12 rows the sample is decided
+    row-locally at scan time, the only cluster-wide action is one K-row group
+    count (skippable by passing `counts` from the previous monitoring run).
+
+    Deterministic: keep iff md5(salt:id) < threshold(group) — a pure function
+    of (salt, id, thresholds), stable across runs, partitionings, and engines
+    (same fixed-alphabet hex-string comparison as `hash_split`). Note the
+    thresholds themselves derive from the observed group counts, so unlike
+    `hash_split` the kept-set is append-stable only under a frozen `counts`
+    (pass the published counts to re-materialize an identical historical mix).
+    Groups missing from `weights` (or weighted 0) drop entirely: the CASE has
+    no ELSE, the NULL threshold compares to NULL, and the filter rejects it.
+    """
+    if counts is None:
+        counts = {
+            r["g"]: r["n"]
+            for r in df.groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    th = mixture_thresholds(counts, weights, output_rows)
+    if not th:
+        return df.filter(F.lit(False))
+    key = F.expr(_split_hash_key(id_col, salt))
+    return df.filter(key < F.expr(_mixture_threshold_case(group_col, th)))
+
+
+def mixture_sample_where_sql(
+    group_col: str,
+    thresholds: "dict[str, str]",
+    id_col: str,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of `mixture_sample`'s row predicate (thresholds from
+    `mixture_thresholds`, computed on identical counts)."""
+    key = _split_hash_key(id_col, salt).replace(" AS STRING)", " AS VARCHAR)")
+    return f"{key} < {_mixture_threshold_case(group_col, thresholds)}"

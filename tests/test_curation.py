@@ -271,3 +271,86 @@ def test_hash_split_is_shuffle_free(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     plan = CU.hash_split(df, "doc_id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ── mixture (data-mix) sampling ──
+
+
+def test_mixture_thresholds_rates_and_keep_all():
+    from data_quality_check_spark.operators.curation import mixture_thresholds
+
+    counts = {"en": 1000, "fr": 10, "xx": 0}
+    th = mixture_thresholds(counts, {"en": 0.5, "fr": 0.5, "absent": 0.0}, 100)
+    # en: rate 50/1000 = 0.05 → 0.05 * 16^8 in hex
+    assert th["en"] == format(int(0.05 * 16**8), "08x")
+    # fr: 50 wanted from 10 rows → rate ≥ 1 → keep-all sentinel above all hex
+    assert th["fr"] == "g"
+    # zero-count and zero-weight groups get no threshold at all
+    assert "xx" not in th and "absent" not in th
+
+
+def test_mixture_sample_mixture_and_determinism(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.curation import mixture_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "lang": ["en"] * 1400 + ["fr"] * 100 + ["de"] * 500,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"en": 0.5, "fr": 0.25, "de": 0.25}
+    got = mixture_sample(df, "lang", w, 400, "doc_id").toPandas()
+    by = got.groupby("lang").size()
+    # fr asks 100 of 100 → rate 1 → EXACTLY all; others are Binomial around
+    # the target (en: 200 of 1400, de: 100 of 500) — generous 3σ-ish bounds
+    assert by["fr"] == 100
+    assert 150 <= by["en"] <= 250 and 70 <= by["de"] <= 135
+    # pure function of (salt, id, thresholds): identical on a re-run
+    again = mixture_sample(df, "lang", w, 400, "doc_id").toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    # unknown-weight groups drop entirely
+    none = mixture_sample(df, "lang", {"en": 1.0}, 100, "doc_id").toPandas()
+    assert set(none["lang"]) == {"en"}
+
+
+def test_mixture_sample_frozen_counts_is_append_stable(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.curation import mixture_sample
+
+    base = pd.DataFrame({"doc_id": range(1000), "lang": ["en"] * 1000})
+    counts = {"en": 1000}
+    w = {"en": 1.0}
+    df = spark.createDataFrame(base)
+    kept = set(mixture_sample(df, "lang", w, 200, "doc_id", counts=counts).toPandas()["doc_id"])
+    appended = pd.concat(
+        [base, pd.DataFrame({"doc_id": range(1000, 1500), "lang": ["en"] * 500})]
+    )
+    kept2 = set(
+        mixture_sample(
+            spark.createDataFrame(appended), "lang", w, 200, "doc_id", counts=counts
+        ).toPandas()["doc_id"]
+    )
+    # frozen counts → frozen thresholds → existing rows' membership unchanged
+    assert kept <= kept2 and {i for i in kept2 if i < 1000} == kept
+
+
+def test_mixture_sample_plan_is_shuffle_free(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "lang": ["en"] * 100})
+    )
+    plan = (
+        mixture_sample(df, "lang", {"en": 1.0}, 10, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
