@@ -1,0 +1,172 @@
+"""Write-audit-publish (WAP) for the filter job's staged output.
+
+`run_filter` writes to a STAGING root; nothing downstream should read it until
+an audit verifies the run. This module is that gate:
+
+  1. AUDIT — recount the staged `filtered/` data with ONE fused Spark
+     aggregate and cross-check it against the checkpoint's manifest/metrics
+     tables (written from `observe()` counters DURING the job): a mismatch
+     means lost or duplicated output files — the write itself is broken, no
+     threshold can make it publishable. Then apply the configurable quality
+     gates (keep-fraction band, caption completeness) to the run's metrics.
+  2. PUBLISH — atomically promote the staged root to the final location
+     (one `os.rename`; readers see the old corpus or the new one, never a
+     mix), with the audit report persisted next to the data as _AUDIT.json.
+
+On Iceberg this maps 1:1 to the WAP the north rule's deployment would use:
+`run_filter` writes to a branch (`spark.wap.branch`), the audit reads the
+branch snapshot, and publish is `fastForward(main, branch)` — the directory
+rename below is the parquet-sandbox twin of that atomic ref swap.
+
+The audit Spark pass is ONE aggregate over the staged parquet (count +
+conditional counts + distinct buckets) — at 10^12 rows it is a columnar scan
+of two narrow columns (caption NULLness, _bucket), no shuffle past the
+map-side partials.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class AuditGates:
+    """Quality bounds a staged run must satisfy to publish."""
+
+    min_keep_fraction: float = 0.05  # a near-empty corpus means upstream broke
+    max_keep_fraction: float = 0.999  # keeping ~everything means the filter no-oped
+    min_rows_kept: int = 1
+    max_null_caption_fraction: float = 0.0  # kept rows must carry their caption
+
+
+class PublishRejected(RuntimeError):
+    """Raised by audit_and_publish(strict=True) when a check fails; carries the
+    full audit report."""
+
+    def __init__(self, report: dict):
+        super().__init__(
+            "audit failed: "
+            + "; ".join(c["name"] for c in report["checks"] if not c["passed"])
+        )
+        self.report = report
+
+
+def _read_manifest_tables(checkpoint_dir: str):
+    import pyarrow.parquet as pq
+
+    manifest = pq.read_table(os.path.join(checkpoint_dir, "manifest")).to_pandas()
+    run_metrics = pq.read_table(os.path.join(checkpoint_dir, "run_metrics")).to_pandas()
+    return manifest, run_metrics
+
+
+def _staged_counts(staged: DataFrame) -> dict:
+    row = staged.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col("scrubbed_caption").isNull()).alias("null_captions"),
+        F.count_distinct(F.col("_bucket")).alias("buckets"),
+    ).collect()[0]
+    return {k: int(row[k]) for k in ("rows", "null_captions", "buckets")}
+
+
+def audit_staged(
+    spark: SparkSession,
+    output_dir: str,
+    checkpoint_dir: str,
+    gates: AuditGates | None = None,
+) -> dict:
+    """Audit a staged run; returns {"passed", "checks", "observed", "gates"}.
+
+    Consistency checks compare the independent recount of the staged data to
+    the manifest the job committed per bucket-group — catching partial writes,
+    double-commits after a botched resume, and files lost between job and
+    audit. Gate checks bound the run's keep/scrub semantics.
+    """
+    gates = gates or AuditGates()
+    manifest, _ = _read_manifest_tables(checkpoint_dir)
+    expect_kept = int(manifest["rows_kept"].sum())
+    expect_in = int(manifest["rows_in"].sum())
+    expect_buckets = int((manifest["rows_kept"] > 0).sum())
+
+    staged = spark.read.parquet(os.path.join(output_dir, "filtered"))
+    got = _staged_counts(staged)
+
+    keep_fraction = expect_kept / expect_in if expect_in else 0.0
+    null_caption_fraction = got["null_captions"] / got["rows"] if got["rows"] else 0.0
+    checks = [
+        {
+            "name": "staged_rows_match_manifest",
+            "passed": got["rows"] == expect_kept,
+            "observed": got["rows"],
+            "bound": expect_kept,
+        },
+        {
+            "name": "all_nonempty_buckets_present",
+            "passed": got["buckets"] == expect_buckets,
+            "observed": got["buckets"],
+            "bound": expect_buckets,
+        },
+        {
+            "name": "min_rows_kept",
+            "passed": expect_kept >= gates.min_rows_kept,
+            "observed": expect_kept,
+            "bound": gates.min_rows_kept,
+        },
+        {
+            "name": "keep_fraction_in_band",
+            "passed": gates.min_keep_fraction <= keep_fraction <= gates.max_keep_fraction,
+            "observed": keep_fraction,
+            "bound": [gates.min_keep_fraction, gates.max_keep_fraction],
+        },
+        {
+            "name": "max_null_caption_fraction",
+            "passed": null_caption_fraction <= gates.max_null_caption_fraction,
+            "observed": null_caption_fraction,
+            "bound": gates.max_null_caption_fraction,
+        },
+    ]
+    return {
+        "passed": all(c["passed"] for c in checks),
+        "checks": checks,
+        "observed": {**got, "rows_in": expect_in, "keep_fraction": keep_fraction},
+        "gates": asdict(gates),
+    }
+
+
+def publish_staged(output_dir: str, final_dir: str, report: dict) -> str:
+    """Atomically promote the staged root: one rename, then the audit report
+    lands inside as _AUDIT.json. Refuses to clobber an existing published
+    corpus — version the final path (the Iceberg twin is a new snapshot, not
+    an overwrite)."""
+    if os.path.exists(final_dir):
+        raise FileExistsError(
+            f"{final_dir} already published; version the path instead of overwriting"
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(final_dir)), exist_ok=True)
+    os.rename(output_dir, final_dir)
+    with open(os.path.join(final_dir, "_AUDIT.json"), "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    return final_dir
+
+
+def audit_and_publish(
+    spark: SparkSession,
+    output_dir: str,
+    checkpoint_dir: str,
+    final_dir: str,
+    gates: AuditGates | None = None,
+    strict: bool = True,
+) -> dict:
+    """The WAP gate: audit the staged run; publish only if every check passes.
+    A failed audit leaves BOTH the staged data and the final location exactly
+    as they were (re-run the job or loosen the gates, then audit again)."""
+    report = audit_staged(spark, output_dir, checkpoint_dir, gates)
+    if report["passed"]:
+        publish_staged(output_dir, final_dir, report)
+        report["published_to"] = final_dir
+    elif strict:
+        raise PublishRejected(report)
+    return report

@@ -495,3 +495,66 @@ def test_near_dup_acting_broadcast_gate_identical(spark):
     shuffled = sorted(map(tuple, near_dup_decisions(df, 3, max_broadcast=0).collect()))
     release_pins()
     assert bcast == shuffled
+
+
+# ── write-audit-publish (pipeline/publish.py) ──
+
+
+def test_audit_and_publish_promotes_good_run(spark, fixture_paths, tmp_path):
+    from data_quality_check_spark.pipeline.publish import audit_and_publish
+
+    _, path = fixture_paths
+    out = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    run_filter(spark, path, out, ckpt, FilterConfig())
+    final = str(tmp_path / "published" / "v1")
+    report = audit_and_publish(spark, out, ckpt, final)
+    assert report["passed"] and report["published_to"] == final
+    assert not os.path.exists(out)  # staged root was MOVED, not copied
+    assert os.path.exists(os.path.join(final, "_AUDIT.json"))
+    # the published corpus is the job's output, readable in place
+    kept = spark.read.parquet(os.path.join(final, "filtered"))
+    assert kept.count() == report["observed"]["rows"] > 0
+    # publishing onto an existing version must refuse, not clobber
+    import pytest as _pytest
+
+    from data_quality_check_spark.pipeline.publish import publish_staged
+
+    os.makedirs(out, exist_ok=True)
+    with _pytest.raises(FileExistsError):
+        publish_staged(out, final, report)
+
+
+def test_audit_rejects_impossible_gate_and_tampered_staging(spark, fixture_paths, tmp_path):
+    import glob
+
+    import pytest as _pytest
+
+    from data_quality_check_spark.pipeline.publish import (
+        AuditGates,
+        PublishRejected,
+        audit_and_publish,
+        audit_staged,
+    )
+
+    _, path = fixture_paths
+    out = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    run_filter(spark, path, out, ckpt, FilterConfig())
+    final = str(tmp_path / "published" / "v1")
+
+    # an unmeetable keep-fraction gate: no publish, staged + final untouched
+    with _pytest.raises(PublishRejected) as exc:
+        audit_and_publish(
+            spark, out, ckpt, final, gates=AuditGates(min_keep_fraction=0.999)
+        )
+    assert not os.path.exists(final) and os.path.exists(out)
+    failed = [c["name"] for c in exc.value.report["checks"] if not c["passed"]]
+    assert failed == ["keep_fraction_in_band"]
+
+    # tamper: drop one staged data file → the manifest recount catches it
+    victim = sorted(glob.glob(os.path.join(out, "filtered", "*", "*.parquet")))[0]
+    os.remove(victim)
+    report = audit_staged(spark, out, ckpt)
+    bad = {c["name"] for c in report["checks"] if not c["passed"]}
+    assert "staged_rows_match_manifest" in bad and not report["passed"]
