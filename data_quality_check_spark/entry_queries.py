@@ -862,19 +862,45 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_SCRATCH_TAG = "r3"  # bump when a shared lineage's semantics change
 
 
-def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    """Compute `build()` once per (process, sf_dir) and serve later consumers
-    from scratch parquet."""
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the input tables (name, size, mtime per parquet):
+    regenerated fixtures at the same path get a fresh cache entry instead of
+    stale results."""
     import hashlib
+
+    parts = []
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1(";".join(parts).encode()).hexdigest()[:12]
+
+
+def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Compute `build()` once per (input-content, query-tag) and serve later
+    consumers from scratch parquet. The cache key includes a fingerprint of
+    the sf_dir's parquet files, and publication is write-to-temp + atomic
+    rename, so concurrent processes race safely (loser discards its copy —
+    both built identical data) and a changed input never serves stale rows."""
+    import hashlib
+    import shutil
     import tempfile
+    import uuid
 
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), "dqx_query_scratch", key,
-        f"{name}_{_QUERY_SCRATCH_TAG}.parquet",
+        f"{name}_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}.parquet",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     return spark.read.parquet(path)
 
 

@@ -38,7 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 PLANT_EVERY = 10  # every 10th vec_id gets a perturbed near-dup copy
-PLANT_ID_OFFSET = 1_000_000  # planted copy id = base id + offset
+# planted copy id = base id + offset; 2^40 keeps planted ids disjoint from any
+# realistic vec_id range (a 1e6 offset would collide at a 1M-row fixture) while
+# vec_id·31 in the perturbation stays far inside int64
+PLANT_ID_OFFSET = 1 << 40
 _DELTA_SCALE = 0.002  # k ∈ [-5, 5] → |δ| ≤ 0.01 per element
 
 

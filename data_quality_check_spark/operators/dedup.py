@@ -51,18 +51,23 @@ def observe_candidates(cand: DataFrame, op: str) -> DataFrame:
 
 def candidate_counts(reset: bool = True) -> dict[str, int]:
     """Candidate counts from observations whose action has completed; entries
-    whose plan never executed are skipped (never blocks)."""
+    whose plan never executed are skipped (never blocks).
+
+    Uses the JVM observation's non-blocking `getOrEmpty` (scala Map → `apply`
+    for the value — `get` would hand back an Option object). There is
+    deliberately NO fallback to the blocking `Observation.get`: on a runtime
+    without `_jo` (e.g. Spark Connect) an un-executed observation would hang
+    forever, so absent the non-blocking accessor the count is simply skipped."""
     out: dict[str, int] = {}
     for op, obs in list(CANDIDATE_OBS.items()):
         try:
-            jmap = obs._jo.getOrEmpty()
-            if jmap.size() > 0:
-                out[op] = int(jmap.get("candidates"))
+            jo = getattr(obs, "_jo", None)
+            if jo is not None:
+                jmap = jo.getOrEmpty()
+                if jmap.size() > 0:
+                    out[op] = int(jmap.apply("candidates"))
         except Exception:
-            try:
-                out[op] = int(obs.get["candidates"])
-            except Exception:
-                pass
+            pass
         if reset:
             CANDIDATE_OBS.pop(op, None)
     return out
@@ -292,7 +297,7 @@ def duplicate_span_stats(
     text_col: str,
     span_words: int = 8,
     min_docs: int = 2,
-    max_broadcast_spans: int = 4_000_000,
+    max_broadcast_spans: int = 2_000_000,
 ) -> DataFrame:
     """C4-style duplicated-span statistics: per document, how many of its
     fixed-width word spans also occur in ≥ `min_docs` documents (C4 §2.2
@@ -305,7 +310,8 @@ def duplicate_span_stats(
       * span extraction is ONE regexp pass per row (regexp_extract_all with a
         greedy non-overlapping chunk pattern — no HOF lambda re-evaluating the
         tokenizer per element, no token explode);
-      * spans shuffle as 128-bit md5 fingerprints, never as raw strings;
+      * spans shuffle as 60-bit md5-prefix BIGINT fingerprints, never as raw
+        strings (8-byte keys; collision 2^-60 per pair — statistical noise);
       * the global span-frequency agg is a partial/final hash agg keyed on the
         fingerprint (uniformly distributed — no salting needed);
       * the dup-span set (≥min_docs) is usually a small fraction of all spans:
@@ -326,7 +332,17 @@ def duplicate_span_stats(
         F.explode(
             F.regexp_extract_all("_t", F.lit(_span_pattern(span_words)), 0)
         ).alias("_s"),
-    ).select("id", F.md5("_s").alias("sp"))
+    ).select(
+        "id",
+        # span fingerprint = first 60 bits of md5 as a BIGINT: the shuffle key
+        # and the broadcast build side are 8-byte longs instead of 32-char
+        # strings (2M longs ≈ 30 MB hashed relation — the same budget as every
+        # other size gate; the string form was ~10x that). Cross-span collision
+        # is 2^-60 per pair — a handful corpus-wide at 10^12 spans, noise for
+        # duplication STATISTICS (and the DuckDB twin applies the identical
+        # truncation, so engines agree exactly).
+        F.expr("CAST(conv(substr(md5(_s), 1, 15), 16, 10) AS BIGINT)").alias("sp"),
+    )
     dup_sp = _pin(
         spans.groupBy("sp")
         .agg(F.count_distinct("id").alias("nd"))
@@ -354,12 +370,14 @@ def duplicate_span_stats_sql(
     table: str, id_col: str, text_col: str, span_words: int = 8, min_docs: int = 2
 ) -> str:
     """DuckDB twin of `duplicate_span_stats` (same normalization, same greedy
-    chunk regex, same md5 span keys, same one-double-division rounding)."""
+    chunk regex, same 60-bit md5-prefix span keys, same one-double-division
+    rounding)."""
     norm = f"lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')))"
     pat = _span_pattern(span_words)
     return f"""
 WITH spans AS (
-  SELECT {id_col} AS id, md5(s) AS sp
+  SELECT {id_col} AS id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS sp
   FROM (
     SELECT {id_col}, unnest(regexp_extract_all({norm}, '{pat}')) AS s
     FROM {table}

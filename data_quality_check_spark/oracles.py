@@ -41,17 +41,33 @@ SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "dqx_oracle_scratch")
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # key = path + content fingerprint of the input parquets, so a regenerated
+    # fixture at the same path gets a fresh scratch file, never a stale twin
+    parts = []
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + "|" + ";".join(parts)).encode()
+    ).hexdigest()[:12]
     d = os.path.join(SCRATCH_ROOT, key)
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, name)
 
 
 def _write_parquet(pdf: pd.DataFrame, path: str) -> str:
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    # temp + atomic replace: a concurrent process reading the path never sees
+    # a half-written file, and racing writers (same deterministic content)
+    # harmlessly replace each other
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
     return path
 
 
@@ -345,7 +361,14 @@ def embedding_neardup_ivf_sql(
     """SQL twin of similarity.neardup_pairs_ivf: twin-trained centroid
     literals (ivf_centroids_twin — identical sample, identical kernel) assign
     every vector to its max-cosine cell, then exact within-cell pairs at the
-    threshold — the low-τ blocking path SRP-LSH cannot serve."""
+    threshold — the low-τ blocking path SRP-LSH cannot serve.
+
+    Float caveat (same class as the SRP sign-flip note above): cell assignment
+    is an argmax DuckDB computes via list_cosine_similarity on raw vectors
+    while Spark normalizes then GEMMs — different summation order, so a
+    between-centroid cosine TIE within ~1e-15 could assign different cells.
+    On unit-norm random embeddings the top-2 centroid gap is ~1e-2; a flip
+    needs a 13-orders-closer tie, far rarer than the accepted SRP risk."""
     cents = ivf_centroids_twin(sf_dir, n_centroids)
     values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
     return f"""

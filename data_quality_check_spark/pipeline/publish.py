@@ -137,18 +137,30 @@ def audit_staged(
 
 
 def publish_staged(output_dir: str, final_dir: str, report: dict) -> str:
-    """Atomically promote the staged root: one rename, then the audit report
-    lands inside as _AUDIT.json. Refuses to clobber an existing published
-    corpus — version the final path (the Iceberg twin is a new snapshot, not
-    an overwrite)."""
+    """Atomically promote the staged root with one rename. The audit report is
+    written INTO the staged root first, so the published corpus carries its
+    _AUDIT.json from the instant it becomes visible — a crash can lose the
+    staged copy, never publish an unaudited one. Refuses to clobber an
+    existing published corpus — version the final path (the Iceberg twin is a
+    new snapshot, not an overwrite). Staging and final must share a
+    filesystem (rename is only atomic within one; a cross-mount layout should
+    stage under the final root, or use the Iceberg WAP branch instead)."""
     if os.path.exists(final_dir):
         raise FileExistsError(
             f"{final_dir} already published; version the path instead of overwriting"
         )
-    os.makedirs(os.path.dirname(os.path.abspath(final_dir)), exist_ok=True)
-    os.rename(output_dir, final_dir)
-    with open(os.path.join(final_dir, "_AUDIT.json"), "w") as f:
+    with open(os.path.join(output_dir, "_AUDIT.json"), "w") as f:
         json.dump(report, f, indent=2, default=str)
+    os.makedirs(os.path.dirname(os.path.abspath(final_dir)), exist_ok=True)
+    try:
+        os.rename(output_dir, final_dir)
+    except OSError as e:
+        if getattr(e, "errno", None) == 18:  # EXDEV
+            raise OSError(
+                f"staging {output_dir} and final {final_dir} are on different "
+                "filesystems; atomic publish needs them co-located"
+            ) from e
+        raise
     return final_dir
 
 

@@ -98,7 +98,12 @@ DROP_REASONS = [
 ]
 
 
-STEP_TIMINGS: list[tuple[str, float]] = []  # (step, sec) per _step, newest last
+# (step, sec) per _step, newest last. Holds ONE job's stages: run_filter
+# truncates it at entry, so a long-lived session never accumulates unboundedly
+# and a reader always sees the latest run only (bench.py snapshots it per rep;
+# concurrent run_filter calls in one process would interleave — the documented
+# single-threaded-session model, same as release_pins()).
+STEP_TIMINGS: list[tuple[str, float]] = []
 
 
 @contextmanager
@@ -479,6 +484,7 @@ def run_filter(
     Returns a summary dict {processed_buckets, rows_in, rows_kept}.
     """
     cfg = cfg or FilterConfig()
+    STEP_TIMINGS.clear()  # one job's stages only — see the declaration
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     raw = spark.read.parquet(input_path)
