@@ -210,3 +210,37 @@ def test_pack_scalable_equals_window_on_arbitrary_corpora(spark, pdf, budget, kb
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            ["the cat sat on the mat", "", "a", "ab", "é", None,
+             "já seus dos de com", "um dois três", "xyz qwerty 123"]
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    cut=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_alignment_scores_batch_composition_invariant(texts, cut):
+    """A caption's alignment score must not depend on its Arrow-batch
+    neighbours (the oracle twin scores one driver batch, Spark streams many) —
+    the same invariance class as the langid property above, including the
+    <3-byte-trailing-string boundary shapes."""
+    import numpy as np
+
+    from data_quality_check_spark.functions.alignment import alignment_scores
+
+    texts = [t for t in texts]
+    hashes = np.arange(1, len(texts) + 1, dtype=np.int64) * 982_451_653 % (1 << 60)
+    full = alignment_scores([t or "" for t in texts], hashes)
+    cut = min(cut, len(texts))
+    parts = np.concatenate(
+        [
+            alignment_scores([t or "" for t in texts[:cut]], hashes[:cut]),
+            alignment_scores([t or "" for t in texts[cut:]], hashes[cut:]),
+        ]
+    )
+    assert np.array_equal(full, parts)
