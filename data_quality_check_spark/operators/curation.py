@@ -501,11 +501,34 @@ def split_thresholds(weights: "dict[str, float]", hex_digits: int = 8) -> "list[
     return out
 
 
+def _sql_quote(value: str) -> str:
+    """A value as a DuckDB single-quoted literal ('' doubling — the twins run
+    only in DuckDB; the Spark side builds Columns, never SQL text, so quotes
+    in data values cannot break either engine)."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def _split_hash_key(id_col: str, salt: str) -> str:
-    # Shared Spark/DuckDB expression text: md5 of 'salt:id' (or just the id
-    # string). CAST(bigint AS string/varchar) is digits-only in both engines.
+    # DuckDB twin expression text: md5 of 'salt:id' (or just the id string).
+    # CAST(bigint AS string/varchar) is digits-only in both engines. The salt
+    # lands inside a quoted literal via _sql_quote; backslashes are rejected
+    # because Spark and DuckDB disagree on their meaning in literals (the
+    # Spark side takes the salt through F.lit, which has no such ambiguity).
+    if "\\" in salt:
+        raise ValueError("salt must not contain backslashes")
     key = f"CAST({id_col} AS STRING)"
-    return f"md5(CONCAT('{salt}:', {key}))" if salt else f"md5({key})"
+    if not salt:
+        return f"md5({key})"
+    return f"md5(CONCAT({_sql_quote(salt + ':')}, {key}))"
+
+
+def _hash_key_col(id_col: str, salt: str) -> F.Column:
+    """Spark twin of `_split_hash_key`, built as Columns (F.lit carries any
+    salt safely — no string interpolation into SQL text)."""
+    if "\\" in salt:
+        raise ValueError("salt must not contain backslashes")
+    key = F.col(id_col).cast("string")
+    return F.md5(F.concat(F.lit(salt + ":"), key)) if salt else F.md5(key)
 
 
 def hash_split(
@@ -534,7 +557,7 @@ def hash_split(
     Python; the split column is free at scan time wherever it's consumed.
     """
     thresholds = split_thresholds(weights)
-    key = F.expr(_split_hash_key(id_col, salt))
+    key = _hash_key_col(id_col, salt)
     labels = list(weights)
     expr = F.lit(labels[-1])
     for label, upper in reversed(thresholds):
@@ -548,8 +571,11 @@ def hash_split_case_sql(
     """DuckDB twin of `hash_split`'s assignment expression (one CASE)."""
     thresholds = split_thresholds(weights)
     key = _split_hash_key(id_col, salt).replace(" AS STRING)", " AS VARCHAR)")
-    arms = " ".join(f"WHEN {key} < '{upper}' THEN '{label}'" for label, upper in thresholds)
-    return f"CASE {arms} ELSE '{list(weights)[-1]}' END AS {out_col}"
+    arms = " ".join(
+        f"WHEN {key} < {_sql_quote(upper)} THEN {_sql_quote(label)}"
+        for label, upper in thresholds
+    )
+    return f"CASE {arms} ELSE {_sql_quote(list(weights)[-1])} END AS {out_col}"
 
 
 # ── mixture (data-mix) sampling ──
@@ -588,7 +614,12 @@ def mixture_thresholds(
 
 
 def _mixture_threshold_case(group_col: str, thresholds: "dict[str, str]") -> str:
-    arms = " ".join(f"WHEN '{g}' THEN '{t}'" for g, t in thresholds.items())
+    # DuckDB-only text (the Spark side builds the CASE as Columns); group
+    # values are DATA, so they are escaped — a group name with an apostrophe
+    # must not break (or inject into) the oracle SQL
+    arms = " ".join(
+        f"WHEN {_sql_quote(g)} THEN {_sql_quote(t)}" for g, t in thresholds.items()
+    )
     return f"CASE {group_col} {arms} END"
 
 
@@ -628,8 +659,11 @@ def mixture_sample(
     th = mixture_thresholds(counts, weights, output_rows)
     if not th:
         return df.filter(F.lit(False))
-    key = F.expr(_split_hash_key(id_col, salt))
-    return df.filter(key < F.expr(_mixture_threshold_case(group_col, th)))
+    key = _hash_key_col(id_col, salt)
+    case = F.lit(None).cast("string")
+    for g, t in th.items():
+        case = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(case)
+    return df.filter(key < case)
 
 
 def mixture_sample_where_sql(

@@ -62,7 +62,11 @@ def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
         cos = _dot(F.col(vec_col), F.col(qvec_col)) / (F.col("_cn") * F.col("_qn"))
     else:
         cos = cosine_col(F.col(vec_col), F.col(qvec_col))
-    scored = joined.select(
+    # dimension-mismatched pairs yield a NULL dot (zip_with pads with NULL);
+    # excluded here so a ragged vector can never occupy a top-k rank slot
+    scored = joined.filter(
+        F.size(F.col(vec_col)) == F.size(F.col(qvec_col))
+    ).select(
         F.col(qid_col),
         F.col(id_col),
         F.round(cos, 4).alias("cosine"),
@@ -73,13 +77,19 @@ def _rerank_topk(joined: DataFrame, k: int, id_col: str, vec_col: str,
 
 def _hoist_norms(df: DataFrame, vec_col: str, queries: DataFrame, qvec_col: str):
     """Per-vector norms computed once per ROW on each join input (n + q rows)
-    instead of once per candidate PAIR (n × q rows) in the rerank."""
+    instead of once per candidate PAIR (n × q rows) in the rerank.
+
+    Rows whose cosine is undefined are dropped HERE, on the narrow per-row
+    projection: a NULL vector folds to a NULL norm and a zero vector to 0 —
+    `_cn > 0` excludes both. Without the guard a zero-norm row aborts the whole
+    job under ANSI mode (DIVIDE_BY_ZERO) and under non-ANSI produces NaN,
+    which desc() ranks above every real cosine and which passes >= thresholds."""
     clash = ({"_cn", "_qn"} & set(df.columns)) | ({"_cn", "_qn"} & set(queries.columns))
     if clash:
         raise ValueError(f"input columns collide with reserved norm names: {sorted(clash)}")
     return (
-        df.withColumn("_cn", _norm(F.col(vec_col))),
-        queries.withColumn("_qn", _norm(F.col(qvec_col))),
+        df.withColumn("_cn", _norm(F.col(vec_col))).filter(F.col("_cn") > 0),
+        queries.withColumn("_qn", _norm(F.col(qvec_col))).filter(F.col("_qn") > 0),
     )
 
 
@@ -120,14 +130,16 @@ def neardup_pairs_blocked(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ))
+    ).filter(F.col("nrm") > 0))  # NULL/zero vectors: cosine undefined — excluded
     a = normed.select(
         "blk", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     b = normed.select(
         "blk", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "blk").filter(
+        (F.col("id_a") < F.col("id_b")) & (F.size("va") == F.size("vb"))
+    )
     return (
         pairs.withColumn(
             "cosine",
@@ -159,20 +171,30 @@ def srp_bucket_col(vec_col: str, n_bits: int = 16, dim: int = 64, seed: int = 11
     return bucket
 
 
-def _unit_rows(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _unit_rows(series: pd.Series, dim: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Stack an Arrow batch of array<float> into a row-normalized float64 matrix.
 
     Null entries and dimension-mismatched rows (e.g. `feature_vector_udf`'s NULL
     for an undecodable image) are excluded rather than crashing the batch:
     returns (matrix over valid rows, boolean valid-mask aligned to the series).
-    Dimension = the batch's modal vector length."""
+
+    `dim` MUST be passed wherever the expected dimension is known (the IVF
+    UDFs pass the centroid width): inferring it as the batch's modal length
+    makes a row's validity depend on its batch NEIGHBOURS — a batch whose
+    majority is corrupt would out-vote and drop the valid rows, and the same
+    row could flip between partitionings. Modal inference remains only for the
+    centroid-training sample, where no prior dimension exists and the oracle
+    twin applies the identical rule to the identical sample."""
     vals = series.tolist()
     lens = [len(v) if v is not None else -1 for v in vals]
-    pos = [n for n in lens if n > 0]
-    if not pos:
-        return np.zeros((0, 0)), np.zeros(len(vals), dtype=bool)
-    dim = int(pd.Series(pos).mode().iloc[0])
+    if dim is None:
+        pos = [n for n in lens if n > 0]
+        if not pos:
+            return np.zeros((0, 0)), np.zeros(len(vals), dtype=bool)
+        dim = int(pd.Series(pos).mode().iloc[0])
     mask = np.array([n == dim for n in lens])
+    if not mask.any():
+        return np.zeros((0, dim)), mask
     x = np.asarray([v for v, ok in zip(vals, mask) if ok], dtype=np.float64)
     return x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None), mask
 
@@ -226,17 +248,27 @@ def ivf_train_centroids(
     return spherical_kmeans(x, n_centroids, iters=iters, seed=seed)
 
 
+def _centroid_sims(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) cosine-to-centroid matrix via per-centroid elementwise-mul +
+    np.sum over the contiguous last axis — the same batch-composition-invariant
+    float policy as `srp_band_chunks` (BLAS GEMM's summation order can vary
+    with the batch's ROW COUNT, so a near-tie argmax could depend on Arrow
+    batch composition; k is small, the loop costs nothing)."""
+    return np.stack([np.sum(x * c, axis=1) for c in cents], axis=1)
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """Arrow-vectorized cell assignment: argmax cosine against the (tiny,
-    closure-captured → task-broadcast) centroid matrix, one GEMM per batch."""
+    closure-captured → task-broadcast) centroid matrix. The expected dimension
+    is the centroid width — never inferred from the batch."""
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        x, mask = _unit_rows(vecs)
+        x, mask = _unit_rows(vecs, dim=cents.shape[1])
         out = pd.array([None] * len(vecs), dtype="Int32")
-        if len(x) and x.shape[1] == cents.shape[1]:
-            out[mask] = (x @ cents.T).argmax(axis=1).astype("int32")
+        if len(x):
+            out[mask] = _centroid_sims(x, cents).argmax(axis=1).astype("int32")
         return pd.Series(out)
 
     return assign
@@ -249,10 +281,10 @@ def ivf_probe_udf(centroids: np.ndarray, nprobe: int):
 
     @pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
-        x, mask = _unit_rows(vecs)
+        x, mask = _unit_rows(vecs, dim=cents.shape[1])
         out: list = [None] * len(vecs)
-        if len(x) and x.shape[1] == cents.shape[1]:
-            top = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, :nprobe]
+        if len(x):
+            top = np.argsort(-_centroid_sims(x, cents), axis=1, kind="stable")[:, :nprobe]
             for i, row in zip(np.flatnonzero(mask), top):
                 out[i] = row.astype("int32").tolist()
         return pd.Series(out)
@@ -311,6 +343,10 @@ def ann_lsh_topk(
     inside. At 10^12 scale the bucket join replaces the crossJoin — candidates
     drop by ~2^n_bits while recall stays high for near-duplicate queries."""
     df, queries = _hoist_norms(df, vec_col, queries, qvec_col)
+    # a vector of the wrong width would dot every plane to NULL and collide
+    # into bucket 0, polluting that bucket — excluded up front
+    df = df.filter(F.size(F.col(vec_col)) == dim)
+    queries = queries.filter(F.size(F.col(qvec_col)) == dim)
     cand = df.withColumn("bucket", srp_bucket_col(vec_col, n_bits, dim))
     q = queries.withColumn("bucket", srp_bucket_col(qvec_col, n_bits, dim))
     joined = cand.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
@@ -458,7 +494,12 @@ def neardup_pairs_lsh(
     # costs one dot-product fold per candidate pair instead of three (dot +
     # both norms) — same float64 operations as cosine_col, just hoisted, so the
     # rounded value (and the oracle hash) is unchanged.
-    normed = _pin(vecs.select("id", "v", _norm(F.col("v")).alias("nrm")))
+    # nrm > 0 also excludes NULL/zero vectors (undefined cosine — and a zero
+    # norm would abort the job under ANSI division); wrong-width vectors never
+    # reach here, srp_chunks_udf masks them out of the candidate stage
+    normed = _pin(
+        vecs.select("id", "v", _norm(F.col("v")).alias("nrm")).filter(F.col("nrm") > 0)
+    )
     va = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

@@ -365,10 +365,12 @@ def embedding_neardup_ivf_sql(
 
     Float caveat (same class as the SRP sign-flip note above): cell assignment
     is an argmax DuckDB computes via list_cosine_similarity on raw vectors
-    while Spark normalizes then GEMMs — different summation order, so a
-    between-centroid cosine TIE within ~1e-15 could assign different cells.
-    On unit-norm random embeddings the top-2 centroid gap is ~1e-2; a flip
-    needs a 13-orders-closer tie, far rarer than the accepted SRP risk."""
+    while Spark normalizes then takes batch-invariant per-centroid row sums
+    (similarity._centroid_sims) — different summation order between ENGINES
+    (though no longer between Arrow batch compositions), so a between-centroid
+    cosine TIE within ~1e-15 could assign different cells. On unit-norm random
+    embeddings the top-2 centroid gap is ~1e-2; a flip needs a
+    13-orders-closer tie, far rarer than the accepted SRP risk."""
     cents = ivf_centroids_twin(sf_dir, n_centroids)
     values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
     return f"""

@@ -81,6 +81,10 @@ from data_quality_check_spark.pipeline.heuristics import (
 
 DATA_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
+# the filtered-output schema, shared by the batch job (_process_group) and the
+# streaming twin (streaming/stream_filter.py) so the two cannot drift
+OUT_COLS = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
+
 # priority-ordered drop reasons; mirrors reference_impl.DROP_PRIORITY
 DROP_REASONS = [
     "caption_missing",
@@ -416,15 +420,22 @@ def _bucket_metric_aggs(pending: list[int]) -> list:
     return aggs
 
 
-def _append_parquet(pdf, dir_path: str, run_id: str) -> None:
+def _append_parquet(pdf, dir_path: str, run_id: str, fname: str | None = None) -> None:
+    """Append one small pandas frame as a parquet file. Default filename is
+    uuid-randomized (append-only); pass `fname` for an IDEMPOTENT slot — a
+    retry overwrites the same file via atomic os.replace instead of appending
+    a duplicate (the streaming metrics path keys on batch_id this way)."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dir_path, exist_ok=True)
-    fname = f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), os.path.join(dir_path, fname))
+    fname = fname or f"part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
+    final = os.path.join(dir_path, fname)
+    tmp = f"{final}.tmp-{uuid.uuid4().hex[:6]}"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, final)
 
 
 def _write_checkpoint(checkpoint_dir: str, cfg: FilterConfig, pending: list[int], m: dict) -> None:
@@ -620,8 +631,7 @@ def _process_group(
     obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
     scored = scored.observe(obs, *_bucket_metric_aggs(grp))
 
-    out_cols = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
-    kept = scored.filter(F.col("row_selected")).select(*out_cols)
+    kept = scored.filter(F.col("row_selected")).select(*OUT_COLS)
     if not prebucketed:
         # Flat input: tasks hold a mix of buckets, so without this partitionBy
         # fans every task out across all buckets (tasks × buckets files) and the

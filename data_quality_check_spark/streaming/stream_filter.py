@@ -12,8 +12,16 @@ Design:
   * `foreachBatch` reuses the batch pipeline verbatim — `score_rows` →
     `dup_decisions` → `finalize` — so keep/drop/scrub semantics are identical
     by construction (same code objects, covered by the batch golden tests);
-  * per-batch metrics ride on `DataFrame.observe` exactly like the batch job
-    and are appended to the same `run_metrics` layout, keyed by batch_id.
+  * per-batch metrics ride on `DataFrame.observe` with the batch job's own
+    agg list (`run._bucket_metric_aggs`), written to a `stream_run_metrics`
+    table keyed by batch_id (a separate table, not the batch `run_metrics` —
+    mixing the two schemas in one directory would read back depending on
+    which file Spark samples for the footer);
+  * foreachBatch is at-least-once, so both side effects are IDEMPOTENT per
+    batch_id: kept rows overwrite their own `_batch_id` partition (dynamic
+    partition overwrite) and the metrics row lands at a deterministic
+    per-batch filename — a replayed micro-batch replaces its own output
+    instead of duplicating it.
 
 Dedup layering: `dup_decisions` inside a micro-batch collapses duplicates
 within that batch; `dedup_within` additionally drops CROSS-batch re-deliveries
@@ -33,19 +41,17 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from data_quality_check_spark.pipeline.fixtures import IMAGES_DDL
 from data_quality_check_spark.pipeline.run import (
-    DATA_COLS,
-    DROP_REASONS,
+    OUT_COLS,
     FilterConfig,
     _append_parquet,
+    _bucket_metric_aggs,
     bucket_col,
     dup_decisions,
     finalize,
     score_rows,
     with_rid,
 )
-from data_quality_check_spark.pipeline.heuristics import FLAG_COLS, trim_col
-
-OUT_COLS = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
+from data_quality_check_spark.pipeline.heuristics import trim_col
 
 
 def read_image_stream(
@@ -113,19 +119,23 @@ def run_stream_filter(
             & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
         )
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
-        aggs = [
-            F.count(F.lit(1)).alias("rows_in"),
-            F.count_if(F.col("row_selected")).alias("rows_kept"),
-            F.count_if(F.col("_scrub_changed")).alias("n_scrubbed"),
-            *[F.count_if(F.col("drop_reason") == r).alias(f"n_{r}") for r in DROP_REASONS],
-            *[F.count_if(F.col(c)).alias(c.replace("flag_", "nf_")) for c in FLAG_COLS],
-        ]
-        scored = scored.observe(obs, *aggs)
+        # the batch job's metric aggs with no per-bucket terms — SAME code
+        # object (run._bucket_metric_aggs), so the two jobs' metric schemas
+        # cannot drift
+        scored = scored.observe(obs, *_bucket_metric_aggs([]))
         kept = scored.filter(F.col("row_selected")).select(*OUT_COLS)
         kept = kept.repartition(cfg.num_buckets, F.col("_bucket"))
+        # IDEMPOTENT write: foreachBatch is at-least-once (a batch whose write
+        # committed but whose offsets didn't is re-run on restart), so kept
+        # rows land under a _batch_id partition with dynamic-partition
+        # OVERWRITE — a replay rewrites exactly its own partitions instead of
+        # appending duplicates. Readers still prune on the nested _bucket dirs.
+        spark = kept.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            kept.write.mode("append")
-            .partitionBy("_bucket")
+            kept.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id", "_bucket")
             .option("compression", "uncompressed")
             .option("parquet.enable.dictionary", "false")
             .parquet(os.path.join(output_dir, "filtered"))
@@ -142,7 +152,16 @@ def run_stream_filter(
         # µs unit explicitly: DataFrame-from-dict upcasts Timestamp scalars to
         # ns, which Spark's parquet reader rejects (TIMESTAMP(NANOS)).
         pdf["committed_at"] = pd.Series([pd.Timestamp.now(tz="UTC")]).dt.as_unit("us")
-        _append_parquet(pdf, os.path.join(checkpoint_dir, "run_metrics"), cfg.run_id)
+        # own table (NOT the batch job's run_metrics — its rows carry no
+        # batch_id, and one directory with two schemas reads back
+        # footer-dependently); deterministic per-batch filename → a replayed
+        # batch REPLACES its metrics row instead of double-counting
+        _append_parquet(
+            pdf,
+            os.path.join(checkpoint_dir, "stream_run_metrics"),
+            cfg.run_id,
+            fname=f"batch-{int(batch_id):010d}.parquet",
+        )
         totals["batches"] += 1
         totals["rows_in"] += int(m["rows_in"])
         totals["rows_kept"] += int(m["rows_kept"])

@@ -354,3 +354,44 @@ def test_mixture_sample_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_and_mixture_survive_quoted_values(spark):
+    """Apostrophes in salts, split labels, and DATA-derived group names must
+    not break (or inject into) either engine: the Spark side builds Columns,
+    the DuckDB twins escape literals."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_check_spark.operators.curation import (
+        hash_split,
+        hash_split_case_sql,
+        mixture_sample,
+        mixture_thresholds,
+        mixture_sample_where_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "lang": ["it's-en"] * 150 + ["fr"] * 50}
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"tr'ain": 0.5, "te'st": 0.5}
+    got = hash_split(df, "doc_id", w, salt="q'1").toPandas()
+    assert set(got["split"]) == set(w)
+    duckdb.register("t", pdf)
+    dsql = duckdb.sql(
+        f"SELECT doc_id, {hash_split_case_sql('doc_id', w, salt=chr(113)+chr(39)+'1')} FROM t"
+    ).df()
+    m = got.set_index("doc_id")["split"]
+    assert (dsql.set_index("doc_id")["split"] == m).all()
+
+    mix = mixture_sample(
+        df, "lang", {"it's-en": 0.5, "fr": 0.5}, 100, "doc_id", salt="s'alt"
+    ).toPandas()
+    assert set(mix["lang"]) <= {"it's-en", "fr"} and len(mix) > 0
+    th = mixture_thresholds(
+        {"it's-en": 150, "fr": 50}, {"it's-en": 0.5, "fr": 0.5}, 100
+    )
+    where = mixture_sample_where_sql("lang", th, "doc_id", salt="s'alt")
+    dmix = duckdb.sql(f"SELECT doc_id FROM t WHERE {where}").df()
+    assert sorted(dmix["doc_id"]) == sorted(mix["doc_id"])

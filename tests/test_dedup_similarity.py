@@ -542,3 +542,73 @@ def test_duplicate_span_stats_gate_paths_identical(spark):
     # 17 words -> 3 spans: the leading 8 words and the final 1-word remnant
     # are corpus-wide duplicates, the uniq{i} middle span is solo
     assert all(r == (r[0], 3, 2, 0.666667) for r in a)
+
+
+# ── degenerate-vector handling (zero-norm / NULL / ragged) ──
+
+
+def test_similarity_ops_survive_degenerate_vectors(spark):
+    """A zero-norm vector must not abort the job (ANSI DIVIDE_BY_ZERO) or rank
+    as NaN-top-1; NULL and wrong-width vectors must degrade to absent, never
+    occupy top-k rank slots or pollute an SRP bucket."""
+    import pandas as pd
+
+    from data_quality_check_spark.operators.dedup import release_pins
+    from data_quality_check_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        neardup_pairs_blocked,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5],
+            "embedding": [
+                [1.0, 0.0, 0.0, 0.0],
+                [0.9, 0.1, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],  # zero norm
+                None,  # NULL
+                [1.0, 0.0, 0.0],  # ragged (3-dim)
+            ],
+            "label": ["a"] * 5,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [100], "qvec": [[1.0, 0.0, 0.0, 0.0]]})
+    )
+
+    got = cosine_topk(df, q, k=5).toPandas()
+    assert set(got["vec_id"]) == {1, 2}  # degenerates absent, not ranked
+    assert got["cosine"].notna().all()
+
+    lsh = ann_lsh_topk(df, q, k=5, n_bits=4, dim=4).toPandas()
+    assert set(lsh["vec_id"]) <= {1, 2} and lsh["cosine"].notna().all()
+
+    pairs = neardup_pairs_blocked(df, threshold=0.5, block_col="label").toPandas()
+    release_pins()
+    assert {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])} == {(1, 2)}
+
+
+def test_ivf_assignment_ignores_batch_composition(spark):
+    """A corrupt-majority batch must not out-vote valid rows: the expected
+    dimension comes from the centroids, never from the batch's modal length."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_check_spark.operators.similarity import ivf_assign_udf
+
+    cents = np.eye(4)[:2]  # 2 centroids, dim 4
+    vals = [[0.5, 0.5, 0.5] for _ in range(60)] + [  # 60 corrupt 3-dim rows
+        [1.0, 0.0, 0.0, 0.0] for _ in range(40)  # 40 valid 4-dim rows
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(100), "embedding": vals})
+    ).coalesce(1)
+    got = (
+        df.withColumn("cell", ivf_assign_udf(cents)("embedding"))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert got["cell"].iloc[:60].isna().all()  # corrupt rows: no cell
+    assert (got["cell"].iloc[60:] == 0).all()  # valid rows keep their cell

@@ -62,9 +62,11 @@ def test_stream_filter_matches_batch(spark, fixture_files, tmp_path):
     batch_kept = _kept(spark, tmp_path / "b_out")
     assert stream_kept == batch_kept  # ids AND scrubbed captions identical
 
-    # per-batch metrics landed
-    m = spark.read.parquet(str(tmp_path / "s_ckpt" / "run_metrics")).collect()
+    # per-batch metrics landed in the stream's own table (separate from the
+    # batch run_metrics schema), keyed by batch_id
+    m = spark.read.parquet(str(tmp_path / "s_ckpt" / "stream_run_metrics")).collect()
     assert len(m) == 1 and m[0]["rows_kept"] == summary["rows_kept"]
+    assert m[0]["batch_id"] == 0
 
 
 def test_stream_filter_incremental_resume(spark, fixture_files, tmp_path):
@@ -263,3 +265,30 @@ def test_cross_batch_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(os.path.join(str(tmp_path / "out"), "filtered"))
     ids = [r["image_id"] for r in out.select("image_id").collect()]
     assert len(ids) == len(set(ids))  # no id written twice
+
+
+def test_stream_replay_is_idempotent(spark, fixture_files, tmp_path):
+    """foreachBatch is at-least-once: simulate the crash window (batch wrote
+    its output, offsets never committed) by deleting the streaming commit log
+    and re-draining — the replayed batch must REPLACE its own output and
+    metrics row, not append duplicates."""
+    files, staging = fixture_files
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in files:
+        shutil.copy(staging / f, landing / f)
+
+    cfg = FilterConfig(num_buckets=8)
+    args = (spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg)
+    s1 = run_stream_filter(*args)
+    kept1 = _kept(spark, tmp_path / "out")
+
+    shutil.rmtree(tmp_path / "ckpt" / "stream" / "commits")  # offsets survive, commit doesn't
+    s2 = run_stream_filter(*args)
+    assert s2["rows_in"] == s1["rows_in"]  # the same batch re-ran...
+    kept2 = _kept(spark, tmp_path / "out")
+    assert kept2 == kept1  # ...and replaced, not duplicated, its output
+    rows = spark.read.parquet(str(tmp_path / "out" / "filtered")).count()
+    assert rows == s1["rows_kept"]
+    m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).collect()
+    assert len(m) == 1  # one metrics row per batch_id, replay replaced it
