@@ -29,9 +29,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
-from data_quality_check_spark.functions.textmodel import _encode_batch, _trigram_ids
+from data_quality_check_spark.functions.textmodel import (
+    _encode_batch,
+    _trigram_ids,
+    boundary_valid_mask,
+)
 
 ALIGN_DIM = 60  # one text-embedding dimension per phash bit
+# score for captions with no trigrams (<3 bytes): the cosine is undefined, and
+# a sentinel BELOW every real cosine keeps `aligned = score >= threshold`
+# false at ANY threshold — with 0.0 (the old definition) a caption-less image
+# sailed through the default τ=0 gate as "aligned"
+EMPTY_CAPTION_SCORE = -1.0
 
 
 def caption_embedding(texts) -> np.ndarray:
@@ -47,13 +56,7 @@ def caption_embedding(texts) -> np.ndarray:
     out = np.zeros((n, ALIGN_DIM), dtype=np.float64)
     if len(ids) == 0:
         return out
-    valid = np.ones(len(ids), dtype=bool)
-    boundary = offsets[1:-1]
-    for d in (1, 2):
-        idx = boundary - d
-        idx = idx[(idx >= 0) & (idx < len(ids))]
-        valid[idx] = False
-    pos = np.nonzero(valid)[0]
+    pos = np.nonzero(boundary_valid_mask(len(ids), offsets))[0]
     # greatest s with offsets[s] <= pos: empty strings repeat an offset and
     # side='right' skips past them to the segment that actually owns the byte
     row = np.searchsorted(offsets, pos, side="right") - 1
@@ -69,14 +72,17 @@ def image_embedding(phashes: np.ndarray) -> np.ndarray:
 
 
 def alignment_scores(texts, phashes: np.ndarray) -> np.ndarray:
-    """Per-row cosine between the two embeddings; 0.0 for empty captions
-    (zero text vector — undefined cosine, defined here as unaligned)."""
+    """Per-row cosine between the two embeddings; EMPTY_CAPTION_SCORE (-1.0,
+    below any real cosine) for captions with no trigrams, so such rows are
+    unaligned at every threshold."""
     c = caption_embedding(texts)
     img = image_embedding(phashes)
     dot = np.sum(c * img, axis=1)
     cn = np.sqrt(np.sum(c * c, axis=1))
     denom = cn * np.sqrt(float(ALIGN_DIM))
-    return np.where(cn > 0.0, dot / np.where(denom == 0.0, 1.0, denom), 0.0)
+    return np.where(
+        cn > 0.0, dot / np.where(denom == 0.0, 1.0, denom), EMPTY_CAPTION_SCORE
+    )
 
 
 @F.pandas_udf(DoubleType())
@@ -84,12 +90,19 @@ def alignment_udf(
     batches: Iterator[tuple[pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
     for texts, phashes in batches:
-        yield pd.Series(
-            alignment_scores(
-                texts.fillna("").tolist(),
-                phashes.fillna(0).to_numpy(np.int64),
+        # the phash column MUST reach this UDF non-null (with_alignment
+        # coalesces JVM-side): a batch containing ANY null arrives from Arrow
+        # as float64, and >=2^53 hashes would already have lost their low bits
+        # before this body could intervene. The strict int64 conversion below
+        # raises on a float batch instead of silently scoring corrupted bits.
+        if phashes.dtype.kind == "f":
+            raise TypeError(
+                "alignment_udf received a float phash batch (nulls present?) — "
+                "coalesce the column to a non-null BIGINT first "
+                "(with_alignment does this)"
             )
-        )
+        ph = phashes.to_numpy(np.int64)
+        yield pd.Series(alignment_scores(texts.fillna("").tolist(), ph))
 
 
 def with_alignment(
@@ -106,7 +119,12 @@ def with_alignment(
     asNondeterministic fences the UDF so the derived boolean reuses the one
     evaluation instead of re-running the kernel per reference.
     """
-    score = alignment_udf.asNondeterministic()(F.col(caption_col), F.col(phash_col))
+    # coalesce BEFORE the Arrow boundary: a null in the batch would demote the
+    # whole int64 column to float64 and corrupt >=2^53 hashes (null phash ≡ 0)
+    score = alignment_udf.asNondeterministic()(
+        F.col(caption_col),
+        F.coalesce(F.col(phash_col).cast("long"), F.lit(0).cast("long")),
+    )
     return df.withColumn("align_score", score).withColumn(
         "aligned", F.col("align_score") >= F.lit(float(threshold))
     )

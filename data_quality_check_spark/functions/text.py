@@ -75,14 +75,17 @@ def texty_ratio_sql(c: str) -> str:
 
 
 def stopword_hits_col(c: Column, lang: str) -> Column:
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    # NULL text ≡ '' (0 hits) — without the coalesce the engines diverge on
+    # NULL: Spark's size(NULL) is -1 (legacy) or NULL (ANSI) while DuckDB's
+    # len(list_intersect(NULL, …)) is NULL, so lang_guess would disagree
+    toks = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
     return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
 
 
 def stopword_hits_sql(c: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
-        f"len(list_intersect(list_distinct(regexp_split_to_array(lower(trim({c})), '\\s+')), "
+        f"len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(coalesce({c}, ''))), '\\s+')), "
         f"[{words}]))"
     )
 

@@ -47,6 +47,21 @@ def _trigram_ids(buf: np.ndarray) -> np.ndarray:
     return (b[:-2] * (_MUL * _MUL) + b[1:-1] * _MUL + b[2:]) % N_BUCKETS
 
 
+def boundary_valid_mask(n_values: int, offsets: np.ndarray) -> np.ndarray:
+    """Validity mask over per-position trigram values: False where a trigram
+    would span the boundary between two concatenated strings. THE single
+    definition of the batch-invariance-critical rule — shared by `_segment_sums`,
+    `CharTrigramLM.train`, and `alignment.caption_embedding`, so a fix to the
+    masking can never desynchronize the three kernels."""
+    valid = np.ones(n_values, dtype=bool)
+    boundary = offsets[1:-1]
+    for d in (1, 2):
+        idx = boundary - d
+        idx = idx[(idx >= 0) & (idx < n_values)]
+        valid[idx] = False
+    return valid
+
+
 def _segment_sums(values: np.ndarray, offsets: np.ndarray):
     """Per-string sums of `values` (one value per trigram position), where trigram i
     belongs to string s iff it lies fully inside [offsets[s], offsets[s+1])."""
@@ -57,13 +72,7 @@ def _segment_sums(values: np.ndarray, offsets: np.ndarray):
     if len(values) == 0:
         return sums, counts
     # zero out trigrams that span a string boundary, then reduceat per string
-    valid = np.ones(len(values), dtype=bool)
-    boundary = offsets[1:-1]
-    for d in (1, 2):
-        idx = boundary - d
-        idx = idx[(idx >= 0) & (idx < len(values))]
-        valid[idx] = False
-    masked = np.where(valid, values, 0.0)
+    masked = np.where(boundary_valid_mask(len(values), offsets), values, 0.0)
     # Per-segment reduceat, with starts clipped to len(values) and segments
     # starting at-or-past the end DROPPED (they hold no trigram positions;
     # their counts are 0). A dropped tail segment means the last surviving
@@ -111,13 +120,7 @@ class CharTrigramLM:
             buf, offsets = _encode_batch(sents)
             ids = _trigram_ids(buf)
             # drop boundary-spanning trigrams the same way scoring does
-            valid = np.ones(len(ids), dtype=bool)
-            boundary = offsets[1:-1]
-            for d in (1, 2):
-                idx = boundary - d
-                idx = idx[(idx >= 0) & (idx < len(ids))]
-                valid[idx] = False
-            np.add.at(counts[li], ids[valid], 1.0)
+            np.add.at(counts[li], ids[boundary_valid_mask(len(ids), offsets)], 1.0)
         total = counts.sum(axis=1, keepdims=True)
         logprob = np.log((counts + SMOOTH_K) / (total + SMOOTH_K * N_BUCKETS))
         return CharTrigramLM(logprob, list(langs))

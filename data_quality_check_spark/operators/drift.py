@@ -196,19 +196,36 @@ def profile_drift(
     exact_distinct=False for the HLL sketch at production scale.
     """
 
+    # Column names are DATA-derived (CSV headers): a name like "it's" or
+    # "a`b" must neither break name resolution nor the stack() expression.
+    # Every by-name access path in Spark PARSES the name (backticks, dots), so
+    # the sides are positionally renamed via toDF — no parsing anywhere — and
+    # all derived aliases are INDEX-keyed; only the display literal carries
+    # the raw name, escaped as a Spark string literal.
     def _side(df: DataFrame, suf: str) -> DataFrame:
+        pos = {c: i for i, c in enumerate(df.columns)}
+        missing = [c for c in cols if c not in pos]
+        if missing:
+            raise ValueError(f"columns not in frame: {missing}")
+        r = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
         aggs = [F.count(F.lit(1)).alias(f"rows{suf}")]
-        for c in cols:
+        for j, c in enumerate(cols):
+            col = F.col(f"_c{pos[c]}")
             aggs.append(
-                F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0)).alias(f"nulls_{c}{suf}")
+                F.coalesce(F.sum(F.isnull(col).cast("long")), F.lit(0)).alias(f"nulls_{j}{suf}")
             )
-            dist = F.count_distinct(c) if exact_distinct else F.approx_count_distinct(c)
-            aggs.append(dist.alias(f"dist_{c}{suf}"))
-        return df.agg(*aggs)
+            dist = F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+            aggs.append(dist.alias(f"dist_{j}{suf}"))
+        return r.agg(*aggs)
 
     one = _side(df_a, "_a").crossJoin(_side(df_b, "_b"))
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack = ", ".join(
-        f"'{c}', `nulls_{c}_a`, `dist_{c}_a`, `nulls_{c}_b`, `dist_{c}_b`" for c in cols
+        f"{_lit(c)}, nulls_{j}_a, dist_{j}_a, nulls_{j}_b, dist_{j}_b"
+        for j, c in enumerate(cols)
     )
     return one.select(
         F.expr(

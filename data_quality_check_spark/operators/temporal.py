@@ -161,7 +161,8 @@ def sessionize(
     a new session starts when the gap since the user's previous event exceeds
     `gap_minutes`. Emits one row per (user, session ordinal) with the event
     count and integer-microsecond start/end (epoch µs — the repo's engine-
-    stable timestamp convention).
+    stable timestamp convention). Events with a NULL timestamp are excluded —
+    they belong to no gap-defined session.
 
     Shape: ONE shuffle on the user key serves both windows and the final
     aggregation (same partitioning); the lag → flag → running-sum labeling is
@@ -177,7 +178,12 @@ def sessionize(
         F.col(id_col).alias("_eid"),
         # NTZ → timestamp cast is shift-free under the session's UTC TZ
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-    )
+        # a NULL timestamp cannot belong to any inactivity-gap session, and
+        # the engines would even disagree on WHERE it sorts (Spark windows
+        # default NULLS FIRST, DuckDB NULLS LAST — so it would start vs be
+        # absorbed into a session, renumbering everything after it); the twin
+        # SQL applies the identical predicate
+    ).filter(F.col("ts_us").isNotNull())
     lagged = ev.withColumn("_prev", F.lag("ts_us").over(w))
     flagged = lagged.withColumn(
         "_new",
@@ -201,6 +207,7 @@ def sessionize_sql(
     return f"""
 WITH e AS (
   SELECT {user_col}, {id_col} AS _eid, epoch_us({ts_col}) AS ts_us FROM {table}
+  WHERE {ts_col} IS NOT NULL
 ),
 l AS (
   SELECT *, lag(ts_us) OVER (PARTITION BY {user_col} ORDER BY ts_us, _eid) AS _prev

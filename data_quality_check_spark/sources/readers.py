@@ -154,6 +154,10 @@ def load(spark: SparkSession, source: str, **options) -> DataFrame:
         low.endswith(".csv") or low.endswith(".csv.gz")
     ):
         return read_http_csv(spark, source, **options)
+    if low.endswith(".csv.gz"):
+        # Hadoop-supported schemes read gzip'd CSV natively (codec by
+        # extension); only plain http(s) needed the download path above
+        return read_csv(spark, source, **options)
     for ext, fmt in _EXT_READERS.items():
         if low.endswith(ext):
             if fmt == "csv":
@@ -209,7 +213,13 @@ def _read_xlsx_minimal(path: str, sheet: int | str = 0) -> list[list]:
         for row in root.iter(f"{_XLSX_NS}row"):
             out: list = []
             for c in row.findall(f"{_XLSX_NS}c"):
-                ci = _xlsx_col_index(c.get("r", ""))
+                # the r= cell reference is OPTIONAL in SpreadsheetML; a
+                # ref-less cell is positional (next column after the previous
+                # cell) — without this, _xlsx_col_index('') = -1 indexed from
+                # the END, crashing on a leading cell and silently overwriting
+                # the previous value otherwise
+                ref = c.get("r", "")
+                ci = _xlsx_col_index(ref) if ref else len(out)
                 while len(out) <= ci:
                     out.append(None)
                 t = c.get("t", "n")

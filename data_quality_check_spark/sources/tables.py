@@ -77,11 +77,40 @@ class TableIO:
             .parquet(self._path(name))
         )
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str | None = None,
+        num_buckets: int | None = None,
+    ) -> None:
+        """Append rows. On Iceberg the table's partition spec applies to
+        appends automatically (hidden partitioning). The parquet fallback has
+        no spec to consult, so appending into a bucketed layout REQUIRES
+        (bucket_col, num_buckets): without them the new files would land
+        unpartitioned in the table root — partition discovery then either
+        fails or reads the rows with NULL _bucket, and every `read_buckets`
+        filter would silently exclude them."""
         if self.use_iceberg:
             df.writeTo(self._ident(name)).append()
-        else:
-            df.write.mode("append").parquet(self._path(name))
+            return
+        path = self._path(name)
+        bucketed_layout = os.path.isdir(path) and any(
+            e.startswith("_bucket=") for e in os.listdir(path)
+        )
+        if bucketed_layout:
+            if bucket_col is None or num_buckets is None:
+                raise ValueError(
+                    f"table '{name}' has a bucketed layout; pass bucket_col and "
+                    "num_buckets so appended rows land in their partitions"
+                )
+            out = df.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).cast("int"),
+            )
+            out.write.mode("append").partitionBy("_bucket").parquet(path)
+            return
+        df.write.mode("append").parquet(path)
 
     def overwrite(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         if self.use_iceberg:
@@ -107,13 +136,23 @@ class TableIO:
     ) -> DataFrame:
         """Scan restricted to a bucket list — partition pruning on both backends.
 
-        Iceberg prunes via the hidden bucket transform; the Parquet fallback
-        prunes `_bucket=` directories from the pushed-down isin filter (visible
-        as PartitionFilters in `.explain`).
+        Iceberg: the predicate is the catalog-registered `system.bucket`
+        FUNCTION (the same murmur3 transform the table was partitioned by), so
+        the planner maps it onto the hidden bucket partitions and prunes
+        before any scan work. A Spark-side hash expression (the previous
+        xxhash64 construction) would be doubly wrong here: xxhash64 is not
+        Iceberg's bucket function, and an opaque expression can never prune —
+        each call would full-scan the table.
+
+        Parquet fallback: prunes `_bucket=` directories from the pushed-down
+        isin filter (visible as PartitionFilters in `.explain`).
         """
         df = self.read(name)
         if self.use_iceberg:
-            pred = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).isin(buckets)
+            col = bucket_col.replace("`", "``")
+            pred = F.expr(
+                f"{self.catalog}.system.bucket({int(num_buckets)}, `{col}`)"
+            ).isin(buckets)
             return df.filter(pred)
         return df.filter(F.col("_bucket").isin(buckets))
 

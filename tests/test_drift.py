@@ -140,3 +140,15 @@ def test_time_split_mid_is_inclusive_integer_midpoint(spark):
     mn = 1704067200 * 10**6
     mx = mn + 2 * 86400 * 10**6
     assert row._mid == (mn + mx) // 2
+
+
+def test_profile_drift_survives_quoted_column_names(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.drift import profile_drift
+
+    pdf = pd.DataFrame({"it's": [1, None, 3], "a`b": ["x", "y", None]})
+    a = spark.createDataFrame(pdf)
+    b = spark.createDataFrame(pdf.iloc[:2])
+    got = profile_drift(a, b, ["it's", "a`b"]).toPandas().set_index("column_name")
+    assert got.loc["it's", "nulls_a"] == 1 and got.loc["a`b", "nulls_b"] == 0

@@ -183,13 +183,18 @@ def test_alignment_kernel_batch_invariant():
         assert np.array_equal(full, parts), f"batch split at {cut} changed scores"
 
 
-def test_alignment_empty_caption_scores_zero():
+def test_alignment_empty_caption_is_unaligned_at_any_threshold():
     import numpy as np
 
-    from data_quality_check_spark.functions.alignment import alignment_scores
+    from data_quality_check_spark.functions.alignment import (
+        EMPTY_CAPTION_SCORE,
+        alignment_scores,
+    )
 
     got = alignment_scores(["", "xy"], np.array([99, 99], dtype=np.int64))
-    assert got[0] == 0.0 and got[1] == 0.0  # <3 bytes → no trigrams → zero vector
+    # <3 bytes → no trigrams → undefined cosine → sentinel below any real
+    # cosine, so `aligned = score >= τ` is false even at the default τ=0
+    assert got[0] == EMPTY_CAPTION_SCORE == -1.0 and got[1] == EMPTY_CAPTION_SCORE
 
 
 def test_with_alignment_matches_kernel(spark):

@@ -242,3 +242,26 @@ def test_freshness_capped_at_100_for_future_dates(spark):
         now=datetime(2026, 1, 1),
     )
     assert res.table_score.freshness == 100.0
+
+
+def test_lang_guess_null_text_agrees_across_engines(spark):
+    """NULL text ≡ '' (0 stopword hits → 'und') in BOTH engines; before the
+    coalesce, Spark said 'und' while DuckDB's NULL list_intersect gave NULL."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.functions.text import lang_guess_col, lang_guess_sql
+
+    pdf = pd.DataFrame({"text": [None, "", "the of and to a"]})
+    got = [
+        r["g"]
+        for r in spark.createDataFrame(pdf)
+        .select(lang_guess_col(F.col("text")).alias("g"))
+        .collect()
+    ]
+    duckdb.register("docs_null", pdf)
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT {lang_guess_sql('text')} FROM docs_null"
+    ).fetchall()]
+    assert got == want and got[0] == "und" and got[2] == "en"

@@ -203,3 +203,45 @@ def test_read_excel_ignores_reader_options_and_xls_error(spark, tmp_path):
     if not has_engine:
         with pytest.raises(ImportError, match="xlrd"):
             S.read_excel(spark, xls)
+
+
+def test_load_local_csv_gz(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    from data_quality_check_spark.sources.readers import load
+
+    got = load(spark, str(p))
+    assert sorted((r["a"], r["b"]) for r in got.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_xlsx_minimal_parser_handles_refless_cells(tmp_path):
+    """SpreadsheetML allows cells without the optional r= reference — they are
+    positional. A leading ref-less cell used to crash (out[-1] on an empty
+    row) and a later one silently overwrote the previous cell."""
+    import zipfile
+
+    from data_quality_check_spark.sources.readers import _read_xlsx_minimal
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{ns}"><sheetData>
+<row r="1"><c t="inlineStr"><is><t>h1</t></is></c><c t="inlineStr"><is><t>h2</t></is></c></row>
+<row r="2"><c><v>1</v></c><c><v>2</v></c></row>
+</sheetData></worksheet>"""
+    wb = f"""<?xml version="1.0"?>
+<workbook xmlns="{ns}"><sheets><sheet name="s1" sheetId="1" r:id="rId1"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    p = tmp_path / "refless.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = _read_xlsx_minimal(str(p))
+    assert rows == [["h1", "h2"], [1, 2]]

@@ -48,3 +48,29 @@ def test_append_and_exists(spark, tio):
     tio.append(df, "db.m")
     assert tio.exists("db.m")
     assert tio.read("db.m").count() == 20
+
+
+def test_append_into_bucketed_layout_keeps_partitions(spark, tmp_path):
+    """Appending into a bucketed parquet table must land rows in their
+    _bucket partitions (or refuse loudly) — unpartitioned appends would sit in
+    the table root and vanish from every read_buckets scan."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_quality_check_spark.sources.tables import TableIO
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    io.use_iceberg = False
+    base = spark.createDataFrame(pd.DataFrame({"id": range(40), "v": range(40)}))
+    io.write_bucketed(base, "t", "id", 4)
+
+    extra = spark.createDataFrame(pd.DataFrame({"id": range(40, 60), "v": range(40, 60)}))
+    with _pytest.raises(ValueError, match="bucketed layout"):
+        io.append(extra, "t")  # refuses without the bucket spec
+    io.append(extra, "t", bucket_col="id", num_buckets=4)
+
+    assert io.read("t").count() == 60
+    got = set()
+    for b in range(4):
+        got |= {r["id"] for r in io.read_buckets("t", "id", 4, [b]).collect()}
+    assert got == set(range(60))  # appended rows visible to bucket scans

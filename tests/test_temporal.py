@@ -181,3 +181,40 @@ def test_sessionize_gap_semantics(spark):
     assert got[(10, 1)][0] == 2 and got[(10, 2)][0] == 1 and got[(20, 1)][0] == 1
     # session bounds are the member events' min/max µs
     assert got[(10, 1)][1] < got[(10, 1)][2] < got[(10, 2)][1]
+
+
+def test_sessionize_excludes_null_timestamps_and_matches_twin(spark):
+    """NULL timestamps belong to no gap-defined session — and the engines even
+    disagree on where NULL sorts in a window (Spark NULLS FIRST, DuckDB
+    NULLS LAST), so both twins exclude them by the same predicate."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_check_spark.operators.temporal import sessionize, sessionize_sql
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_id": [10, 11, 12, 13],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00", None, "2026-01-01 00:10", "2026-01-01 02:00"]
+            ),
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(pdf), "user_id", "ts", "event_id", 30)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].sum() == 3  # the null-ts event is gone
+    assert list(got["n_events"]) == [2, 1]  # 00:00+00:10 | 02:00
+    duckdb.register("ev", pdf)
+    want = (
+        duckdb.sql(sessionize_sql("ev", "user_id", "ts", "event_id", 30))
+        .df()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert (got[["session_id", "n_events", "start_us", "end_us"]].values
+            == want[["session_id", "n_events", "start_us", "end_us"]].values).all()
