@@ -44,7 +44,10 @@ from data_quality_check_spark.operators.scoring import (
 # Canonical validation regexes (engine.py:477-478; the Spark engine's phone pattern
 # is taken as canonical over the pandas variant — SURVEY.md §1.2).
 EMAIL_RE = r"^[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}$"
-PHONE_RE = r"^\+?[\d][\d\s\-\.\(\)]{6,20}$"
+# whitespace spelled as an explicit class, not \s: Java's \s includes \x0B
+# while RE2's (the DuckDB twin) does not — the same Java∩RE2 rule
+# pipeline/heuristics.py applies to caption whitespace
+PHONE_RE = r"^\+?[\d][\d \t\n\r\f\-\.\(\)]{6,20}$"
 
 # Values treated as "fake nulls" after lower(trim(...)) (engine.py:521).
 FAKE_NULLS = ["n/a", "na", "null", "none", "-", "--", "unknown", "inconnu", "?", "nan", "nd"]
@@ -73,7 +76,10 @@ class ProfileConfig:
     exact_distinct: bool = True
     percentile_accuracy: int = 10_000  # used when exact_distinct quantiles disabled
     exact_percentiles: bool = True
-    min_numeric_rows: int = 0  # pandas engine skips cols with <10 non-null; Spark engine does not
+    # >0 excludes numeric columns with fewer non-null values from the
+    # quantile/outlier passes (pandas-reference parity: engine.py skips
+    # quantiles below 10 non-null). Default 0 = profile every numeric column.
+    min_numeric_rows: int = 0
 
 
 @dataclass
@@ -209,7 +215,11 @@ def pass1_aggs(
     # in a detector-admitted date column (70% parse-rate threshold) would abort
     # the whole fused pass. Emitted as epoch MICROSECONDS (a long), because
     # collect() renders TimestampType through the driver OS timezone
-    # (datetime.fromtimestamp) — epoch math is timezone-free.
+    # (datetime.fromtimestamp) — epoch math is timezone-free AFTER the parse.
+    # The parse itself interprets wall-clock strings in
+    # spark.sql.session.timeZone, and the freshness `now` is naive UTC — so
+    # the session must run UTC (session.get_spark pins it; a foreign session
+    # on e.g. Europe/Paris would skew every lag by the zone offset).
     for c in cfg.date_columns:
         if c in df.columns:
             aggs.append(
@@ -292,6 +302,15 @@ def profile(df: DataFrame, cfg: ProfileConfig | None = None, now: datetime | Non
             excluded |= bad
 
     num_cols = numeric_columns(df)
+    if cfg.min_numeric_rows > 0:
+        # pandas-reference parity knob (engine.py:455-459 skips quantiles for
+        # columns with <10 non-null values): pass 1 already counted nulls, so
+        # the sparse-column exclusion costs nothing extra
+        num_cols = [
+            c
+            for c in num_cols
+            if m["row_count"] - m[f"nulls__{c}"] >= cfg.min_numeric_rows
+        ]
     fences: dict[str, tuple[float, float]] = {}
     if num_cols:
         qrow = unpack_quantile_row(df.agg(*quantile_aggs(df, cfg)), num_cols).collect()[0].asDict()
@@ -403,7 +422,7 @@ def _assemble(
                     "dimension": "consistency",
                     "severity": rule.get("severity", "medium"),
                     "column": rule.get("column", "custom"),
-                    "message": f"rule '{rule['name']}': {n:,} violations",
+                    "message": f"rule '{rule.get('name', '')}': {n:,} violations",
                 }
             )
     r.consistency = scoring.ratio_score(v, c_)

@@ -178,8 +178,16 @@ def ann_lsh_sql(k: int, n_bits: int, dim: int, query_mod: int = 100) -> str:
 
     planes = srp_planes(n_bits, dim)
     b = _bucket_sql("ev", planes)
+    # validity predicate mirrors the Spark side's _hoist_norms + dim filter:
+    # NULL / wrong-width / zero-norm vectors are absent from BOTH engines
+    # (without it a NULL vector dots every plane to NULL → bucket 0, emitting
+    # NULL-cosine rank rows the Spark path excludes)
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+),
 cand AS (SELECT vec_id, ev, {b} AS bucket FROM v),
 q AS (SELECT vec_id AS query_id, ev AS qv, {b} AS bucket FROM v WHERE vec_id % {query_mod} = 0),
 s AS (

@@ -21,11 +21,21 @@ MIN_ALPHA_RATIO = 0.5
 REPETITION_MIN_TOKENS = 6
 MAX_REPETITION = 0.5  # flag when distinct/total < 0.5
 MAX_ASPECT = 8.0
-BYTES_SLACK = 64  # header + zlib overhead allowance
-# Decodable-container allowlist for the image axis (validity-dimension analogue
-# of the reference's domain rules, engine.py:475-499): containers the decode
-# stage (pipeline/codecs.py) accepts. Rows in other containers are flagged, not
-# decoded — same analyze-then-degrade posture as the rule DSL.
+# Plausible-encoded-size slack above raw w·h·3: a fixed container-header +
+# zlib-fixed-cost term plus the stored-block overhead that GROWS with the
+# image (~5 bytes per 16 KiB block — a flat 64 would misflag every legitimate
+# incompressible image above ~130 KB raw). Shared by the Spark expression, the
+# DuckDB twin, and the pandas golden twin as pure int64 arithmetic.
+BYTES_SLACK_BASE = 96
+BYTES_SLACK_PER_16K = 5
+# Container-POLICY allowlist for the image axis (validity-dimension analogue
+# of the reference's domain rules, engine.py:475-499): the web-corpus
+# containers this pipeline ACCEPTS, not the set pipeline/codecs.py can decode
+# (codecs is a deterministic sandbox stand-in — a deployment swaps in real
+# codecs for exactly these formats). Rows in other containers are flagged, not
+# decoded; rows in allowed containers that still fail to decode are dropped by
+# the decode-check stage (run.py flag_decode_failed), so an undecodable webp
+# cannot leak through the full pipeline.
 FMT_ALLOWED = ("png", "jpeg", "webp")
 ALPHA_CLASS = "[^A-Za-zÀ-ÿ0-9 ]"  # chars NOT counted as "texty"
 # The literal complement of ALPHA_CLASS, for `F.translate`. Counting texty chars
@@ -96,9 +106,14 @@ def image_flags(w: Column, h: Column, byte_len: Column) -> dict[str, Column]:
     positive dims, bounded aspect ratio, plausible encoded size."""
     aspect_bad = (w.cast("double") / h > MAX_ASPECT) | (h.cast("double") / w > MAX_ASPECT)
     raw = w.cast("long") * h * 3
+    # floor(raw/16384) via double division is exact for raw < 2^53 (any
+    # realistic dims; degenerate dims are flagged separately by bad_dims)
+    slack = F.lit(BYTES_SLACK_BASE) + F.lit(BYTES_SLACK_PER_16K) * (
+        F.floor(raw / F.lit(16384)).cast("long") + 1
+    )
     return {
         "flag_bad_dims": _nvl((w <= 0) | (h <= 0) | aspect_bad, True),
-        "flag_bytes_implausible": _nvl((byte_len < 16) | (byte_len > raw + BYTES_SLACK), True),
+        "flag_bytes_implausible": _nvl((byte_len < 16) | (byte_len > raw + slack), True),
     }
 
 
@@ -163,10 +178,11 @@ def image_flags_sql(w: str, h: str, byte_len: str) -> dict[str, str]:
         f" OR CAST({h} AS DOUBLE) / {w} > {MAX_ASPECT})"
     )
     raw = f"(CAST({w} AS BIGINT) * {h} * 3)"
+    slack = f"({BYTES_SLACK_BASE} + {BYTES_SLACK_PER_16K} * ({raw} // 16384 + 1))"
     return {
         "flag_bad_dims": f"COALESCE({w} <= 0 OR {h} <= 0 OR {aspect_bad}, TRUE)",
         "flag_bytes_implausible": (
-            f"COALESCE({byte_len} < 16 OR {byte_len} > {raw} + {BYTES_SLACK}, TRUE)"
+            f"COALESCE({byte_len} < 16 OR {byte_len} > {raw} + {slack}, TRUE)"
         ),
     }
 

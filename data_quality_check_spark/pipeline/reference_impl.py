@@ -23,7 +23,8 @@ from data_quality_check_spark.pipeline import codecs
 from data_quality_check_spark.pipeline.heuristics import (
     ALPHA_CLASS,
     WS_CHARS,
-    BYTES_SLACK,
+    BYTES_SLACK_BASE,
+    BYTES_SLACK_PER_16K,
     MAX_ASPECT,
     MAX_CAPTION_CHARS,
     MAX_REPETITION,
@@ -96,7 +97,8 @@ def compute_golden(
         aspect = np.where(bad_dims, 0.0, w / np.maximum(h, 1))
         bad_dims = bad_dims | (w / np.maximum(h, 1) > MAX_ASPECT) | (h / np.maximum(w, 1) > MAX_ASPECT)
     raw = w.astype(np.int64) * h.astype(np.int64) * 3
-    bytes_implausible = (blen < 16) | (blen > raw + BYTES_SLACK)
+    slack = BYTES_SLACK_BASE + BYTES_SLACK_PER_16K * (raw // 16384 + 1)
+    bytes_implausible = (blen < 16) | (blen > raw + slack)
 
     # decode failure = undecodable bytes OR decoded dims ≠ metadata
     # (mirrors functions/multimodal.with_decode_check)

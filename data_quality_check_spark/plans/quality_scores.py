@@ -52,7 +52,11 @@ class ScoreSpec:
         schema = pq.read_schema(path)
         numeric, strings = [], []
         for f in schema:
-            if pat.is_integer(f.type) or pat.is_floating(f.type):
+            # restricted to >=32-bit so this constructor classifies EXACTLY
+            # like from_df/profiler._NUMERIC_TYPES (Int/Long/Float/Double) —
+            # an int16 column marked numeric here but skipped by the Spark
+            # plan would give the generated oracle extra metrics to disagree on
+            if (pat.is_integer(f.type) or pat.is_floating(f.type)) and f.type.bit_width >= 32:
                 numeric.append(f.name)
             elif pat.is_string(f.type) or pat.is_large_string(f.type):
                 strings.append(f.name)
@@ -419,16 +423,27 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
         )
 
     # ---- score expressions (mirror _score_exprs) ----
+    # DuckDB twin of Spark's F.round on DOUBLE: route through the
+    # shortest-decimal VARCHAR repr and round the DECIMAL (HALF_UP) — exactly
+    # BigDecimal.valueOf + HALF_UP. Plain round() on a DOUBLE is binary-scaled
+    # and flips boundary values (measured: 1.005 → 1.00 vs Spark's 1.01), and
+    # integer-count ratios scaled by 100 land on .X5 boundaries routinely.
+    def _r1(expr: str) -> str:
+        return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), 1) AS DOUBLE)"
+
     ncols = len(cols)
     total_nulls = " + ".join(f'"nulls__{c}"' for c in cols)
     completeness = (
         f"CASE WHEN row_count = 0 THEN 0.0 ELSE "
-        f"round((1.0 - ({total_nulls}) / (CAST(row_count AS DOUBLE) * {ncols})) * 100.0, 1) END"
+        f"{_r1(f'(1.0 - ({total_nulls}) / (CAST(row_count AS DOUBLE) * {ncols})) * 100.0')} END"
     )
     uniqueness = (
         "CASE WHEN row_count < 2 THEN 100.0 ELSE "
-        "round(greatest(0.0, 100.0 - (CAST(row_count AS DOUBLE) - distinct_rows) "
-        "/ row_count * 100.0 * 2.0), 1) END"
+        + _r1(
+            "greatest(0.0, 100.0 - (CAST(row_count AS DOUBLE) - distinct_rows) "
+            "/ row_count * 100.0 * 2.0)"
+        )
+        + " END"
     )
     if spec.date_cols:
         per, inc = [], []
@@ -443,9 +458,10 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
                 "ELSE 0.0 END"
             )
             inc.append(f'CASE WHEN "maxd__{c}" IS NOT NULL THEN 1 ELSE 0 END')
+        fresh_mean = f"({' + '.join(per)}) / ({' + '.join(inc)})"
         freshness = (
             f"CASE WHEN ({' + '.join(inc)}) = 0 THEN 75.0 "
-            f"ELSE round(({' + '.join(per)}) / ({' + '.join(inc)}), 1) END"
+            f"ELSE {_r1(fresh_mean)} END"
         )
     else:
         freshness = "75.0"
@@ -457,8 +473,8 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
             + [f'"rule__{i}"' for i in range(len(spec.rules))]
         )
         consistency = (
-            f"CASE WHEN row_count = 0 THEN 90.0 ELSE round(greatest(0.0, "
-            f"(1.0 - ({v}) / (CAST(row_count AS DOUBLE) * {n_checks})) * 100.0), 1) END"
+            f"CASE WHEN row_count = 0 THEN 90.0 ELSE "
+            f"{_r1(f'greatest(0.0, (1.0 - ({v}) / (CAST(row_count AS DOUBLE) * {n_checks})) * 100.0)')} END"
         )
     else:
         consistency = "90.0"
@@ -474,8 +490,11 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
             ratios.append(f'CASE WHEN {ok} THEN "out__{c}" / {nn} ELSE 0.0 END')
             inc.append(f"CASE WHEN {ok} THEN 1 ELSE 0 END")
         distribution = (
-            f"CASE WHEN ({' + '.join(inc)}) = 0 THEN 90.0 ELSE round(greatest(0.0, "
-            f"100.0 - ({' + '.join(ratios)}) / ({' + '.join(inc)}) * 500.0), 1) END"
+            f"CASE WHEN ({' + '.join(inc)}) = 0 THEN 90.0 ELSE "
+            + _r1(
+                f"greatest(0.0, 100.0 - ({' + '.join(ratios)}) / ({' + '.join(inc)}) * 500.0)"
+            )
+            + " END"
         )
     else:
         distribution = "90.0"
@@ -488,8 +507,8 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
             [f'"emailv__{c}"' for c in spec.email_cols] + [f'"phonev__{c}"' for c in spec.phone_cols]
         )
         validity = (
-            f"CASE WHEN ({vc}) = 0 THEN 90.0 ELSE round(greatest(0.0, "
-            f"(1.0 - CAST({vv} AS DOUBLE) / ({vc})) * 100.0), 1) END"
+            f"CASE WHEN ({vc}) = 0 THEN 90.0 ELSE "
+            f"{_r1(f'greatest(0.0, (1.0 - CAST({vv} AS DOUBLE) / ({vc})) * 100.0)')} END"
         )
     else:
         validity = "90.0"
@@ -498,8 +517,8 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
         cc = " + ".join(f'"corrc__{i}"' for i in range(len(spec.corr_rules)))
         cv = " + ".join(f'"corrv__{i}"' for i in range(len(spec.corr_rules)))
         correlation = (
-            f"CASE WHEN ({cc}) = 0 THEN 90.0 ELSE round(greatest(0.0, "
-            f"(1.0 - CAST({cv} AS DOUBLE) / ({cc})) * 100.0), 1) END"
+            f"CASE WHEN ({cc}) = 0 THEN 90.0 ELSE "
+            f"{_r1(f'greatest(0.0, (1.0 - CAST({cv} AS DOUBLE) / ({cc})) * 100.0)')} END"
         )
     else:
         correlation = "90.0"
@@ -517,8 +536,8 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
             terms.append(f'"ws__{c}" + "fn__{c}" + {pen}')
         sv = " + ".join(f"({t})" for t in terms)
         standardization = (
-            f"CASE WHEN ({sc}) = 0 THEN 90.0 ELSE round(greatest(0.0, least(100.0, "
-            f"(1.0 - CAST({sv} AS DOUBLE) / ({sc})) * 100.0)), 1) END"
+            f"CASE WHEN ({sc}) = 0 THEN 90.0 ELSE "
+            f"{_r1(f'greatest(0.0, least(100.0, (1.0 - CAST({sv} AS DOUBLE) / ({sc})) * 100.0))')} END"
         )
     else:
         standardization = "90.0"
@@ -536,7 +555,7 @@ def scores_duck_sql(table: str, spec: ScoreSpec, group_cols: list[str] | None = 
     }
     selects = [f"CAST({expr} AS DOUBLE) AS {name}" for name, expr in dims.items()]
     glob = " + ".join(f"({dims[d]}) * {_d(w)}" for d, w in WEIGHTS.items())
-    selects.append(f"CAST(round({glob}, 1) AS DOUBLE) AS global_score")
+    selects.append(f"{_r1(glob)} AS global_score")
 
     if not group_cols:
         ctes = [f"p1 AS (SELECT {', '.join(m)} FROM {table})"]

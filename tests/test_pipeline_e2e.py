@@ -333,8 +333,9 @@ def test_image_flag_semantics(spark):
         (100, 100, 5000, None, False, False, True),  # null fmt is bad
         (1000, 100, 5000, "webp", True, False, False),  # aspect 10 > 8
         (100, 100, 8, "jpeg", False, True, False),  # truncated file
-        (10, 10, 10 * 10 * 3 + 64, "png", False, False, False),  # slack edge: ok
-        (10, 10, 10 * 10 * 3 + 65, "png", False, True, False),  # past slack
+        # slack = BASE + PER_16K·(raw//16384 + 1) = 96 + 5 = 101 for a 10×10
+        (10, 10, 10 * 10 * 3 + 101, "png", False, False, False),  # slack edge: ok
+        (10, 10, 10 * 10 * 3 + 102, "png", False, True, False),  # past slack
     ]
     df = spark.createDataFrame(
         [(r[0], r[1], r[2], r[3]) for r in rows],

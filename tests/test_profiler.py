@@ -265,3 +265,32 @@ def test_lang_guess_null_text_agrees_across_engines(spark):
         f"SELECT {lang_guess_sql('text')} FROM docs_null"
     ).fetchall()]
     assert got == want and got[0] == "und" and got[2] == "en"
+
+
+def test_min_numeric_rows_excludes_sparse_columns(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+
+    pdf = pd.DataFrame(
+        {
+            "dense": [float(i) for i in range(20)],
+            "sparse": [1.0, 2.0] + [None] * 18,  # 2 non-null
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    r = profile(df, ProfileConfig(min_numeric_rows=10))
+    assert "q1__dense" in r.metrics and "q1__sparse" not in r.metrics
+    everything = profile(df, ProfileConfig())  # default keeps all numeric cols
+    assert "q1__sparse" in everything.metrics
+
+
+def test_unnamed_custom_rule_with_violations_does_not_crash(spark):
+    import pandas as pd
+
+    from data_quality_check_spark.operators.profiler import ProfileConfig, profile
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [-1.0, 2.0]}))
+    r = profile(df, ProfileConfig(custom_rules=[{"condition": "x > 0"}]))
+    msgs = [i["message"] for i in r.table_score.issues if i["dimension"] == "consistency"]
+    assert any("1 violations" in s for s in msgs)

@@ -244,3 +244,33 @@ def test_alignment_scores_batch_composition_invariant(texts, cut):
         ]
     )
     assert np.array_equal(full, parts)
+
+
+def test_score_rounding_boundary_agrees_across_engines(spark, tmp_path):
+    """A completeness ratio engineered onto a .X5 rounding boundary
+    (29 nulls / 200 rows / 10 cols → 98.55): DuckDB's plain round() on DOUBLE
+    is binary-scaled and gives 98.5, Spark's F.round gives 98.6 — the
+    generated twin must use the shortest-decimal-repr HALF_UP emulation."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_check_spark.plans.quality_scores import (
+        ScoreSpec,
+        scores_df,
+        scores_duck_sql,
+    )
+
+    pdf = pd.DataFrame({f"c{i}": [float(r) for r in range(200)] for i in range(10)})
+    flat = [(i, c) for c in pdf.columns for i in range(200)]
+    for i, c in flat[:29]:
+        pdf.loc[i, c] = None
+    # completeness/uniqueness only — no numeric/string metric columns
+    spec = ScoreSpec(columns=list(pdf.columns), numeric_cols=[], string_cols=[])
+    got = scores_df(spark.createDataFrame(pdf), spec).toPandas()
+    assert got["completeness"].iloc[0] == 98.6  # Spark HALF_UP on '98.55'
+    p = tmp_path / "b.parquet"
+    pdf.to_parquet(p)
+    duckdb.sql(f"CREATE VIEW bt AS SELECT * FROM '{p}'")
+    want = duckdb.sql(scores_duck_sql("bt", spec)).df()
+    assert want["completeness"].iloc[0] == 98.6
+    assert (got.values == want[got.columns].values).all()
