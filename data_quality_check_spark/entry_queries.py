@@ -191,9 +191,11 @@ _NULLS_SQL = "SELECT count(*) AS row_count, " + ", ".join(
 @register("null_counts_customer", _NULLS_SQL)
 def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "customer")
+    # the SAME static column list as the oracle SQL — df.columns would
+    # silently desynchronize the two sides if the fixture ever grew a column
     return df.agg(
         F.count(F.lit(1)).alias("row_count"),
-        *[F.count_if(F.col(c).isNull()).alias(f"nulls__{c}") for c in df.columns],
+        *[F.count_if(F.col(c).isNull()).alias(f"nulls__{c}") for c in _CUSTOMER_COLS],
     )
 
 
@@ -368,7 +370,7 @@ FROM s ORDER BY overall, column_name LIMIT {k}
 @register("column_profile_customer", _column_profile_sql("customer", _CUSTOMER_COLS))
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "customer")
-    cols = df.columns
+    cols = _CUSTOMER_COLS  # pinned to the oracle's static list, not df.columns
     agg = df.agg(
         F.count(F.lit(1)).alias("rc"),
         *[F.count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols],
@@ -663,10 +665,12 @@ def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets align identically (Spark windows align to the epoch, DuckDB
 # time_bucket's 2000-01-01 origin is on an hour boundary). Null-ts rows produce
 # no window in Spark, mirrored by the WHERE in the oracle.
-_WINDOWED_SQL = """
+_WINDOWED_SQL = r"""
 WITH b AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, value,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                           '^\s*[+-]?\d+\s*$')
+                       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_val
   FROM events WHERE ts IS NOT NULL
 )
 SELECT epoch_us(w) AS window_start_us,
@@ -892,15 +896,22 @@ def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> 
         tempfile.gettempdir(), "dqx_query_scratch", key,
         f"{name}_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}.parquet",
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         build().write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
+            if os.path.exists(success):
+                # lost the race to a healthy winner — keep theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # a directory without _SUCCESS is a crashed build: self-heal by
+                # replacing it (otherwise every future call rebuilds, fails the
+                # rename, and leaks another tmp dir forever)
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
     return spark.read.parquet(path)
 
 

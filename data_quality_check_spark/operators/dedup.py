@@ -406,24 +406,6 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature_col(text_col: str, num_hashes: int = 128, ngram: int = 1) -> F.Column:
-    """MinHash signature as nested array expressions — pure JVM, no UDF.
-
-    h_i(tok) = (a_i·x + b_i) mod M31 with x = |xxhash64(tok)|; signature element i
-    is the min over the document's distinct shingles.
-    """
-    params = _minhash_params(num_hashes)
-    toks = shingles_col(text_col, ngram)
-    hashes = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % MERSENNE31)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31))
-            for a, b in params
-        ]
-    )
-    return sig
-
-
 def _shingle_base(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
     """(id, toks) — distinct shingle sets; shingle-less docs (fewer than
     `ngram` words) are excluded so they can't collide on an empty-signature
@@ -493,7 +475,9 @@ def minhash_lsh_pairs(
     shingles (fewer than `ngram` words) are excluded up front so they can't
     collide on an empty-signature band key.
     """
-    base = _shingle_base(df, id_col, text_col, ngram)
+    # base feeds THREE consumers (the band table + both confirm sides) — pin
+    # it, same as dedup_incremental pins base_new for exactly this role
+    base = _pin(_shingle_base(df, id_col, text_col, ngram))
     banded = _minhash_band_table(base, num_hashes, bands)
     banded = _pin(banded)  # the 126-min signature agg must not run once per join side
     a, b = banded.alias("a"), banded.alias("b")

@@ -10,6 +10,7 @@ rows — never the data.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import asdict
 
 from data_quality_check_spark.operators.scoring import DIMENSIONS, TableScore
@@ -67,7 +68,10 @@ def write_report(ts: TableScore, path: str) -> str:
     md = score_report_markdown(ts)
     with open(path, "w") as f:
         f.write(md)
-    base = path.rsplit(".", 1)[0]
+    # splitext, not rsplit('.'): an extension-less filename under a dotted
+    # directory ('/tmp/run.2026/report') must not split on the DIRECTORY dot
+    # and scatter the .json/.pdf siblings outside the intended folder
+    base = os.path.splitext(path)[0]
     with open(base + ".json", "w") as f:
         f.write(score_report_json(ts))
     score_report_pdf(ts, base + ".pdf")

@@ -109,7 +109,13 @@ def suggest_rules(df: DataFrame, sample_rows: int = SAMPLE_ROWS) -> list[dict]:
         )
 
     for c, values in domain_values.items():
-        quoted = ", ".join("'" + str(v).replace("'", "\\'") + "'" for v in values)
+        # escape backslashes BEFORE quotes: a value like r"path\" would
+        # otherwise escape its own closing quote (parse error in F.expr) and a
+        # mid-string backslash would reinterpret as an escape sequence
+        quoted = ", ".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in values
+        )
         suggestions.append(
             {
                 "name": f"{c} in known domain",

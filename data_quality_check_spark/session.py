@@ -116,4 +116,27 @@ def get_spark(
 
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    reused = SparkSession.getActiveSession() is not None
+    spark = builder.getOrCreate()
+    if reused:
+        # getOrCreate on a live session IGNORES every builder config; say so
+        # for any setting that actually differs instead of silently dropping
+        # the caller's request (runtime-settable keys still apply, the rest
+        # need a fresh session)
+        stale = []
+        for k, v in conf.items():
+            try:
+                if spark.conf.get(k, None) != v:
+                    spark.conf.set(k, v)  # runtime-settable → honor it
+            except Exception:
+                stale.append(k)
+        if stale:
+            import warnings
+
+            warnings.warn(
+                "get_spark reused an existing SparkSession; static settings "
+                f"{sorted(stale)} differ from the request and were NOT applied "
+                "(stop the session to change them)",
+                stacklevel=2,
+            )
+    return spark

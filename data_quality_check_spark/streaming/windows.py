@@ -56,7 +56,7 @@ def windowed_quality_metrics(
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            *[F.col(a) for a in ["rows"]],
+            F.col("rows"),
             *[F.col(f"nulls__{c}") for c in check_cols],
             *[F.col(f"viol__{r['name']}") for r in rules],
         )
