@@ -65,14 +65,23 @@ def build_spark(cpus: int):
 def cached_image_fixture(n: int, num_files: int = 32) -> str:
     """Generate (once) and reuse the deterministic image+caption parquet fixture,
     written as a multi-file directory so the scan parallelizes like a real table."""
-    from data_quality_check_spark.pipeline.fixtures import write_images_parquet
+    from data_quality_check_spark.pipeline.fixtures import (
+        FIXTURE_GEN_VERSION,
+        write_images_parquet,
+    )
 
-    # v2: near-dup-realistic phash fixture (block-pattern images) — key versioned
-    # so stale caches from the gradient-image generator never get reused
-    cache = os.path.join(tempfile.gettempdir(), f"dqcs_bench_images_v2_{n}_f{num_files}")
+    # key versioned by the generator (stale caches from an older generator are
+    # never reused) and published by atomic rename (a killed generation run
+    # cannot leave a truncated fixture that later runs silently benchmark)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"dqcs_bench_images_{FIXTURE_GEN_VERSION}_{n}_f{num_files}",
+    )
     if not os.path.exists(cache):
         log(f"[bench] generating image fixture n={n} -> {cache}")
-        write_images_parquet(cache, n=n, num_files=num_files)
+        tmp = f"{cache}.tmp-{os.getpid()}"
+        write_images_parquet(tmp, n=n, num_files=num_files)
+        os.rename(tmp, cache)
     return cache
 
 

@@ -61,7 +61,14 @@ def fixture_path(rows: int) -> str:
     # b{nb}: production layout — partitioned by bucket(nb, image_id), so the
     # measured job is the Iceberg-shaped one (partition-pruned resume, shuffle-
     # free bucketed write), not the flat-file fallback.
-    cache = os.path.join(SCRATCH, f"dqcs_bench_images_{rows}_f{NUM_FILES}u_b{nb}")
+    from data_quality_check_spark.pipeline.fixtures import FIXTURE_GEN_VERSION
+
+    # generator-versioned like bench.py's cache: a fixtures.py change must not
+    # silently reuse /dev/shm data the current code no longer produces
+    cache = os.path.join(
+        SCRATCH,
+        f"dqcs_bench_images_{FIXTURE_GEN_VERSION}_{rows}_f{NUM_FILES}u_b{nb}",
+    )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         print(f"[scale] generating fixture n={rows} on all cores", file=sys.stderr, flush=True)
         # 32 concurrent uncompressed parquet writer tasks buffer row groups in the
@@ -307,7 +314,9 @@ Reproduce: `python bench_scaling.py` (env: SPARK_GRAFT_SCALE_IMAGES,
 SPARK_GRAFT_SCALE_N). Headline per-query timings: `python bench.py`.
 """
     # preserve everything from the headline-queries section on (hand-maintained
-    # findings live there; only the scaling section is machine-rewritten)
+    # findings live there; only the scaling section is machine-rewritten). If
+    # the marker is absent (renamed section, foreign BENCH.md) keep the WHOLE
+    # old file below the new section rather than silently discarding it.
     tail = ""
     if os.path.exists(path):
         with open(path) as f:
@@ -315,6 +324,13 @@ SPARK_GRAFT_SCALE_N). Headline per-query timings: `python bench.py`.
         marker = "\n## Headline queries"
         if marker in old:
             tail = marker + old.split(marker, 1)[1]
+        elif old.strip():
+            print(
+                f"[scale] {path} has no '## Headline queries' marker; "
+                "appending the previous content untouched",
+                file=sys.stderr,
+            )
+            tail = "\n\n<!-- previous BENCH.md content (no marker found) -->\n" + old
     with open(path, "w") as f:
         f.write(section + tail)
 

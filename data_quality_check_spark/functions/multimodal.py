@@ -166,7 +166,12 @@ def bilinear_resize(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
     Pixel-center aligned sampling (the PIL/OpenCV convention): output pixel i
     samples source coordinate (i+0.5)·scale − 0.5, so resizing to the SAME
     size is the exact identity and down/upsampling has no half-pixel shift.
-    All four corner gathers + the weighted blend are single array ops."""
+    All four corner gathers + the weighted blend are single array ops.
+    Accepts (h, w, channels) or plain (h, w) grayscale — without the explicit
+    2-D branch the channel-shaped weight axes would broadcast a (h,w) input
+    into (th,tw,tw) garbage."""
+    if arr.ndim == 2:
+        return bilinear_resize(arr[:, :, None], th, tw)[:, :, 0]
     h, w = arr.shape[:2]
     ys = (np.arange(th) + 0.5) * (h / th) - 0.5
     xs = (np.arange(tw) + 0.5) * (w / tw) - 0.5

@@ -41,6 +41,12 @@ def _lang_for(image_id: str) -> str:
     return others[(r - 70) % len(others)]
 
 
+# Bump when ANY generated content changes (images, captions, defects): both
+# bench fixture caches key on it, so stale /tmp//dev/shm fixtures from an older
+# generator are never silently reused.
+FIXTURE_GEN_VERSION = "v2"
+
+
 def _base_caption(image_id: str, lang: str) -> str:
     rng = np.random.RandomState(_g(image_id, "cap") & 0x7FFFFFFF)
     n = rng.randint(6, 14)
@@ -49,14 +55,17 @@ def _base_caption(image_id: str, lang: str) -> str:
 
 def _make_caption(image_id: str, lang: str) -> str | None:
     g = _g(image_id)
-    cap = _base_caption(image_id, lang)
     rng = np.random.RandomState(_g(image_id, "defect") & 0x7FFFFFFF)
+    # defect branches that never use the base caption come FIRST, before the
+    # (RNG init + 6-13 vocab draws) cost of building it — this is the per-row
+    # hot loop of the 8M-row scaling fixture
     if g % 20 == 0:
         return None if g % 40 == 0 else ""
     if g % 25 == 3:
         return rng.choice(["n/a", "null", "-", "NA", "unknown"])
     if g % 30 == 5:
         return "ok"
+    cap = _base_caption(image_id, lang)
     if g % 30 == 6:
         return cap + " " + " ".join(rng.choice(VOCAB[lang], size=400))
     if g % 25 == 7:
@@ -159,9 +168,6 @@ def generate_images_pdf(n: int = 2000, dup_rate: float = 0.02) -> pd.DataFrame:
     return pdf
 
 
-IMAGES_SCHEMA_PA = None  # populated lazily (pyarrow import)
-
-
 def _pa_schema():
     import pyarrow as pa
 
@@ -249,9 +255,6 @@ def write_images_parquet_spark(
         base = base.unionAll(
             dup_ids.repartition(max(1, num_files // 16)).mapInPandas(gen, IMAGES_DDL)
         )
-    # `bytes` is already codec-compressed (png/jpeg): snappy on top costs scan
-    # CPU for ~nothing, exactly as in a production image table.
-    writer = base.write.mode("overwrite").option("compression", "uncompressed")
     if bucket_by_id:
         from data_quality_check_spark.pipeline.run import bucket_col
 
@@ -260,10 +263,13 @@ def write_images_parquet_spark(
             base.withColumn("_bucket", bucket_col(num_buckets=bucket_by_id))
             .repartition(num_files, F.col("_bucket"), salt)  # ~num_files files, bucket-aligned
         )
-        writer = base.write.mode("overwrite").option("compression", "uncompressed")
-        writer.partitionBy("_bucket").parquet(path)
-    else:
-        writer.parquet(path)
+    # `bytes` is already codec-compressed (png/jpeg): snappy on top costs scan
+    # CPU for ~nothing, exactly as in a production image table. ONE writer
+    # built after the branch so both layouts share the write settings.
+    writer = base.write.mode("overwrite").option("compression", "uncompressed")
+    if bucket_by_id:
+        writer = writer.partitionBy("_bucket")
+    writer.parquet(path)
     return path
 
 

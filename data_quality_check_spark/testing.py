@@ -82,12 +82,24 @@ def compare_result(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, float_ulps_e
             neq = [
                 i
                 for i, (x, y) in enumerate(zip(av, bv))
-                if not (x == y or (_is_nan(x) and _is_nan(y)))
+                if not _cells_equal(x, y)
             ]
             if neq:
                 i = neq[0]
                 return False, f"value mismatch in '{c}' at canon-row {i}: {av[i]!r} vs {bv[i]!r}"
     return True, "ok"
+
+
+def _cells_equal(x, y) -> bool:
+    """Scalar OR container cell equality: array<...> columns come back as
+    np.ndarray (Spark) / list (DuckDB) cells, where a bare `x == y` is an
+    elementwise array whose truthiness raises — the gate must report a
+    mismatch, never crash."""
+    if isinstance(x, (np.ndarray, list, tuple)) or isinstance(y, (np.ndarray, list, tuple)):
+        if x is None or y is None:
+            return x is None and y is None
+        return np.array_equal(np.asarray(x, dtype=object), np.asarray(y, dtype=object))
+    return bool(x == y) or (_is_nan(x) and _is_nan(y))
 
 
 def _is_nan(x) -> bool:
