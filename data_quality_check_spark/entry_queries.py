@@ -1815,3 +1815,42 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.mixture_sample(docs, "lang", _MIX_WEIGHTS, _MIX_ROWS, "doc_id").select(
         "doc_id", "lang"
     )
+
+
+# Merge-able per-bucket profile partials (operators/partials.py): the Spark
+# side computes per-bucket partial metrics and MERGES them; the oracle runs
+# the direct whole-table aggregate — equality is exactly the operator's
+# contract (metrics maintenance without rescans). HLL distinct estimates are
+# excluded here (different sketch in DuckDB) and pinned by pytest instead.
+_PARTIALS_SQL = """
+SELECT count(*) AS row_count,
+       count(*) FILTER (WHERE text IS NULL) AS nulls__text,
+       count(*) FILTER (WHERE lang IS NULL) AS nulls__lang,
+       count(*) FILTER (WHERE source IS NULL) AS nulls__source,
+       CAST(sum(n_chars) AS BIGINT) AS sum__n_chars,
+       CAST(min(n_chars) AS BIGINT) AS min__n_chars,
+       CAST(max(n_chars) AS BIGINT) AS max__n_chars
+FROM documents
+"""
+
+
+@register("incremental_profile_documents", _PARTIALS_SQL)
+def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.operators.partials import (
+        merge_partials,
+        partial_profile,
+    )
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "_bucket", (F.col("doc_id") % 8).cast("int")
+    )
+    cols = ["text", "lang", "source"]
+    parts = partial_profile(docs, "_bucket", cols, sum_cols=["n_chars"])
+    merged = merge_partials(parts, cols, sum_cols=["n_chars"])
+    return merged.select(
+        "row_count",
+        *[F.col(f"nulls__{c}") for c in cols],
+        F.col("sum__n_chars").cast("long").alias("sum__n_chars"),
+        F.col("min__n_chars").cast("long").alias("min__n_chars"),
+        F.col("max__n_chars").cast("long").alias("max__n_chars"),
+    )

@@ -1,0 +1,83 @@
+"""Merge-able per-bucket profile partials — metrics maintenance WITHOUT rescans.
+
+The profiler (operators/profiler.py) answers "what are this table's metrics
+NOW" with ≤3 fused scans. At 10^12 rows the harder operational question is
+"yesterday's corpus grew by one ingest batch — update the metrics": rescanning
+the whole table per batch is the anti-pattern. This module keeps the metric
+set ALGEBRAIC so it merges:
+
+  * counts / null counts / integer sums / min / max — associative, merged by
+    sum (or min/max) over partial rows;
+  * distinct counts — Apache DataSketches HLL via Spark's `hll_sketch_agg`:
+    partial sketches union losslessly (`hll_union_agg`), so the merged
+    estimate is IDENTICAL to the estimate a full-table sketch would produce
+    (pytest pins this, plus ±2% of exact on the fixtures).
+
+Operational shape at scale: each ingest batch writes ONE partials row per
+bucket next to its data (the same bucket(B, image_id) layout the pipeline
+checkpoints by); corpus-wide metrics are a K·B-row merge — no data rescan,
+ever. The reference recomputes its whole dashboard per run (engine.py:439-553,
+one pandas pass per metric family); this is the distributed counterpart that
+makes per-batch re-metrics O(batch) instead of O(corpus).
+
+The merged EXACT metrics equal a direct whole-table aggregate by construction,
+which is precisely what the gate query's DuckDB oracle checks (the oracle runs
+the direct aggregate; the Spark side runs partial → merge). HLL estimates are
+deliberately NOT in the oracle-checked output — DuckDB's approx_count_distinct
+is a different sketch — they are pinned by the merge-invariance tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_LG_K = 12  # DataSketches HLL lgConfigK: ~0.8% rel. err, 2^12 buckets
+
+
+def partial_profile(
+    df: DataFrame,
+    bucket_col: str,
+    cols: list[str],
+    sum_cols: list[str] | None = None,
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """One mergeable metrics row per bucket: rows, per-col null counts + HLL
+    sketches, and exact sum/min/max for `sum_cols` (integer/decimal columns —
+    float sums are NOT merge-stable and are refused by the caller's choice).
+
+    One hash-partial + final aggregate on the bucket key; at production scale
+    this runs once per ingest batch over ONLY that batch's rows."""
+    sum_cols = sum_cols or []
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"nulls__{c}"))
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"sk__{c}"))
+    for c in sum_cols:
+        aggs.append(F.sum(F.col(c)).alias(f"sum__{c}"))
+        aggs.append(F.min(F.col(c)).alias(f"min__{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"max__{c}"))
+    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(*aggs)
+
+
+def merge_partials(
+    parts: DataFrame,
+    cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold partial rows (any number of batches × buckets) into ONE global
+    metrics row. Exact metrics merge exactly; distinct estimates come from the
+    lossless union of the partial sketches."""
+    sum_cols = sum_cols or []
+    aggs = [F.sum("rows").alias("row_count")]
+    for c in cols:
+        aggs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(f"sk__{c}"))).alias(
+                f"distinct_est__{c}"
+            )
+        )
+    for c in sum_cols:
+        aggs.append(F.sum(f"sum__{c}").alias(f"sum__{c}"))
+        aggs.append(F.min(f"min__{c}").alias(f"min__{c}"))
+        aggs.append(F.max(f"max__{c}").alias(f"max__{c}"))
+    return parts.agg(*aggs)

@@ -294,3 +294,75 @@ def test_unnamed_custom_rule_with_violations_does_not_crash(spark):
     r = profile(df, ProfileConfig(custom_rules=[{"condition": "x > 0"}]))
     msgs = [i["message"] for i in r.table_score.issues if i["dimension"] == "consistency"]
     assert any("1 violations" in s for s in msgs)
+
+
+# ── merge-able profile partials (operators/partials.py) ──
+
+
+def test_partial_profile_merge_equals_direct_and_is_append_incremental(spark):
+    """The operator's whole contract: (a) merged per-bucket partials equal the
+    direct whole-table aggregate — exact metrics exactly, HLL estimates
+    identically (sketch union is lossless); (b) an APPEND is absorbed by
+    computing partials over only the new batch and re-merging — no rescan of
+    the old corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.partials import (
+        merge_partials,
+        partial_profile,
+    )
+
+    base = pd.DataFrame(
+        {
+            "id": range(2000),
+            "cat": [None if i % 17 == 0 else f"c{i % 250}" for i in range(2000)],
+            "n": [i % 97 for i in range(2000)],
+        }
+    )
+    batch = pd.DataFrame(
+        {
+            "id": range(2000, 2600),
+            "cat": [f"c{i % 300}" for i in range(2000, 2600)],
+            "n": [i % 97 for i in range(2000, 2600)],
+        }
+    )
+    cols, sums = ["cat"], ["n"]
+
+    def bucketed(pdf):
+        return spark.createDataFrame(pdf).withColumn(
+            "_b", (F.col("id") % 8).cast("int")
+        )
+
+    whole = pd.concat([base, batch], ignore_index=True)
+    direct = (
+        partial_profile(bucketed(whole), "_b", cols, sums)
+        .agg(
+            F.sum("rows").alias("rows"),
+        )
+        .collect()[0]
+    )
+    # (a) merge over ALL partials == direct single-table sketch/aggregates
+    merged_whole = merge_partials(
+        partial_profile(bucketed(whole), "_b", cols, sums), cols, sums
+    ).collect()[0]
+    one_shot = bucketed(whole).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_if(F.col("cat").isNull()).alias("nulls__cat"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("cat")).alias("distinct_est__cat"),
+        F.sum("n").alias("sum__n"),
+        F.min("n").alias("min__n"),
+        F.max("n").alias("max__n"),
+    ).collect()[0]
+    for k in ("row_count", "nulls__cat", "distinct_est__cat", "sum__n", "min__n", "max__n"):
+        assert merged_whole[k] == one_shot[k], k
+    exact_distinct = whole["cat"].dropna().nunique()
+    assert abs(merged_whole["distinct_est__cat"] - exact_distinct) <= 0.02 * exact_distinct
+
+    # (b) incremental: partials(base) ∪ partials(batch) merges to the same row
+    inc_parts = partial_profile(bucketed(base), "_b", cols, sums).unionByName(
+        partial_profile(bucketed(batch), "_b", cols, sums)
+    )
+    inc = merge_partials(inc_parts, cols, sums).collect()[0]
+    assert inc.asDict() == merged_whole.asDict()
+    assert direct["rows"] == len(whole)
