@@ -287,3 +287,40 @@ def time_split_mid(df: DataFrame, ts_col: str) -> DataFrame:
         F.min(us).alias("_mn"),
         F.max(us).alias("_mx"),
     ).select(F.expr("(_mn + _mx) DIV 2").alias("_mid"))
+
+
+def snapshot_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """JOIN-FREE set-overlap estimates between two snapshots' key sets
+    (DataSketches theta sketches): |A|, |B|, |A∩B|, |A∪B|, |A\\B|, |B\\A| and
+    the Jaccard similarity, in one row.
+
+    The monitoring companion to `dedup_incremental`: "how much of today's
+    crawl is yesterday's corpus" answered WITHOUT shuffling a single key —
+    each side runs one map-side-combined sketch aggregate (a few KB of state
+    per task), and the set algebra happens on two sketch blobs in a 1×1 cross
+    join. At 10^12 keys an exact answer needs a full-corpus join; this needs
+    two columnar scans that also parallelize across snapshots already stored
+    on different clusters (ship the sketch, not the data). Estimates carry
+    ~1/sqrt(2^lg_k) relative error (~0.8% at the default) — pinned within 2%
+    of exact by tests; run `dedup_incremental` when exact decisions are
+    needed, this when a dashboard needs the trend.
+    """
+    sa = df_a.agg(F.theta_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("_sa"))
+    sb = df_b.agg(F.theta_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("_sb"))
+    one = sa.crossJoin(sb)
+    inter = F.theta_sketch_estimate(F.theta_intersection("_sa", "_sb"))
+    union = F.theta_sketch_estimate(F.theta_union("_sa", "_sb"))
+    return one.select(
+        F.theta_sketch_estimate("_sa").cast("long").alias("n_a_est"),
+        F.theta_sketch_estimate("_sb").cast("long").alias("n_b_est"),
+        inter.cast("long").alias("overlap_est"),
+        union.cast("long").alias("union_est"),
+        F.theta_sketch_estimate(F.theta_difference("_sa", "_sb")).cast("long").alias("a_only_est"),
+        F.theta_sketch_estimate(F.theta_difference("_sb", "_sa")).cast("long").alias("b_only_est"),
+        F.round(inter / union, 4).alias("jaccard_est"),
+    )

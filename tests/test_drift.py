@@ -152,3 +152,28 @@ def test_profile_drift_survives_quoted_column_names(spark):
     b = spark.createDataFrame(pdf.iloc[:2])
     got = profile_drift(a, b, ["it's", "a`b"]).toPandas().set_index("column_name")
     assert got.loc["it's", "nulls_a"] == 1 and got.loc["a`b", "nulls_b"] == 0
+
+
+def test_snapshot_overlap_estimates_within_2pct(spark):
+    """Theta-sketch overlap estimates vs exact set arithmetic on a known
+    split: every estimate within 2% (the op's documented bound) and the plan
+    moves sketches, not keys (no key shuffle; one 1x1 cross join)."""
+    from data_quality_check_spark.operators.drift import snapshot_overlap
+
+    a = spark.range(0, 12000).selectExpr("concat('doc', id) AS k")
+    b = spark.range(7000, 21000).selectExpr("concat('doc', id) AS k")
+    got = snapshot_overlap(a, b, "k").collect()[0]
+    exact = {
+        "n_a_est": 12000,
+        "n_b_est": 14000,
+        "overlap_est": 5000,
+        "union_est": 21000,
+        "a_only_est": 7000,
+        "b_only_est": 9000,
+    }
+    for k, want in exact.items():
+        assert abs(got[k] - want) <= 0.02 * want, (k, got[k], want)
+    assert abs(got["jaccard_est"] - 5000 / 21000) < 0.01
+
+    plan = snapshot_overlap(a, b, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
