@@ -39,15 +39,19 @@ def partial_profile(
     bucket_col: str,
     cols: list[str],
     sum_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
     lg_k: int = DEFAULT_LG_K,
 ) -> DataFrame:
     """One mergeable metrics row per bucket: rows, per-col null counts + HLL
-    sketches, and exact sum/min/max for `sum_cols` (integer/decimal columns —
-    float sums are NOT merge-stable and are refused by the caller's choice).
+    sketches, exact sum/min/max for `sum_cols` (integer/decimal columns —
+    float sums are NOT merge-stable and are refused by the caller's choice),
+    and KLL quantile sketches for `quantile_cols` (cast to long — the integer
+    variant; KLL is the mergeable answer to "quantiles without a rescan").
 
     One hash-partial + final aggregate on the bucket key; at production scale
     this runs once per ingest batch over ONLY that batch's rows."""
     sum_cols = sum_cols or []
+    quantile_cols = quantile_cols or []
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
         aggs.append(F.count_if(F.col(c).isNull()).alias(f"nulls__{c}"))
@@ -56,18 +60,37 @@ def partial_profile(
         aggs.append(F.sum(F.col(c)).alias(f"sum__{c}"))
         aggs.append(F.min(F.col(c)).alias(f"min__{c}"))
         aggs.append(F.max(F.col(c)).alias(f"max__{c}"))
+    for c in quantile_cols:
+        aggs.append(F.kll_sketch_agg_bigint(F.col(c).cast("long")).alias(f"kll__{c}"))
     return df.groupBy(F.col(bucket_col).alias("bucket")).agg(*aggs)
+
+
+def _kll_fold(col: F.Column) -> F.Column:
+    """Merge an array of KLL sketch blobs with the scalar pairwise merge
+    (Spark ships no KLL merge AGGREGATE): seed with the first sketch, fold the
+    rest. Partial counts are small (buckets × batches rows of few-KB blobs),
+    so the collect_list these arrays come from is executor-bounded."""
+    return F.aggregate(
+        F.slice(col, 2, 2_000_000_000),
+        F.element_at(col, 1),
+        lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+    )
 
 
 def merge_partials(
     parts: DataFrame,
     cols: list[str],
     sum_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
 ) -> DataFrame:
     """Fold partial rows (any number of batches × buckets) into ONE global
     metrics row. Exact metrics merge exactly; distinct estimates come from the
-    lossless union of the partial sketches."""
+    lossless union of the partial sketches; quantiles from the folded KLL
+    (sketch-accurate: merge order affects compaction, so the merged estimate
+    can differ from a direct-sketch estimate by sketch error, never more)."""
     sum_cols = sum_cols or []
+    quantile_cols = quantile_cols or []
     aggs = [F.sum("rows").alias("row_count")]
     for c in cols:
         aggs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
@@ -80,4 +103,22 @@ def merge_partials(
         aggs.append(F.sum(f"sum__{c}").alias(f"sum__{c}"))
         aggs.append(F.min(f"min__{c}").alias(f"min__{c}"))
         aggs.append(F.max(f"max__{c}").alias(f"max__{c}"))
-    return parts.agg(*aggs)
+    for c in quantile_cols:
+        aggs.append(F.collect_list(f"kll__{c}").alias(f"_klls__{c}"))
+    merged = parts.agg(*aggs)
+    if not quantile_cols:
+        return merged
+    out_cols = [
+        F.col(a)
+        for a in merged.columns
+        if not a.startswith("_klls__")
+    ]
+    for c in quantile_cols:
+        folded = _kll_fold(F.col(f"_klls__{c}"))
+        for q in quantiles:
+            out_cols.append(
+                F.kll_sketch_get_quantile_bigint(folded, F.lit(float(q))).alias(
+                    f"p{int(round(q * 100)):02d}__{c}"
+                )
+            )
+    return merged.select(*out_cols)

@@ -366,3 +366,29 @@ def test_partial_profile_merge_equals_direct_and_is_append_incremental(spark):
     inc = merge_partials(inc_parts, cols, sums).collect()[0]
     assert inc.asDict() == merged_whole.asDict()
     assert direct["rows"] == len(whole)
+
+
+def test_partial_profile_mergeable_quantiles(spark):
+    """KLL quantile sketches merged across buckets AND an appended batch land
+    within sketch error (<1.5%) of the exact percentiles — quantiles without a
+    rescan, completing the mergeable metric set."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.partials import (
+        merge_partials,
+        partial_profile,
+    )
+
+    vals = np.concatenate([np.arange(30000), np.arange(30000, 42000)])
+    pdf = pd.DataFrame({"id": range(len(vals)), "n": vals})
+    df = spark.createDataFrame(pdf).withColumn("_b", (F.col("id") % 8).cast("int"))
+    parts_a = partial_profile(df.filter("id < 30000"), "_b", [], quantile_cols=["n"])
+    parts_b = partial_profile(df.filter("id >= 30000"), "_b", [], quantile_cols=["n"])
+    got = merge_partials(
+        parts_a.unionByName(parts_b), [], quantile_cols=["n"]
+    ).collect()[0]
+    for q, name in ((0.25, "p25__n"), (0.5, "p50__n"), (0.75, "p75__n")):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[name] - exact) <= 0.015 * len(vals), (name, got[name], exact)
