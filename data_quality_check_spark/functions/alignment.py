@@ -36,11 +36,14 @@ from data_quality_check_spark.functions.textmodel import (
 )
 
 ALIGN_DIM = 60  # one text-embedding dimension per phash bit
-# score for captions with no trigrams (<3 bytes): the cosine is undefined, and
+# The missing-modality sentinel: a row where EITHER side is absent — a caption
+# with no trigrams (<3 bytes), or a NULL phash — has an undefined cosine, and
 # a sentinel BELOW every real cosine keeps `aligned = score >= threshold`
-# false at ANY threshold — with 0.0 (the old definition) a caption-less image
-# sailed through the default τ=0 gate as "aligned"
-EMPTY_CAPTION_SCORE = -1.0
+# false at ANY threshold. (With 0.0, the old definition, a caption-less image
+# sailed through the default τ=0 gate as "aligned"; and a null phash scored
+# against a fabricated all-(-1) image vector could pass loose thresholds.)
+EMPTY_CAPTION_SCORE = -1.0  # kernel-side: caption with no trigrams
+UNALIGNED_SENTINEL = EMPTY_CAPTION_SCORE  # with_alignment: null phash too
 
 
 def caption_embedding(texts) -> np.ndarray:
@@ -120,11 +123,17 @@ def with_alignment(
     evaluation instead of re-running the kernel per reference.
     """
     # coalesce BEFORE the Arrow boundary: a null in the batch would demote the
-    # whole int64 column to float64 and corrupt >=2^53 hashes (null phash ≡ 0)
-    score = alignment_udf.asNondeterministic()(
+    # whole int64 column to float64 and corrupt >=2^53 hashes. The coalesced 0
+    # keeps the UDF's input pure int64; the null row's SCORE is then overridden
+    # with the missing-modality sentinel — a null phash must not masquerade as
+    # a real all-zero-bits image and pass a loose threshold.
+    raw = alignment_udf.asNondeterministic()(
         F.col(caption_col),
         F.coalesce(F.col(phash_col).cast("long"), F.lit(0).cast("long")),
     )
+    score = F.when(
+        F.col(phash_col).isNull(), F.lit(UNALIGNED_SENTINEL)
+    ).otherwise(raw)
     return df.withColumn("align_score", score).withColumn(
         "aligned", F.col("align_score") >= F.lit(float(threshold))
     )

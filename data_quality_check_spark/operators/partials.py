@@ -61,7 +61,12 @@ def partial_profile(
         aggs.append(F.min(F.col(c)).alias(f"min__{c}"))
         aggs.append(F.max(F.col(c)).alias(f"max__{c}"))
     for c in quantile_cols:
-        aggs.append(F.kll_sketch_agg_bigint(F.col(c).cast("long")).alias(f"kll__{c}"))
+        # try_cast: a NaN or out-of-long-range double degrades to NULL (the
+        # KLL agg skips NULLs) instead of an ANSI cast error failing the
+        # whole ingest batch's metrics pass
+        aggs.append(
+            F.kll_sketch_agg_bigint(F.col(c).try_cast("long")).alias(f"kll__{c}")
+        )
     return df.groupBy(F.col(bucket_col).alias("bucket")).agg(*aggs)
 
 
@@ -70,9 +75,13 @@ def _kll_fold(col: F.Column) -> F.Column:
     (Spark ships no KLL merge AGGREGATE): seed with the first sketch, fold the
     rest. Partial counts are small (buckets × batches rows of few-KB blobs),
     so the collect_list these arrays come from is executor-bounded."""
+    # try_element_at, not element_at: an EMPTY sketch array (no batches yet,
+    # or an all-NULL column — kll_sketch_agg returns NULL and collect_list
+    # drops it) must fold to a NULL quantile, not an ANSI
+    # INVALID_ARRAY_INDEX abort of the whole merge
     return F.aggregate(
         F.slice(col, 2, 2_000_000_000),
-        F.element_at(col, 1),
+        F.try_element_at(col, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
     )
 

@@ -221,3 +221,28 @@ def test_with_alignment_matches_kernel(spark):
     order = pdf["image_id"].argsort().to_numpy()
     assert np.array_equal(got["align_score"].to_numpy(), want[order])
     assert (got["aligned"].to_numpy() == (want[order] >= 0.0)).all()
+
+
+def test_with_alignment_null_phash_is_unaligned(spark):
+    """A NULL phash is a MISSING image signature: it must take the sentinel
+    (unaligned at any threshold), not score as a fabricated all-zero-bits
+    image that could pass a loose threshold."""
+    import pandas as pd
+
+    from data_quality_check_spark.functions.alignment import (
+        UNALIGNED_SENTINEL,
+        with_alignment,
+    )
+
+    pdf = pd.DataFrame(
+        {"image_id": ["a", "b"], "caption": ["the cat sat", "the cat sat"],
+         "phash": pd.array([None, 12345], dtype="Int64")}
+    )
+    got = (
+        with_alignment(spark.createDataFrame(pdf), "caption", "phash", threshold=-0.5)
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert got.loc["a", "align_score"] == UNALIGNED_SENTINEL
+    assert not got.loc["a", "aligned"]  # even at a loose threshold
+    assert got.loc["b", "align_score"] > UNALIGNED_SENTINEL

@@ -559,3 +559,24 @@ def test_audit_rejects_impossible_gate_and_tampered_staging(spark, fixture_paths
     report = audit_staged(spark, out, ckpt)
     bad = {c["name"] for c in report["checks"] if not c["passed"]}
     assert "staged_rows_match_manifest" in bad and not report["passed"]
+
+
+def test_audit_reports_zero_keep_run_instead_of_crashing(spark, tmp_path):
+    """A run that kept ZERO rows leaves an empty staged dir; the audit must
+    return a structured rejection (min_rows_kept fails), not a schema
+    inference crash."""
+    import pandas as pd
+
+    from data_quality_check_spark.pipeline.publish import audit_staged
+
+    ckpt = tmp_path / "ckpt" / "manifest"
+    ckpt.mkdir(parents=True)
+    pd.DataFrame(
+        {"bucket": [0], "rows_in": [10], "rows_kept": [0],
+         "run_id": ["r"], "committed_at": [pd.Timestamp.now(tz="UTC").as_unit("us")]}
+    ).to_parquet(ckpt / "m.parquet")
+    (tmp_path / "staged" / "filtered").mkdir(parents=True)  # empty output
+    rep = audit_staged(spark, str(tmp_path / "staged"), str(tmp_path / "ckpt"))
+    assert not rep["passed"]
+    failed = {c["name"] for c in rep["checks"] if not c["passed"]}
+    assert "min_rows_kept" in failed and "staged_rows_match_manifest" not in failed

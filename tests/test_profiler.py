@@ -392,3 +392,28 @@ def test_partial_profile_mergeable_quantiles(spark):
     for q, name in ((0.25, "p25__n"), (0.5, "p50__n"), (0.75, "p75__n")):
         exact = float(np.quantile(vals, q))
         assert abs(got[name] - exact) <= 0.015 * len(vals), (name, got[name], exact)
+
+
+def test_partial_quantiles_degrade_on_empty_and_nan(spark):
+    """Empty partials or NaN values must yield NULL quantiles / NULL-skipped
+    sketches, never an ANSI abort of the merge."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.partials import (
+        merge_partials,
+        partial_profile,
+    )
+
+    pdf = pd.DataFrame({"id": [0, 1, 2], "x": [1.0, float("nan"), 3.0]})
+    df = spark.createDataFrame(pdf).withColumn("_b", (F.col("id") % 2).cast("int"))
+    row = merge_partials(
+        partial_profile(df, "_b", [], quantile_cols=["x"]), [], quantile_cols=["x"]
+    ).collect()[0]
+    assert row["p50__x"] in (1, 2, 3)  # NaN skipped, no crash
+
+    empty = df.filter(F.lit(False))
+    row2 = merge_partials(
+        partial_profile(empty, "_b", [], quantile_cols=["x"]), [], quantile_cols=["x"]
+    ).collect()[0]
+    assert row2["p50__x"] is None and row2["row_count"] is None or row2["p50__x"] is None
