@@ -230,6 +230,43 @@ def bench_pipeline(spark, fixture: str, reps: int = 5) -> dict:
     }
 
 
+# The driver captures only the last ~2000 chars of stdout (BENCH_r03's line
+# outgrew that window and recorded `parsed: null` — VERDICT r3 task 2). The
+# final stdout line must therefore stay comfortably under the window; the full
+# per-query map + candidate fractions + pipeline rep arrays go to this file.
+DETAILS_FILE = os.path.join(REPO, "bench_details.json")
+STDOUT_BUDGET = 1600  # chars; window is 2000 — leave margin for driver framing
+
+
+def compact_line(times: "dict[str, float]", total: float, pipe: dict) -> str:
+    """The ONE stdout line: always shorter than STDOUT_BUDGET. "queries" keeps
+    the driver-contract key but carries only the 5 slowest (the full 65-entry
+    map alone exceeds the capture window); the details file has the full map."""
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_value(SF_DIR),
+        "cpus": CPUS,
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_note": f"5 slowest of {len(times)}; full map in {os.path.basename(DETAILS_FILE)}",
+        "pipeline": {
+            "images": pipe["images"],
+            "sec": pipe["sec"],
+            "images_per_sec": pipe["images_per_sec"],
+            "rows_kept": pipe["rows_kept"],
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # degrade gracefully rather than ever exceeding the capture window
+    while len(line) > STDOUT_BUDGET and compact.get("queries"):
+        compact["queries"].popitem()
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     fixture = cached_image_fixture(PIPELINE_ROWS)
     spark = build_spark(CPUS)
@@ -238,7 +275,7 @@ def main() -> None:
         pipe = bench_pipeline(spark, fixture)
     finally:
         spark.stop()
-    result = {
+    details = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -248,7 +285,10 @@ def main() -> None:
         "candidate_fractions": cand_fracs,
         "pipeline": pipe,
     }
-    print(json.dumps(result), flush=True)
+    with open(DETAILS_FILE, "w") as f:
+        json.dump(details, f, indent=1)
+    log(f"[bench] full per-query details written to {DETAILS_FILE}")
+    print(compact_line(times, total, pipe), flush=True)
 
 
 if __name__ == "__main__":
