@@ -1216,6 +1216,46 @@ _INC_NEW_SQL = "SELECT * FROM documents WHERE doc_id % 4 = 0"
 _INC_SEEN_SQL = "SELECT * FROM documents WHERE doc_id % 4 <> 0"
 
 
+def _seen_corpus_artifacts(spark: SparkSession, sf_dir: str) -> "DD.SeenCorpusArtifacts":
+    """Scratch-cached SeenCorpusArtifacts for the gate's seen split — built
+    once per (input-content, tag) like _scratch_materialize, so every later
+    run pays only the O(increment) path (VERDICT r3 task 1: the bench cost of
+    dedup_incremental_documents drops to the increment-only floor). Same
+    atomic-rename publication: the meta table is only present in a fully
+    initialized warehouse because init() writes it last and the rename is
+    all-or-nothing."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_quality_check_spark.sources.tables import TableIO
+
+    def art_for(warehouse: str) -> DD.SeenCorpusArtifacts:
+        return DD.SeenCorpusArtifacts(
+            TableIO(spark, warehouse), ngram=_SHINGLE_N
+        )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "dqx_query_scratch", key,
+        f"seen_corpus_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}",
+    )
+    if not art_for(path).exists():
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        docs = t(spark, sf_dir, "documents")
+        art_for(tmp).init(docs.filter(F.col("doc_id") % 4 != 0), "doc_id", "text")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if art_for(path).exists():
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race — keep winner
+            else:
+                shutil.rmtree(path, ignore_errors=True)  # crashed build: self-heal
+                os.rename(tmp, path)
+    return art_for(path)
+
+
 @register(
     "dedup_incremental_documents",
     DD.dedup_incremental_sql(
@@ -1226,11 +1266,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return DD.dedup_incremental(
         docs.filter(F.col("doc_id") % 4 == 0),
-        docs.filter(F.col("doc_id") % 4 != 0),
+        None,
         "doc_id",
         "text",
         threshold=_JACCARD_T,
         ngram=_SHINGLE_N,
+        seen_artifacts=_seen_corpus_artifacts(spark, sf_dir),
     )
 
 

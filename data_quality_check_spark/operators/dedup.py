@@ -515,13 +515,14 @@ def _confirm_jaccard(
 
 def dedup_incremental(
     new_df: DataFrame,
-    seen_df: DataFrame,
+    seen_df: DataFrame | None,
     id_col: str,
     text_col: str,
     threshold: float = 0.6,
     num_hashes: int = 126,
     bands: int = 42,
     ngram: int = 1,
+    seen_artifacts: "SeenCorpusArtifacts | None" = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: a keep/drop decision for every NEW document
     against an already-curated SEEN corpus, without re-clustering the corpus —
@@ -545,35 +546,58 @@ def dedup_incremental(
         an increment is small relative to the corpus, and its internal dup
         structure is re-examined against the merged corpus on the next run).
 
-    Scale shape: the seen corpus is touched ONLY through two narrow derived
-    tables — its distinct fingerprints and its (band, bkey, id) MinHash band
-    table — both of which a production pipeline persists once and appends to
-    per run (they are pure column derivations, no self-join). The cross
-    candidate join is new-bands × seen-bands on (band, bkey): increment-sized
-    × 1 row per band per seen doc, never seen × seen. Within-increment work is
-    quadratic only in the increment. The new side's shingle sets and band
-    table are pinned — each feeds two consumers."""
+    Scale shape: the seen corpus is touched ONLY through three narrow derived
+    tables — its distinct fingerprints, its (band, bkey, id) MinHash band
+    table, and its (id, toks) shingle sets for the exact confirm — all pure
+    column derivations (no self-join). Pass `seen_artifacts`
+    (a `SeenCorpusArtifacts`, written once via `init` and appended to per
+    committed increment) instead of `seen_df` and the run is O(increment):
+    no seen-side text is read, tokenized, or signature-hashed. With a raw
+    `seen_df` the same tables are derived in-plan — correct but O(corpus)
+    per run, the bootstrap/oracle path only.
+
+    Either way the exact-membership probe is scan-only on the seen side:
+    the increment's distinct fingerprints broadcast into a semi-join, so the
+    corpus-sized fp table never shuffles. The cross candidate join is
+    new-bands × seen-bands on (band, bkey): increment-sized × 1 row per band
+    per seen doc, never seen × seen. Within-increment work is quadratic only
+    in the increment. The new side's shingle sets and band table are pinned —
+    each feeds two consumers."""
     from pyspark.sql import Window
+
+    if (seen_df is None) == (seen_artifacts is None):
+        raise ValueError("pass exactly one of seen_df or seen_artifacts")
+    if seen_artifacts is not None:
+        seen_artifacts.check_config(num_hashes=num_hashes, bands=bands, ngram=ngram)
+        fp_seen = seen_artifacts.fingerprints()
+        banded_seen = seen_artifacts.band_table()
+        toks_seen = seen_artifacts.shingles()
+    else:
+        fp_seen = seen_df.select(fingerprint_col(F.col(text_col)).alias("fp"))
+        toks_seen = _shingle_base(seen_df, id_col, text_col, ngram)
+        banded_seen = _minhash_band_table(toks_seen, num_hashes, bands)
 
     new_ids = new_df.select(
         F.col(id_col).alias("id"), fingerprint_col(F.col(text_col)).alias("fp")
     )
-    fp_seen = (
-        seen_df.select(fingerprint_col(F.col(text_col)).alias("fp"))
+    # exact membership without shuffling the corpus: broadcast the increment's
+    # distinct fingerprints, semi-join the seen fp table map-side (a columnar
+    # scan of one 32-char column), and broadcast the tiny hit set back. Null
+    # fingerprints (null text) never match. Assumes increments are small
+    # relative to the corpus — the operator's whole premise.
+    new_fps = new_ids.select("fp").filter(F.col("fp").isNotNull()).distinct()
+    hit_fps = (
+        fp_seen.join(F.broadcast(new_fps), "fp", "left_semi")
         .distinct()
         .withColumn("_in_seen", F.lit(True))
     )
-    # exact flags in one pass: a fingerprint join marks seen content, a window
-    # min marks the increment's first-id winner per fingerprint (null
-    # fingerprints — null text — are never exact dups of each other)
-    marked = new_ids.join(fp_seen, "fp", "left").withColumn(
+    # a window min marks the increment's first-id winner per fingerprint
+    marked = new_ids.join(F.broadcast(hit_fps), "fp", "left").withColumn(
         "_min_id", F.min("id").over(Window.partitionBy("fp"))
     )
 
     base_new = _pin(_shingle_base(new_df, id_col, text_col, ngram))
-    base_seen = _shingle_base(seen_df, id_col, text_col, ngram)
     banded_new = _pin(_minhash_band_table(base_new, num_hashes, bands))
-    banded_seen = _minhash_band_table(base_seen, num_hashes, bands)
 
     cand_seen = (
         banded_new.alias("a")
@@ -582,8 +606,19 @@ def dedup_incremental(
         .distinct()
     )
     cand_seen = observe_candidates(cand_seen, "dedup_incremental_cross")
+    if seen_artifacts is not None:
+        # the confirm needs seen shingle sets ONLY for candidate ids — pin the
+        # (tiny) candidate table so its band-join lineage runs once, and
+        # restrict the stored toks table map-side with a broadcast semi-join
+        # (scan-only: no corpus shuffle, no tokenization)
+        cand_seen = _pin(cand_seen)
+        toks_seen = toks_seen.join(
+            F.broadcast(cand_seen.select(F.col("id_b").alias("id")).distinct()),
+            "id",
+            "left_semi",
+        )
     near_seen = (
-        _confirm_jaccard(cand_seen, base_new, base_seen, threshold)
+        _confirm_jaccard(cand_seen, base_new, toks_seen, threshold)
         .select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("_near_seen", F.lit(True))
@@ -694,6 +729,161 @@ reasons AS (
 )
 SELECT id AS {id_col}, reason = 'kept' AS keep, reason FROM reasons
 """
+
+
+class SeenCorpusArtifacts:
+    """Persisted seen-corpus dedup artifacts (VERDICT r3 task 1).
+
+    `dedup_incremental`'s own contract says a production pipeline persists the
+    seen side's derived tables once and appends per run — this is that API.
+    Three narrow TableIO-backed tables (Iceberg when available, layout-
+    compatible bucketed parquet otherwise):
+
+      * ``{name}_fp``    — distinct content fingerprints, one 32-char column
+      * ``{name}_bands`` — MinHash LSH band table (id, band, bkey)
+      * ``{name}_toks``  — shingle sets (id, toks) for the exact-Jaccard
+                           confirm, hash-bucketed by id
+      * ``{name}_meta``  — the banding config (num_hashes, bands, ngram);
+                           written LAST so `exists()` doubles as the commit
+                           marker, and checked on every read/append so a
+                           config-mismatched corpus is refused, not silently
+                           merged with incompatible band keys
+
+    Daily-crawl loop::
+
+        art = SeenCorpusArtifacts(TableIO(spark, warehouse))
+        if not art.exists():
+            art.init(bootstrap_corpus, "doc_id", "text")
+        decisions = dedup_incremental(increment, None, "doc_id", "text",
+                                      seen_artifacts=art)
+        kept = increment.join(decisions.filter("keep"), "doc_id", "left_semi")
+        art.append(kept, "doc_id", "text")   # after the increment commits
+
+    Scale: every table is a pure column derivation of the corpus — init is one
+    O(corpus) pass (paid once), append is O(increment). On Iceberg the bands
+    table can additionally be bucket-partitioned by bkey for a storage-
+    partitioned candidate join; the parquet fallback shuffles only the narrow
+    (band, bkey, id) rows.
+    """
+
+    def __init__(
+        self,
+        io,
+        name: str = "seen_corpus",
+        num_hashes: int = 126,
+        bands: int = 42,
+        ngram: int = 1,
+        toks_buckets: int = 32,
+    ) -> None:
+        self.io = io
+        self.name = name
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.ngram = ngram
+        self.toks_buckets = toks_buckets
+
+    def _t(self, suffix: str) -> str:
+        return f"{self.name}_{suffix}"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._t("meta"))
+
+    def check_config(self, num_hashes: int, bands: int, ngram: int) -> None:
+        """Refuse to use artifacts built under a different banding config —
+        band keys from mismatched (num_hashes, bands) hash different signature
+        slices, so candidates would be silently wrong, not just incomplete."""
+        if not self.exists():
+            raise ValueError(
+                f"seen-corpus artifacts '{self.name}' not initialized — call init()"
+            )
+        m = self.io.read(self._t("meta")).collect()[0]
+        got = (m["num_hashes"], m["bands"], m["ngram"])
+        want = (num_hashes, bands, ngram)
+        if got != want:
+            raise ValueError(
+                f"seen-corpus artifacts '{self.name}' were built with "
+                f"(num_hashes, bands, ngram)={got}, requested {want}"
+            )
+
+    def _derived(self, df: DataFrame, id_col: str, text_col: str):
+        """(fp_frame, shingle_base) for a corpus slice — the same derivations
+        dedup_incremental runs in-plan, so the artifact path is output-
+        identical to the recompute path by construction."""
+        fps = (
+            df.select(fingerprint_col(F.col(text_col)).alias("fp"))
+            .filter(F.col("fp").isNotNull())
+            .distinct()
+        )
+        return fps, _shingle_base(df, id_col, text_col, self.ngram)
+
+    def _write(self, df: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+        fps, base = self._derived(df, id_col, text_col)
+        # base feeds two writes (toks + bands): persist locally rather than via
+        # _pin so a library caller's pinned frames aren't swept mid-query
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if mode == "overwrite":
+                self.io.overwrite(fps, self._t("fp"))
+                self.io.write_bucketed(base, self._t("toks"), "id", self.toks_buckets)
+                self.io.overwrite(
+                    _minhash_band_table(base, self.num_hashes, self.bands),
+                    self._t("bands"),
+                )
+            else:
+                self.io.append(fps, self._t("fp"))
+                self.io.append(
+                    base, self._t("toks"), bucket_col="id", num_buckets=self.toks_buckets
+                )
+                self.io.append(
+                    _minhash_band_table(base, self.num_hashes, self.bands),
+                    self._t("bands"),
+                )
+        finally:
+            base.unpersist()
+
+    def init(self, seen_df: DataFrame, id_col: str, text_col: str) -> None:
+        """Build all artifacts from a bootstrap corpus — the one O(corpus) pass."""
+        self._write(seen_df, id_col, text_col, "overwrite")
+        spark = seen_df.sparkSession
+        meta = spark.createDataFrame(
+            [(self.num_hashes, self.bands, self.ngram)],
+            "num_hashes int, bands int, ngram int",
+        )
+        self.io.overwrite(meta, self._t("meta"))
+
+    def append(self, committed_df: DataFrame, id_col: str, text_col: str) -> None:
+        """Fold a committed increment into the corpus — O(increment).
+
+        Pass the rows actually kept (post-decision): their fingerprints are
+        disjoint from the corpus by construction (exact_seen/exact_new losers
+        were dropped), so the fp table stays distinct. Duplicate fps from
+        misuse degrade nothing — every consumer reads fps through semi-joins.
+
+        The natural call site derives `committed_df` from decisions that READ
+        these artifact tables (the class-docstring loop). Lazily evaluated,
+        each of the three appends would re-plan that lineage against the
+        partially-appended tables — the first one reading the very directory
+        it writes, the later ones seeing a different corpus than the first.
+        So the increment is snapshotted with one eager localCheckpoint before
+        any write starts: all three tables derive from the same rows, and the
+        caller's own later re-evaluations are the only thing left to care
+        about (re-collect `committed_df` after append and it will see itself
+        in the corpus — by design)."""
+        self.check_config(self.num_hashes, self.bands, self.ngram)
+        snap = committed_df.select(id_col, text_col).localCheckpoint(eager=True)
+        try:
+            self._write(snap, id_col, text_col, "append")
+        finally:
+            _release_local_checkpoint(snap)
+
+    def fingerprints(self) -> DataFrame:
+        return self.io.read(self._t("fp")).select("fp")
+
+    def band_table(self) -> DataFrame:
+        return self.io.read(self._t("bands")).select("id", "band", "bkey")
+
+    def shingles(self) -> DataFrame:
+        return self.io.read(self._t("toks")).select("id", "toks")
 
 
 # ---------------- SimHash ----------------

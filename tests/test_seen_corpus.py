@@ -1,0 +1,171 @@
+"""SeenCorpusArtifacts: persisted seen-side dedup tables make
+`dedup_incremental` O(increment) per run (VERDICT r3 task 1).
+
+Pins:
+  * artifact path ≡ recompute path (identical decisions, identical banded
+    candidate counts);
+  * run 2 touches only the increment — the physical plan scans the artifact
+    warehouse, never the seen corpus' own files (no seen text read/tokenized);
+  * append folds a committed increment in, so the next run sees it;
+  * a banding-config mismatch is refused, not silently merged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_check_spark.operators import dedup as DD
+from data_quality_check_spark.sources.tables import TableIO
+
+T = 0.6  # word-set Jaccard threshold used throughout
+
+
+def _seen_rows():
+    rows = [(i, f"the quick brown fox jumps over the lazy dog number {i}") for i in range(40)]
+    rows.append((100, "identical caption shared across corpora"))
+    rows.append(
+        (101, "a very similar sentence about fluffy cats sitting on warm windowsills today")
+    )
+    return rows
+
+
+def _new_rows():
+    return [
+        (200, "identical caption shared across corpora"),  # exact_seen
+        (201, "totally novel text unlike anything else whatsoever"),  # kept
+        (202, "totally novel text unlike anything else whatsoever"),  # exact_new of 201
+        (203, "a very similar sentence about fluffy cats sitting on warm windowsills now"),
+        (204, None),  # null text → kept
+        (205, "another brand new document with plenty of distinct words in it"),  # kept
+        (206, "another brand new document with plenty of distinct words in them"),  # near_new
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    seen_path = str(tmp_path / "seen_corpus_input")
+    _df(spark, _seen_rows()).write.parquet(seen_path)
+    seen_df = spark.read.parquet(seen_path)
+    art = DD.SeenCorpusArtifacts(TableIO(spark, str(tmp_path / "warehouse")))
+    art.init(seen_df, "doc_id", "text")
+    return seen_df, seen_path, art
+
+
+def _decisions(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_artifact_path_matches_recompute(spark, corpus):
+    seen_df, _, art = corpus
+    new_df = _df(spark, _new_rows())
+
+    recompute = DD.dedup_incremental(new_df, seen_df, "doc_id", "text", threshold=T)
+    got_recompute = _decisions(recompute)
+    cc_recompute = DD.candidate_counts()
+    DD.release_pins()
+
+    via_art = DD.dedup_incremental(
+        new_df, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    )
+    got_art = _decisions(via_art)
+    cc_art = DD.candidate_counts()
+    DD.release_pins()
+
+    assert got_art == got_recompute
+    reasons = {r[0]: r[2] for r in got_art}
+    assert reasons[200] == "exact_seen"
+    assert reasons[202] == "exact_new"
+    assert reasons[203] == "near_seen"
+    assert reasons[206] == "near_new"
+    assert reasons[201] == "kept" and reasons[204] == "kept" and reasons[205] == "kept"
+    # identical banded candidate volumes — band keys are corpus-independent
+    for op in ("dedup_incremental_cross", "dedup_incremental_self"):
+        assert cc_art.get(op) == cc_recompute.get(op)
+
+
+def test_artifact_run_never_scans_seen_corpus_files(spark, corpus):
+    _, seen_path, art = corpus
+    new_df = _df(spark, _new_rows())
+    out = DD.dedup_incremental(
+        new_df, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    )
+    files = out.inputFiles()
+    assert files, "expected file-backed scans in the artifact run"
+    assert not any(seen_path in f for f in files), (
+        "artifact run must not re-scan the seen corpus' own files"
+    )
+    assert any("warehouse" in f for f in files), (
+        "artifact tables should be the only file-backed scans"
+    )
+    # and the plan string carries no seen-side text lineage at all: the only
+    # tokenizer (split) applications belong to the increment's in-memory frame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert seen_path not in plan
+    DD.release_pins()
+
+
+def test_append_makes_next_run_see_the_increment(spark, corpus):
+    seen_df, _, art = corpus
+    inc1 = _df(spark, _new_rows())
+    d1 = DD.dedup_incremental(inc1, None, "doc_id", "text", threshold=T, seen_artifacts=art)
+    keep_ids = sorted(r["doc_id"] for r in d1.filter("keep").select("doc_id").collect())
+    assert keep_ids == [201, 204, 205]
+    # the exact call shape from the class docstring: kept1's lineage READS the
+    # artifact tables; append() must snapshot it before mutating them
+    kept1 = inc1.join(d1.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    art.append(kept1, "doc_id", "text")
+    DD.release_pins()
+    # ground-truth recompute needs the kept rows WITHOUT artifact lineage —
+    # after the append, kept1's lazy plan sees itself in the corpus (documented)
+    kept1 = inc1.filter(F.col("doc_id").isin(keep_ids))
+
+    inc2 = _df(
+        spark,
+        [
+            (300, "totally novel text unlike anything else whatsoever"),  # = kept 201
+            (301, "another brand new document with plenty of distinct words in it also"),
+            (302, "completely fresh second-increment content nothing matches this"),
+        ],
+    )
+    got = _decisions(
+        DD.dedup_incremental(inc2, None, "doc_id", "text", threshold=T, seen_artifacts=art)
+    )
+    DD.release_pins()
+
+    # ground truth: recompute against seen ∪ kept increment-1 rows
+    merged = seen_df.unionByName(kept1)
+    want = _decisions(DD.dedup_incremental(inc2, merged, "doc_id", "text", threshold=T))
+    DD.release_pins()
+    assert got == want
+    reasons = {r[0]: r[2] for r in got}
+    assert reasons[300] == "exact_seen"  # doc 201 was kept and appended
+    assert reasons[301] == "near_seen"  # near doc 205, kept and appended
+    assert reasons[302] == "kept"
+
+
+def test_config_mismatch_refused(spark, corpus, tmp_path):
+    _, _, art = corpus
+    new_df = _df(spark, _new_rows())
+    with pytest.raises(ValueError, match="built with"):
+        DD.dedup_incremental(
+            new_df, None, "doc_id", "text", threshold=T, num_hashes=64, bands=16,
+            seen_artifacts=art,
+        )
+    uninit = DD.SeenCorpusArtifacts(TableIO(spark, str(tmp_path / "nowhere")))
+    with pytest.raises(ValueError, match="not initialized"):
+        DD.dedup_incremental(
+            new_df, None, "doc_id", "text", threshold=T, seen_artifacts=uninit
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        DD.dedup_incremental(new_df, None, "doc_id", "text", threshold=T)
+
+
+def test_append_refused_before_init(spark, tmp_path):
+    art = DD.SeenCorpusArtifacts(TableIO(spark, str(tmp_path / "w2")))
+    with pytest.raises(ValueError, match="not initialized"):
+        art.append(_df(spark, _new_rows()), "doc_id", "text")
