@@ -909,9 +909,16 @@ def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> 
             else:
                 # a directory without _SUCCESS is a crashed build: self-heal by
                 # replacing it (otherwise every future call rebuilds, fails the
-                # rename, and leaks another tmp dir forever)
+                # rename, and leaks another tmp dir forever). Two processes can
+                # both reach here — both rmtree, one renames first — so the
+                # loser's rename needs the same lost-the-race handling.
                 shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not os.path.exists(success):
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -92,14 +92,34 @@ def merge_partials(
     sum_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    tree_fanout: int = 64,
 ) -> DataFrame:
     """Fold partial rows (any number of batches × buckets) into ONE global
     metrics row. Exact metrics merge exactly; distinct estimates come from the
     lossless union of the partial sketches; quantiles from the folded KLL
     (sketch-accurate: merge order affects compaction, so the merged estimate
-    can differ from a direct-sketch estimate by sketch error, never more)."""
+    can differ from a direct-sketch estimate by sketch error, never more).
+
+    The KLL fold is a TWO-LEVEL tree (Spark ships no KLL merge aggregate, so
+    the expression fold is the primitive): level 1 groups partial rows into
+    `tree_fanout` hash groups, each folding its own sketches in parallel
+    tasks; level 2 folds the ≤tree_fanout group sketches. A P-row partials
+    table thus costs max(P/fanout, fanout) sequential merges on the critical
+    path instead of P — at 10⁵ partial rows that is ~1.6k, executor-trivial.
+    Exact metrics and HLL unions are order-free, so the tree cannot change
+    them; KLL compaction order shifts estimates only within sketch error
+    (pinned by the fold-order property test)."""
     sum_cols = sum_cols or []
     quantile_cols = quantile_cols or []
+    if quantile_cols:
+        # level 1: parallel per-group partial merges (same row schema)
+        parts = compact_partials(
+            parts,
+            cols,
+            sum_cols,
+            quantile_cols,
+            group_by=F.pmod(F.crc32(F.col("bucket").cast("string")), F.lit(tree_fanout)),
+        )
     aggs = [F.sum("rows").alias("row_count")]
     for c in cols:
         aggs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
@@ -131,3 +151,43 @@ def merge_partials(
                 )
             )
     return merged.select(*out_cols)
+
+
+def compact_partials(
+    parts: DataFrame,
+    cols: list[str],
+    sum_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    group_by: F.Column | None = None,
+) -> DataFrame:
+    """Re-emit merged partial rows with the SAME schema `partial_profile`
+    writes — the periodic compaction step for a long-lived partials table.
+
+    A daily-ingest corpus accretes batches × buckets rows; compaction folds
+    them back to one row per bucket (default `group_by`), so both the table
+    and every later `merge_partials` stay O(buckets) no matter how many
+    batches have landed. All columns re-merge losslessly into their own type:
+    counts/sums by sum, min/max by min/max, HLL by `hll_union_agg` (still a
+    sketch blob, NOT an estimate), KLL by the pairwise blob fold — so
+    compact(compact(X)) ≡ compact(X) and merge(compact(X)) ≡ merge(X) for
+    exact metrics, within sketch error for estimates."""
+    sum_cols = sum_cols or []
+    quantile_cols = quantile_cols or []
+    key = F.col("bucket") if group_by is None else group_by
+    aggs = [F.sum("rows").alias("rows")]
+    for c in cols:
+        aggs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
+        aggs.append(F.hll_union_agg(F.col(f"sk__{c}")).alias(f"sk__{c}"))
+    for c in sum_cols:
+        aggs.append(F.sum(f"sum__{c}").alias(f"sum__{c}"))
+        aggs.append(F.min(f"min__{c}").alias(f"min__{c}"))
+        aggs.append(F.max(f"max__{c}").alias(f"max__{c}"))
+    kll_names = [f"kll__{c}" for c in quantile_cols]
+    for n in kll_names:
+        aggs.append(F.collect_list(n).alias(f"_list{n}"))
+    out = parts.groupBy(key.alias("bucket")).agg(*aggs)
+    if not kll_names:
+        return out
+    keep = [F.col(a) for a in out.columns if not a.startswith("_listkll__")]
+    keep += [_kll_fold(F.col(f"_list{n}")).alias(n) for n in kll_names]
+    return out.select(*keep)

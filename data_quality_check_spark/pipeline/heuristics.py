@@ -106,10 +106,13 @@ def image_flags(w: Column, h: Column, byte_len: Column) -> dict[str, Column]:
     positive dims, bounded aspect ratio, plausible encoded size."""
     aspect_bad = (w.cast("double") / h > MAX_ASPECT) | (h.cast("double") / w > MAX_ASPECT)
     raw = w.cast("long") * h * 3
-    # floor(raw/16384) via double division is exact for raw < 2^53 (any
-    # realistic dims; degenerate dims are flagged separately by bad_dims)
+    # floor(raw/16384) in INT64 arithmetic: the DuckDB twin (`// 16384` on
+    # BIGINT) and the pandas golden (`raw // 16384`) are exact for all int64,
+    # so double division here could disagree by 1 at |raw| >= 2^53; an
+    # arithmetic shift is floor division by 2^14 for every signed long.
+    assert 16384 == 1 << 14
     slack = F.lit(BYTES_SLACK_BASE) + F.lit(BYTES_SLACK_PER_16K) * (
-        F.floor(raw / F.lit(16384)).cast("long") + 1
+        F.shiftright(raw, 14) + 1
     )
     return {
         "flag_bad_dims": _nvl((w <= 0) | (h <= 0) | aspect_bad, True),

@@ -89,18 +89,44 @@ def audit_staged(
     expect_in = int(manifest["rows_in"].sum())
     expect_buckets = int((manifest["rows_kept"] > 0).sum())
 
-    try:
-        staged = spark.read.parquet(os.path.join(output_dir, "filtered"))
-        got = _staged_counts(staged)
-    except Exception:
-        # a run that kept ZERO rows writes only _SUCCESS — an unreadable/empty
-        # staged dir is an empty corpus, which the gates below must REJECT as
-        # a structured report, not surface as a schema-inference crash
+    # A run that kept ZERO rows writes only _SUCCESS; ONLY that shape (or a
+    # missing dir) counts as an empty corpus. Any other read failure —
+    # transient IO, corrupt footer, permissions — must surface as a FAILED
+    # audit check carrying the error, never be conflated with rows=0 (with
+    # relaxed gates that conflation could publish a broken staging).
+    filtered_dir = os.path.join(output_dir, "filtered")
+    read_error: str | None = None
+    # data = any subdirectory (partition dirs like `_bucket=0` start with "_"
+    # but hold the corpus) or any non-marker file
+    data_entries = (
+        [
+            e
+            for e in os.listdir(filtered_dir)
+            if os.path.isdir(os.path.join(filtered_dir, e))
+            or not e.startswith(("_", "."))
+        ]
+        if os.path.isdir(filtered_dir)
+        else []
+    )
+    if not data_entries:
         got = {"rows": 0, "null_captions": 0, "buckets": 0}
+    else:
+        try:
+            staged = spark.read.parquet(filtered_dir)
+            got = _staged_counts(staged)
+        except Exception as e:  # recorded, not swallowed: fails the audit below
+            read_error = f"{type(e).__name__}: {e}"
+            got = {"rows": 0, "null_captions": 0, "buckets": 0}
 
     keep_fraction = expect_kept / expect_in if expect_in else 0.0
     null_caption_fraction = got["null_captions"] / got["rows"] if got["rows"] else 0.0
     checks = [
+        {
+            "name": "staged_readable",
+            "passed": read_error is None,
+            "observed": read_error or "ok",
+            "bound": "staged parquet readable (or legitimately empty)",
+        },
         {
             "name": "staged_rows_match_manifest",
             "passed": got["rows"] == expect_kept,

@@ -85,7 +85,10 @@ DATA_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 # streaming twin (streaming/stream_filter.py) so the two cannot drift
 OUT_COLS = DATA_COLS + ["lang", "lang_conf", "ppl", "scrubbed_caption", "_bucket"]
 
-# priority-ordered drop reasons; mirrors reference_impl.DROP_PRIORITY
+# priority-ordered drop reasons; the first 12 mirror reference_impl.DROP_PRIORITY
+# exactly (keep/label parity with the reference is over those); the curation
+# reasons come LAST and only ever fire when their FilterConfig options are set,
+# so a default-config run is bit-identical to the pre-curation pipeline.
 DROP_REASONS = [
     "caption_missing",
     "fake_null",
@@ -99,6 +102,8 @@ DROP_REASONS = [
     "language",
     "perplexity",
     "duplicate",
+    "contamination",
+    "mixture",
 ]
 
 
@@ -142,7 +147,36 @@ class FilterConfig:
     # within Hamming k (perceptual near-dups: re-encodes, slight crops) via
     # banded pairs + connected components over the DISTINCT-phash table.
     near_dup_hamming: int | None = None
+    # ── curation stages riding the SAME commit-group pass (all default-off;
+    # the keep/scrub parity contract vs the reference is over the defaults) ──
+    # hash_split: deterministic md5-threshold train/val/test assignment added
+    # as a `split` output column — a shuffle-free projection on kept rows.
+    splits: "dict[str, float] | None" = None
+    split_salt: str = ""
+    # mixture_sample: rate-based data-mix downsampling of kept rows (group →
+    # Bernoulli keep-rate from weights + FROZEN group counts). Counts MUST be
+    # supplied (from a prior run's lang histogram / monitoring table): the
+    # job's one-action-per-commit-group contract forbids a counting pre-pass,
+    # and frozen counts are also what makes the mix reproducible and
+    # append-stable (curation.mixture_sample's documented production shape).
+    mixture_weights: "dict[str, float] | None" = None
+    mixture_output_rows: int | None = None
+    mixture_counts: "dict[str, int] | None" = None
+    mixture_group_col: str = "lang"
+    mixture_salt: str = ""
+    # contamination_overlap: drop kept rows whose caption shingles overlap an
+    # eval benchmark set ≥ threshold_pct% (GPT-3 §C). The eval parquet needs a
+    # `contamination_text_col` column; the decision table is computed ONCE per
+    # run from a narrow (image_id, caption) scan — bytes never read — and
+    # joins back exactly like dup decisions (size-gated broadcast).
+    contamination_eval_path: str | None = None
+    contamination_text_col: str = "caption"
+    contamination_ngram: int = 3
+    contamination_threshold_pct: int = 50
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
+
+    def split_labels(self) -> list[str]:
+        return list(self.splits) if self.splits else []
 
 
 def bucket_col(id_col: str = "image_id", num_buckets: int = 16) -> F.Column:
@@ -346,9 +380,42 @@ def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> D
     return finalize(score_rows(df, cfg), cfg, dups)
 
 
-def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
+def _mixture_ok_col(cfg: FilterConfig) -> F.Column:
+    """Row-local mixture-sampling predicate (curation.mixture_sample semantics:
+    keep iff md5(salt:id) < threshold(group), thresholds from FROZEN counts).
+    Pure projection — no shuffle, no action; a group absent from the
+    weights/thresholds drops entirely (NULL threshold → not ok)."""
+    from data_quality_check_spark.operators.curation import (
+        _hash_key_col,
+        mixture_thresholds,
+    )
+
+    if cfg.mixture_counts is None or cfg.mixture_output_rows is None:
+        raise ValueError(
+            "mixture_weights needs mixture_counts + mixture_output_rows: the "
+            "filter job never runs a counting pre-pass — freeze the group "
+            "counts from a prior run's metrics and pass them in"
+        )
+    th = mixture_thresholds(cfg.mixture_counts, cfg.mixture_weights, cfg.mixture_output_rows)
+    if not th:
+        return F.lit(False)
+    key = _hash_key_col("image_id", cfg.mixture_salt)
+    case = F.lit(None).cast("string")
+    for g, t in th.items():
+        case = F.when(F.col(cfg.mixture_group_col) == F.lit(g), F.lit(t)).otherwise(case)
+    return F.coalesce(key < case, F.lit(False))
+
+
+def finalize(
+    df: DataFrame,
+    cfg: FilterConfig,
+    dups: DataFrame,
+    contaminated: DataFrame | None = None,
+) -> DataFrame:
     """Cheap tail over scored rows: dup broadcast join, keep/drop decision,
-    drop reason, scrub, output-row selection — pure expressions."""
+    drop reason, scrub, output-row selection — pure expressions.
+    `contaminated` is an optional (image_id, _contam) decision table (already
+    broadcast-hinted when small) from `contamination_decisions`."""
     from data_quality_check_spark.functions.textmodel import default_model
 
     target = cfg.target_langs or default_model().langs
@@ -357,6 +424,13 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
     df = df.withColumn("flag_duplicate", F.coalesce(F.col("is_loser"), F.lit(False))).drop(
         "is_loser"
     )
+    if contaminated is not None:
+        df = df.join(contaminated, "image_id", "left")
+        contam = F.coalesce(F.col("_contam"), F.lit(False))
+        df = df.withColumn("flag_contamination", contam).drop("_contam")
+    else:
+        df = df.withColumn("flag_contamination", F.lit(False))
+    mix_ok = _mixture_ok_col(cfg) if cfg.mixture_weights is not None else F.lit(True)
 
     lang_ok = F.col("lang").isin(list(target)) & (F.col("lang_conf") >= cfg.min_lang_conf)
     ppl_ok = F.col("ppl") <= cfg.max_ppl
@@ -366,6 +440,8 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
         & lang_ok
         & ppl_ok
         & ~F.col("flag_duplicate")
+        & ~F.col("flag_contamination")
+        & mix_ok
     )
     df = df.withColumn("keep", keep)
 
@@ -374,6 +450,8 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
         "language": ~lang_ok,
         "perplexity": ~ppl_ok,
         "duplicate": F.col("flag_duplicate"),
+        "contamination": F.col("flag_contamination"),
+        "mixture": ~mix_ok,
     }
     pairs = [(r, cond_of.get(r, F.col(f"flag_{r}"))) for r in DROP_REASONS]
     expr = F.when(pairs[0][1], pairs[0][0])
@@ -398,11 +476,43 @@ def finalize(df: DataFrame, cfg: FilterConfig, dups: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_metric_aggs(pending: list[int]) -> list:
+def contamination_decisions(
+    spark: SparkSession, df: DataFrame, cfg: FilterConfig
+) -> DataFrame | None:
+    """Small (image_id, _contam) table of captions contaminated by the eval
+    set, or None when the check is off. Derived from a NARROW (image_id,
+    caption) scan — bytes never read — with the eval shingle universe
+    broadcast (curation.contamination_overlap); like dup_decisions it is
+    computed over the FULL input so a resumed run reaches the same verdicts.
+    The caller size-gates the broadcast of the result."""
+    if not cfg.contamination_eval_path:
+        return None
+    from data_quality_check_spark.operators.curation import contamination_overlap
+
+    eval_df = spark.read.parquet(cfg.contamination_eval_path)
+    if cfg.contamination_text_col != "caption":
+        eval_df = eval_df.withColumnRenamed(cfg.contamination_text_col, "caption")
+    overlap = contamination_overlap(
+        df.select("image_id", "caption"),
+        eval_df,
+        "image_id",
+        "caption",
+        ngram=cfg.contamination_ngram,
+        threshold_pct=cfg.contamination_threshold_pct,
+    )
+    return (
+        overlap.filter(F.col("contaminated"))
+        .select("image_id")
+        .withColumn("_contam", F.lit(True))
+    )
+
+
+def _bucket_metric_aggs(pending: list[int], split_labels: list[str] | None = None) -> list:
     """observe() aggregates: per-pending-bucket (rows_in, rows_kept, n_scrubbed)
-    + per-run global drop-reason and flag breakdowns. All plain conditional
-    counts (observe forbids distinct aggregates — which `row_selected` makes
-    unnecessary: output rows = count_if(row_selected), exactly)."""
+    + per-run global drop-reason and flag breakdowns (+ per-split kept counts
+    when the job assigns splits). All plain conditional counts (observe forbids
+    distinct aggregates — which `row_selected` makes unnecessary: output rows =
+    count_if(row_selected), exactly)."""
     aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.count_if(F.col("row_selected")).alias("rows_kept"),
@@ -412,6 +522,12 @@ def _bucket_metric_aggs(pending: list[int]) -> list:
         aggs.append(F.count_if(F.col("drop_reason") == r).alias(f"n_{r}"))
     for c in FLAG_COLS:
         aggs.append(F.count_if(F.col(c)).alias(c.replace("flag_", "nf_")))
+    for s in split_labels or []:
+        aggs.append(
+            F.count_if(F.col("row_selected") & (F.col("split") == s)).alias(
+                f"split_{s}_kept"
+            )
+        )
     for b in pending:
         m = F.col("_bucket") == b
         aggs.append(F.count_if(m).alias(f"b{b}_rows_in"))
@@ -468,13 +584,16 @@ def _write_checkpoint(checkpoint_dir: str, cfg: FilterConfig, pending: list[int]
                 "n_scrubbed": m["n_scrubbed"],
                 **{f"n_{r}": m[f"n_{r}"] for r in DROP_REASONS},
                 **{c.replace("flag_", "nf_"): m[c.replace("flag_", "nf_")] for c in FLAG_COLS},
-                "committed_at": now,
+                **{f"split_{s}_kept": m[f"split_{s}_kept"] for s in cfg.split_labels()},
             }
         ]
     )
     for c in run_pdf.columns:
         if run_pdf[c].dtype.kind == "i":
             run_pdf[c] = run_pdf[c].astype("int64")
+    # post-construction assignment keeps the µs unit; dict-row inference would
+    # upcast to ns, writing TIMESTAMP(NANOS) parquet that Spark refuses to read
+    run_pdf["committed_at"] = now
     _append_parquet(run_pdf, os.path.join(checkpoint_dir, "run_metrics"), cfg.run_id)
 
     manifest_pdf = metrics_pdf[["bucket", "rows_in", "rows_kept", "run_id", "committed_at"]]
@@ -495,6 +614,8 @@ def run_filter(
     Returns a summary dict {processed_buckets, rows_in, rows_kept}.
     """
     cfg = cfg or FilterConfig()
+    if cfg.mixture_weights is not None:
+        _mixture_ok_col(cfg)  # validate counts/output_rows BEFORE any Spark work
     STEP_TIMINGS.clear()  # one job's stages only — see the declaration
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -535,6 +656,19 @@ def run_filter(
     from pyspark.storagelevel import StorageLevel
 
     dups = decisions_for(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # contamination verdicts follow the dup-decisions pattern: computed ONCE
+    # over the full input (narrow caption scan), pinned, size-gated broadcast
+    contam_pinned = contamination_decisions(spark, df, cfg)
+    contaminated = None
+    if contam_pinned is not None:
+        contam_pinned = contam_pinned.persist(StorageLevel.MEMORY_AND_DISK)
+        with _step("contamination_count"):
+            n_contam = contam_pinned.count()
+        contaminated = (
+            F.broadcast(contam_pinned)
+            if n_contam <= cfg.max_broadcast_decisions
+            else contam_pinned
+        )
     spill_dir = os.path.join(checkpoint_dir, "dup_decisions", cfg.run_id)
     totals = {"rows_in": 0, "rows_kept": 0}
     try:
@@ -585,11 +719,13 @@ def run_filter(
 
         for gi, grp in enumerate(groups):
             m = _process_group(df, cfg, grp, gi, slice_for(grp), output_dir,
-                               checkpoint_dir, prebucketed)
+                               checkpoint_dir, prebucketed, contaminated)
             totals["rows_in"] += int(m["rows_in"])
             totals["rows_kept"] += int(m["rows_kept"])
     finally:
         dups.unpersist()
+        if contam_pinned is not None:
+            contam_pinned.unpersist()
         # near_dup_hamming mode pins the phash signature + acting tables into
         # the module registry; release them with the job (recompute-safe per
         # release_pins' contract) so library callers don't hold driver refs +
@@ -614,6 +750,7 @@ def _process_group(
     output_dir: str,
     checkpoint_dir: str,
     prebucketed: bool,
+    contaminated: DataFrame | None = None,
 ) -> dict:
     """Score, write, and checkpoint one group of buckets (the whole pending set
     in broadcast mode) as ONE Spark action with observe() metrics riding along.
@@ -623,15 +760,25 @@ def _process_group(
     flat file it is a pushed-down row filter (every group re-reads the file,
     which is why flat layouts are the test path, never the 10^12 one)."""
     work = df.filter(F.col("_bucket").isin(grp))
-    scored = finalize(score_rows(work, cfg), cfg, dups).withColumn(
+    scored = finalize(score_rows(work, cfg), cfg, dups, contaminated).withColumn(
         "_scrub_changed",
         F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
     )
+    out_cols = list(OUT_COLS)
+    if cfg.splits:
+        # deterministic md5-threshold split assignment — ONE more projection
+        # riding the same pass (curation.hash_split semantics; append-safe,
+        # salt-rotatable, identical on resume because it is a pure function
+        # of (salt, image_id))
+        from data_quality_check_spark.operators.curation import hash_split
+
+        scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
+        out_cols.append("split")
 
     obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
-    scored = scored.observe(obs, *_bucket_metric_aggs(grp))
+    scored = scored.observe(obs, *_bucket_metric_aggs(grp, cfg.split_labels()))
 
-    kept = scored.filter(F.col("row_selected")).select(*OUT_COLS)
+    kept = scored.filter(F.col("row_selected")).select(*out_cols)
     if not prebucketed:
         # Flat input: tasks hold a mix of buckets, so without this partitionBy
         # fans every task out across all buckets (tasks × buckets files) and the

@@ -116,7 +116,14 @@ def get_spark(
 
     for k, v in conf.items():
         builder = builder.config(k, v)
-    reused = SparkSession.getActiveSession() is not None
+    # getActiveSession is thread-local; getOrCreate ALSO reuses the
+    # process-global default session created by another thread, so check both
+    # or the reconciliation/warning below silently skips exactly the case it
+    # exists for.
+    reused = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "getDefaultSession", lambda: None)() is not None
+    )
     spark = builder.getOrCreate()
     if reused:
         # getOrCreate on a live session IGNORES every builder config; say so

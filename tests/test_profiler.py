@@ -417,3 +417,102 @@ def test_partial_quantiles_degrade_on_empty_and_nan(spark):
         partial_profile(empty, "_b", [], quantile_cols=["x"]), [], quantile_cols=["x"]
     ).collect()[0]
     assert row2["p50__x"] is None and row2["row_count"] is None or row2["p50__x"] is None
+
+
+def test_partials_tree_merge_order_invariant_and_parallel(spark):
+    """VERDICT r3 task 4: at 10⁴ partial rows the KLL fold must (a) leave
+    every exact metric identical under any fold order / fanout, (b) keep
+    quantiles within sketch error of exact, and (c) run its first-level merge
+    as a PARALLEL hash aggregate, not one collect_list task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.partials import (
+        merge_partials,
+        partial_profile,
+    )
+
+    n = 200_000
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1_000_000, n)
+    pdf = pd.DataFrame({"id": range(n), "n": vals})
+    # 10⁴ buckets → 10⁴ partial rows, ~20 source rows each
+    df = spark.createDataFrame(pdf).withColumn("_b", (F.col("id") % 10_000).cast("int"))
+    parts = partial_profile(df, "_b", [], sum_cols=["n"], quantile_cols=["n"]).persist()
+    try:
+        assert parts.count() == 10_000
+
+        def run(p, fanout):
+            return merge_partials(
+                p, [], sum_cols=["n"], quantile_cols=["n"], tree_fanout=fanout
+            ).collect()[0]
+
+        a = run(parts, 64)
+        b = run(parts.orderBy(F.desc("bucket")), 64)     # reversed fold order
+        c = run(parts.orderBy(F.rand(seed=3)), 17)       # shuffled + odd fanout
+        for k in ("row_count", "sum__n", "min__n", "max__n"):
+            assert a[k] == b[k] == c[k], k
+        for got in (a, b, c):
+            for q, name in ((0.25, "p25__n"), (0.5, "p50__n"), (0.75, "p75__n")):
+                exact = float(np.quantile(vals, q))
+                # KLL k=200 normalized rank error ≈ 1.65%; folded tree stays inside
+                assert abs(got[name] - exact) <= 0.02 * 1_000_000, (name, got[name])
+
+        # (c) the level-1 merge is a groupBy on a pmod key — a real parallel
+        # hash aggregate with its own exchange, visible in the physical plan
+        plan = merge_partials(
+            parts, [], sum_cols=["n"], quantile_cols=["n"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "pmod" in plan and plan.count("HashAggregate") >= 4
+    finally:
+        parts.unpersist()
+
+
+def test_compact_partials_idempotent_and_merge_preserving(spark):
+    """compact_partials re-emits partial-schema rows: compacting batches down
+    to one row per bucket must not change ANY merged exact metric or HLL
+    estimate, quantiles stay within sketch error, and compaction is
+    idempotent."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.partials import (
+        compact_partials,
+        merge_partials,
+        partial_profile,
+    )
+
+    def mk(lo, hi):
+        pdf = pd.DataFrame(
+            {
+                "id": range(lo, hi),
+                "cat": [None if i % 13 == 0 else f"c{i % 400}" for i in range(lo, hi)],
+                "n": [i % 89 for i in range(lo, hi)],
+            }
+        )
+        return spark.createDataFrame(pdf).withColumn("_b", (F.col("id") % 8).cast("int"))
+
+    cols, sums, qs = ["cat"], ["n"], ["n"]
+    # three ingest batches → 24 partial rows across 8 buckets
+    parts = (
+        partial_profile(mk(0, 3000), "_b", cols, sums, qs)
+        .unionByName(partial_profile(mk(3000, 5000), "_b", cols, sums, qs))
+        .unionByName(partial_profile(mk(5000, 5600), "_b", cols, sums, qs))
+    )
+    compacted = compact_partials(parts, cols, sums, qs)
+    assert compacted.count() == 8  # one row per bucket again
+    assert sorted(compacted.columns) == sorted(parts.columns)
+
+    raw = merge_partials(parts, cols, sums, qs).collect()[0]
+    comp = merge_partials(compacted, cols, sums, qs).collect()[0]
+    twice = merge_partials(
+        compact_partials(compacted, cols, sums, qs), cols, sums, qs
+    ).collect()[0]
+    exact_keys = ("row_count", "nulls__cat", "distinct_est__cat",
+                  "sum__n", "min__n", "max__n")
+    for k in exact_keys:
+        assert raw[k] == comp[k] == twice[k], k
+    for name in ("p25__n", "p50__n", "p75__n"):
+        assert abs(comp[name] - raw[name]) <= 0.02 * 89, name
+        assert abs(twice[name] - raw[name]) <= 0.02 * 89, name
