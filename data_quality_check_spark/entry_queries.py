@@ -880,26 +880,33 @@ def _sf_fingerprint(sf_dir: str) -> str:
     return hashlib.sha1(";".join(parts).encode()).hexdigest()[:12]
 
 
-def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    """Compute `build()` once per (input-content, query-tag) and serve later
-    consumers from scratch parquet. The cache key includes a fingerprint of
-    the sf_dir's parquet files, and publication is write-to-temp + atomic
-    rename, so concurrent processes race safely (loser discards its copy —
-    both built identical data) and a changed input never serves stale rows."""
+def _scratch_path(sf_dir: str, name: str, ext: str = ".parquet") -> str:
+    """Scratch location keyed by (sf_dir path, query tag, input fingerprint)."""
     import hashlib
-    import shutil
     import tempfile
-    import uuid
 
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(), "dqx_query_scratch", key,
-        f"{name}_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}.parquet",
+        f"{name}_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}{ext}",
     )
+
+
+def _scratch_build_dir(sf_dir: str, name: str, build_into, ext: str = ".parquet") -> str:
+    """Build a scratch DIRECTORY once per (input-content, query-tag) with
+    write-to-temp + atomic rename, so concurrent processes race safely (loser
+    discards its copy — both built identical data) and a changed input never
+    serves stale artifacts. `build_into(tmp)` must leave a `_SUCCESS` marker
+    at the directory root (parquet writes do; other builders touch one)."""
+    import shutil
+    import uuid
+
+    path = _scratch_path(sf_dir, name, ext)
     success = os.path.join(path, "_SUCCESS")
     if not os.path.exists(success):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
-        build().write.mode("overwrite").parquet(tmp)
+        build_into(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -919,6 +926,15 @@ def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> 
                     if not os.path.exists(success):
                         raise
                     shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _scratch_materialize(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Compute `build()` once per (input-content, query-tag) and serve later
+    consumers from scratch parquet (atomic publication: `_scratch_build_dir`)."""
+    path = _scratch_build_dir(
+        sf_dir, name, lambda tmp: build().write.mode("overwrite").parquet(tmp)
+    )
     return spark.read.parquet(path)
 
 
@@ -1060,6 +1076,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.ann_ivf_topk(
         e, _ann_queries(spark, sf_dir), k=_ANN_K, n_centroids=10, nprobe=4
+    )
+
+
+def _shared_ivf_index(spark: SparkSession, sf_dir: str):
+    """The PERSISTED IVF index artifact (VERDICT r3 task 5): built once per
+    (input-content, tag) — centroids table + vectors table partitionBy(cell) —
+    then every indexed query partition-prunes its probe cells on disk. The
+    10^12-row shape: index build is its own job, query batches never re-assign."""
+    from data_quality_check_spark.sources.tables import TableIO
+
+    def build_into(tmp: str) -> None:
+        io_tmp = TableIO(spark, warehouse=tmp)
+        SIM.ivf_build_index(
+            io_tmp,
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "ann",
+            n_centroids=10,
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    path = _scratch_build_dir(sf_dir, "ivf_index_c10", build_into, ext=".wh")
+    return TableIO(spark, warehouse=path)
+
+
+# Same oracle as ann_ivf_topk_embeddings: identical centroids (same kernel,
+# sample, and seed) mean the indexed read-path must reproduce the re-assigning
+# path's rows exactly — which is precisely the property worth pinning about a
+# persisted index (the artifact changes the PLAN, never the answer). The
+# partition-pruned probe scan is pinned by tests/test_dedup_similarity.py.
+@register(
+    "ann_ivf_indexed_topk_embeddings",
+    lambda: _OR.ann_ivf_sql(ORACLE_SF_DIR, k=_ANN_K, n_centroids=10, nprobe=4),
+)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    io = _shared_ivf_index(spark, sf_dir)
+    return SIM.ann_ivf_topk_indexed(
+        io, "ann", _ann_queries(spark, sf_dir), k=_ANN_K, nprobe=4
     )
 
 

@@ -543,6 +543,104 @@ def neardup_clusters_lsh(
     return _clusters_from_pairs(pairs, id_col, max_iter)
 
 
+def ivf_build_index(
+    io,
+    df: DataFrame,
+    name: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist an IVF index as TWO tables under `io` (a `TableIO`), making the
+    docstring promise of `ann_ivf_topk` real: the assigned table is written
+    ONCE partitioned by `cell`, so every later query batch partition-prunes to
+    its probe cells on disk instead of re-assigning the corpus.
+
+      * `{name}.centroids` — (cell:int, weights:array<double>), `n_centroids`
+        rows; tiny, read to the driver by every query.
+      * `{name}.vectors`   — (id, v, nrm, cell) `partitionBy(cell)`; `nrm` is
+        the per-vector norm hoisted at BUILD time, so the query-time rerank
+        pays one dot-product fold per candidate (same float64 ops as
+        `cosine_col`, so the rounded cosine — and any oracle hash — is
+        unchanged). NULL/zero/ragged vectors are excluded here, exactly as
+        `_hoist_norms` + the NULL-cell inner join would have dropped them.
+
+    At 10^12 rows this is the index-build job of an embedding-search pipeline:
+    one UDF assignment pass + one partitioned write; queries are then
+    `ann_ivf_topk_indexed`, which scans nprobe/n_centroids of the data
+    (pinned by a PartitionFilters plan test). Returns the trained centroids."""
+    cents = ivf_train_centroids(
+        df, n_centroids, sample_size, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    io.overwrite(
+        spark.createDataFrame(cent_rows, "cell int, weights array<double>"),
+        f"{name}.centroids",
+    )
+    assigned = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
+        .filter(F.col("cell").isNotNull())
+    )
+    io.overwrite(assigned, f"{name}.vectors", partition_by=["cell"])
+    return cents
+
+
+def ivf_load_centroids(io, name: str) -> np.ndarray:
+    """The index's centroid matrix, ordered by cell id (driver-side, tiny)."""
+    rows = io.read(f"{name}.centroids").orderBy("cell").collect()
+    return np.asarray([r["weights"] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_topk_indexed(
+    io,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (`ivf_build_index`) — identical
+    results to `ann_ivf_topk` under the same centroids, but the candidate side
+    is a partition-pruned scan of `{name}.vectors`, never a re-assignment.
+
+    The probe-cell union across the query batch is collected first (≤
+    n_centroids ints — the query side is the small, broadcast side by
+    contract) and pushed as a LITERAL `cell IN (...)` predicate, which is what
+    lets the scan prune partitions statically: only the probed cells' files
+    are opened, ~nprobe/n_centroids of the corpus for a tight query batch."""
+    cents = ivf_load_centroids(io, name)
+    if "_qn" in queries.columns:
+        raise ValueError("query columns collide with reserved norm name: _qn")
+    queries = queries.withColumn("_qn", _norm(F.col(qvec_col))).filter(F.col("_qn") > 0)
+    q = queries.withColumn(
+        "cell", F.explode(ivf_probe_udf(cents, nprobe)(F.col(qvec_col)))
+    )
+    from data_quality_check_spark.operators.dedup import _pin
+
+    q = _pin(q)  # feeds the probe-cell collect AND the candidate join
+    cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    cand = (
+        io.read(f"{name}.vectors")
+        .filter(F.col("cell").isin(cells))
+        .select(F.col("id").alias(id_col), F.col("v"), F.col("nrm").alias("_cn"), "cell")
+    )
+    joined = cand.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(qid_col))
+    return _rerank_topk(joined, k, id_col, "v", qid_col, qvec_col, hoisted=True)
+
+
 def neardup_pairs_ivf(
     df: DataFrame,
     threshold: float = 0.35,
