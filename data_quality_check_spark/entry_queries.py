@@ -596,6 +596,26 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The MERGEABLE path to the same answer (VERDICT r3 task 7): per-bucket
+# heavy-hitter summaries (truncated exact counts + a dropped-count cap) merged
+# into the global top-k — the no-rescan maintenance shape. Oracle = the exact
+# whole-corpus SQL: at m=2048 the fixture's top-25 certifies (cap arithmetic,
+# pinned in tests/test_vocab.py), so the summary merge must reproduce the
+# rescan's values bit-for-bit, which is exactly the property worth gating.
+@register(
+    "vocab_merge_top_tokens_documents",
+    VB.top_tokens_sql("documents", "doc_id", "text", _TOPK_TOKENS, _TOKEN_MIN_LEN),
+)
+def q_vocab_merge_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "_b", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(16)).cast("int")
+    )
+    parts = VB.vocab_partial(docs, "_b", "doc_id", "text", m=2048, min_len=_TOKEN_MIN_LEN)
+    return VB.merge_vocab_partials(parts, k=_TOPK_TOKENS).select(
+        "token", "n_occurrences", "n_docs"
+    )
+
+
 # Per-row heuristic keep/drop decision (the north-rule quality-filter semantics,
 # SURVEY.md §7.1) exposed on the gate's documents table: every caption flag from
 # pipeline/heuristics.py as a boolean column plus the combined `keep` decision.

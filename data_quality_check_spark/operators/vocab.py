@@ -59,6 +59,230 @@ def top_tokens(
     )
 
 
+def vocab_partial(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    text_col: str,
+    m: int = 256,
+    min_len: int = 1,
+) -> DataFrame:
+    """One MERGEABLE heavy-hitters summary row per bucket (VERDICT r3 task 7)
+    — the frequent-items counterpart of `partials.partial_profile`'s HLL/KLL
+    columns, so vocab audits also skip rescans: each ingest batch writes its
+    buckets' summaries next to the data; corpus-wide top tokens are a merge
+    over summary rows, never a token-table rescan.
+
+    Schema per row:
+      (bucket, total_tokens, cap, items: array<struct<token, n_occurrences,
+       n_docs>>)
+    where `items` is the bucket's EXACT per-token stats truncated to the top-m
+    by occurrences (the SpaceSaving/Misra-Gries parallel-merge shape: a
+    truncated exact summary IS an MG summary), and `cap` is the largest
+    occurrence count the truncation dropped (0 if nothing was dropped). `cap`
+    is what makes the merge honest: a token absent from this bucket's items
+    has a count here of at most `cap`, so merged counts carry a certified
+    upper bound (see `merge_vocab_partials`).
+
+    `n_docs` sums exactly across buckets/batches because bucketing is by
+    document (the pipeline's bucket(B, id) layout): a document contributes to
+    exactly one summary row per batch.
+
+    Cost: the same tokenize + two-phase (bucket, token) aggregate as
+    `top_tokens`, plus one window rank per bucket — all JVM-side; at 10^12
+    rows this runs per ingest batch over only that batch's rows."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    if min_len > 1:
+        toks = toks.filter(F.length("token") >= min_len)
+    stats = toks.groupBy("bucket", "token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("_doc").alias("n_docs"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    ranked = stats.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy("bucket").agg(
+        F.sum("n_occurrences").alias("total_tokens"),
+        F.coalesce(
+            F.max(F.when(F.col("_rk") > m, F.col("n_occurrences"))), F.lit(0)
+        ).alias("cap"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rk") <= m,
+                    F.struct(
+                        F.col("_rk").alias("rk"),
+                        F.col("token").alias("token"),
+                        F.col("n_occurrences").alias("n_occurrences"),
+                        F.col("n_docs").alias("n_docs"),
+                    ),
+                )
+            )
+        ).alias("items"),
+    ).withColumn(  # rk made the sort deterministic; drop it from the artifact
+        "items",
+        F.transform(
+            F.col("items"),
+            lambda s: F.struct(
+                s["token"].alias("token"),
+                s["n_occurrences"].alias("n_occurrences"),
+                s["n_docs"].alias("n_docs"),
+            ),
+        ),
+    )
+
+
+def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k tokens from heavy-hitters summary rows (any number of
+    batches × buckets) — no rescan of any text.
+
+    Output: (token, n_occurrences, n_docs, n_occurrences_ub, certified)
+      * n_occurrences / n_docs — sums of the retained per-bucket stats: a
+        LOWER bound on the true count (exact when the token was retained in
+        every summary covering a bucket/batch where it occurs);
+      * n_occurrences_ub — certified upper bound: lower bound + Σ cap over
+        summary rows the token is ABSENT from (it can hide at most `cap`
+        occurrences in each);
+      * certified — true iff n_occurrences_ub == n_occurrences, i.e. every
+        summary not listing the token dropped nothing, so the count is
+        PROVABLY exact (the safety-margin check: pick m so the fixture's
+        top-k certifies, and the merge equals the exact rescan).
+
+    Ranking is by lower bound (desc, token asc) — the MG merge convention;
+    callers needing a certified top-k SET additionally check that the k-th
+    lower bound beats every excluded token's upper bound
+    (`vocab_topk_certified`)."""
+    exploded = parts.select(
+        F.col("cap"), F.explode(F.col("items")).alias("it")
+    ).select(
+        "cap",
+        F.col("it.token").alias("token"),
+        F.col("it.n_occurrences").alias("n_occurrences"),
+        F.col("it.n_docs").alias("n_docs"),
+    )
+    per_token = exploded.groupBy("token").agg(
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("cap").alias("_present_caps"),
+    )
+    total_cap = parts.agg(F.sum("cap").alias("_total_cap"))
+    merged = per_token.crossJoin(F.broadcast(total_cap)).select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        (F.col("n_occurrences") + F.col("_total_cap") - F.col("_present_caps")).alias(
+            "n_occurrences_ub"
+        ),
+    )
+    return (
+        merged.withColumn(
+            "certified", F.col("n_occurrences_ub") == F.col("n_occurrences")
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def vocab_topk_certified(parts: DataFrame, k: int = 25) -> bool:
+    """True iff the merged top-k SET is provably the exact top-k: every
+    retained token's count is certified AND the k-th count is ≥ the upper
+    bound of every token outside the top-k (including never-retained tokens,
+    whose bound is Σ cap). Driver-side: two tiny aggregates over summaries."""
+    top = merge_vocab_partials(parts, k).collect()
+    if len(top) < k or not all(r["certified"] for r in top):
+        return False
+    kth = top[-1]["n_occurrences"]
+    exploded = parts.select(F.col("cap"), F.explode("items").alias("it")).select(
+        "cap",
+        F.col("it.token").alias("token"),
+        F.col("it.n_occurrences").alias("n_occurrences"),
+    )
+    per_token = exploded.groupBy("token").agg(
+        F.sum("n_occurrences").alias("lb"), F.sum("cap").alias("pc")
+    )
+    total_cap = int(parts.agg(F.sum("cap")).collect()[0][0] or 0)
+    topset = [r["token"] for r in top]
+    worst = (
+        per_token.filter(~F.col("token").isin(topset))
+        .agg(F.max(F.col("lb") + F.lit(total_cap) - F.col("pc")))
+        .collect()[0][0]
+    )
+    hidden_bound = max(worst or 0, total_cap)  # never-retained tokens ≤ Σ cap
+    return kth >= hidden_bound
+
+
+def compact_vocab_partials(parts: DataFrame, m: int = 256) -> DataFrame:
+    """Re-emit one summary row per bucket from many (batches × buckets) rows —
+    the periodic compaction step, same role as `partials.compact_partials`.
+    Counts for retained tokens sum exactly; the new `cap` is conservative:
+    Σ old caps (absent-token slack carries over) + the largest combined count
+    the re-truncation drops — so every `merge_vocab_partials` upper bound
+    computed from compacted rows still holds."""
+    from pyspark.sql import Window
+
+    exploded = parts.select(
+        "bucket", F.explode("items").alias("it")
+    ).select(
+        "bucket",
+        F.col("it.token").alias("token"),
+        F.col("it.n_occurrences").alias("n_occurrences"),
+        F.col("it.n_docs").alias("n_docs"),
+    )
+    stats = exploded.groupBy("bucket", "token").agg(
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_occurrences"), F.asc("token"))
+    ranked = stats.withColumn("_rk", F.row_number().over(w))
+    sums = parts.groupBy("bucket").agg(
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("cap").alias("_old_caps"),
+    )
+    folded = ranked.groupBy("bucket").agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rk") > m, F.col("n_occurrences"))), F.lit(0)
+        ).alias("_dropped_cap"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rk") <= m,
+                    F.struct(
+                        F.col("_rk").alias("rk"),
+                        F.col("token").alias("token"),
+                        F.col("n_occurrences").alias("n_occurrences"),
+                        F.col("n_docs").alias("n_docs"),
+                    ),
+                )
+            )
+        ).alias("items"),
+    )
+    return (
+        folded.join(sums, "bucket")
+        .select(
+            "bucket",
+            "total_tokens",
+            (F.col("_old_caps") + F.col("_dropped_cap")).alias("cap"),
+            F.transform(
+                F.col("items"),
+                lambda s: F.struct(
+                    s["token"].alias("token"),
+                    s["n_occurrences"].alias("n_occurrences"),
+                    s["n_docs"].alias("n_docs"),
+                ),
+            ).alias("items"),
+        )
+    )
+
+
 def top_tokens_sql(
     table: str, id_col: str, text_col: str, k: int = 25, min_len: int = 1
 ) -> str:

@@ -43,3 +43,138 @@ def test_top_tokens_plan_is_bounded_topk_no_python(spark):
     )
     assert "TakeOrderedAndProject" in plan  # never a global sort
     assert "Python" not in plan
+
+# ───────────────────────── mergeable heavy hitters ─────────────────────────
+
+
+def _corpus(spark, n_docs=400, seed=3):
+    """Zipf-ish synthetic corpus: a head vocabulary everyone shares plus a
+    long per-doc tail, bucketed by doc id — enough skew that truncation at
+    small m actually drops tokens."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    head = [f"hot{i}" for i in range(12)]
+    rows = []
+    for d in range(n_docs):
+        toks = []
+        for i, h in enumerate(head):
+            toks += [h] * int(rng.poisson(12 - i) + (1 if i < 4 else 0))
+        toks += [f"tail{d}x{j}" for j in range(rng.randint(3, 9))]
+        rng.shuffle(toks)
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.withColumn(
+        "_b", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(8)).cast("int")
+    )
+
+
+def test_vocab_partials_merge_equals_exact_topk(spark):
+    """VERDICT r3 task 7: merged heavy-hitter summaries reproduce the exact
+    rescan top-k — values AND set — at the safety margin, with the guarantee
+    CERTIFIED by the cap arithmetic, not assumed."""
+    from data_quality_check_spark.operators.vocab import (
+        merge_vocab_partials,
+        top_tokens,
+        vocab_partial,
+        vocab_topk_certified,
+    )
+
+    df = _corpus(spark)
+    parts = vocab_partial(df, "_b", "doc_id", "text", m=64).persist()
+    try:
+        exact = top_tokens(df, "doc_id", "text", k=10).collect()
+        merged = merge_vocab_partials(parts, k=10).collect()
+        assert [(r.token, r.n_occurrences, r.n_docs) for r in merged] == [
+            (r.token, r.n_occurrences, r.n_docs) for r in exact
+        ]
+        assert all(r.certified for r in merged)
+        assert vocab_topk_certified(parts, k=10)
+        # truncation really bit (this is a summary, not the full token table)
+        n_items = parts.select(F.explode("items")).count()
+        n_tokens = df.select(
+            F.explode(F.split(F.col("text"), " "))
+        ).distinct().count()
+        assert n_items < n_tokens
+    finally:
+        parts.unpersist()
+
+
+def test_vocab_partials_batch_merge_invariance(spark):
+    """Summaries from two disjoint ingest batches merge to the same certified
+    top-k as one whole-corpus pass — the no-rescan maintenance property."""
+    from data_quality_check_spark.operators.vocab import (
+        merge_vocab_partials,
+        vocab_partial,
+    )
+
+    df = _corpus(spark)
+    whole = vocab_partial(df, "_b", "doc_id", "text", m=64)
+    b1 = vocab_partial(df.filter("doc_id < 200"), "_b", "doc_id", "text", m=64)
+    b2 = vocab_partial(df.filter("doc_id >= 200"), "_b", "doc_id", "text", m=64)
+    a = merge_vocab_partials(whole, k=10).collect()
+    b = merge_vocab_partials(b1.unionByName(b2), k=10).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in a] == [
+        (r.token, r.n_occurrences, r.n_docs) for r in b
+    ]
+
+
+def test_vocab_compact_preserves_merge_and_bounds(spark):
+    """Compaction folds batches×buckets rows to one per bucket: retained
+    counts unchanged, upper bounds still valid (conservative), same top-k."""
+    from data_quality_check_spark.operators.vocab import (
+        compact_vocab_partials,
+        merge_vocab_partials,
+        vocab_partial,
+    )
+
+    df = _corpus(spark)
+    b1 = vocab_partial(df.filter("doc_id < 200"), "_b", "doc_id", "text", m=64)
+    b2 = vocab_partial(df.filter("doc_id >= 200"), "_b", "doc_id", "text", m=64)
+    parts = b1.unionByName(b2)
+    comp = compact_vocab_partials(parts, m=64)
+    assert comp.count() == 8  # one row per bucket again
+    assert sorted(comp.columns) == sorted(parts.columns)
+    a = merge_vocab_partials(parts, k=10).collect()
+    b = merge_vocab_partials(comp, k=10).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in a] == [
+        (r.token, r.n_occurrences, r.n_docs) for r in b
+    ]
+    # compacted bounds are conservative: ub_compacted >= ub_raw per token
+    ub_a = {r.token: r.n_occurrences_ub for r in a}
+    assert all(r.n_occurrences_ub >= ub_a[r.token] for r in b)
+
+
+def test_vocab_uncertified_when_m_too_small(spark):
+    """With m below the safety margin the certificate must REFUSE (caps make
+    the truncation honest) rather than silently return a wrong top-k."""
+    from data_quality_check_spark.operators.vocab import (
+        merge_vocab_partials,
+        vocab_partial,
+        vocab_topk_certified,
+    )
+
+    df = _corpus(spark)
+    parts = vocab_partial(df, "_b", "doc_id", "text", m=2)
+    assert not vocab_topk_certified(parts, k=10)
+    got = merge_vocab_partials(parts, k=10).collect()
+    assert any(not r.certified for r in got) or len(got) < 10
+
+
+def test_vocab_merge_query_certifies_on_gate_fixture(spark):
+    """The registered vocab_merge_top_tokens_documents query's safety margin
+    (m=2048) must CERTIFY on the sf0.01 gate table — the oracle equality in
+    the driver gate is then guaranteed by arithmetic, not fixture luck."""
+    import os
+
+    from data_quality_check_spark.operators.vocab import (
+        vocab_partial,
+        vocab_topk_certified,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).withColumn(
+        "_b", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(16)).cast("int")
+    )
+    parts = vocab_partial(docs, "_b", "doc_id", "text", m=2048, min_len=2)
+    assert vocab_topk_certified(parts, k=25)
