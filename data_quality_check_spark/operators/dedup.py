@@ -30,6 +30,13 @@ from data_quality_check_spark.session import parallelize_scan
 
 _PINNED: list = []  # frames pinned by _pin/localCheckpoint awaiting release
 
+# thread-local stack of active pin_scope() registries (VERDICT r3 item 8):
+# inside a scope, _pin registers to the scope instead of the process-global
+# list, so concurrent drivers each release exactly their own pins
+import threading as _threading
+
+_PIN_SCOPES = _threading.local()
+
 # Candidate-volume observability (VERDICT r2 item 7): every banded candidate
 # generator routes its pre-verify pair frame through observe_candidates(), so
 # the candidate count rides along with the consuming action (an `observe` node
@@ -54,20 +61,40 @@ def candidate_counts(reset: bool = True) -> dict[str, int]:
     whose plan never executed are skipped (never blocks).
 
     Uses the JVM observation's non-blocking `getOrEmpty` (scala Map → `apply`
-    for the value — `get` would hand back an Option object). There is
-    deliberately NO fallback to the blocking `Observation.get`: on a runtime
-    without `_jo` (e.g. Spark Connect) an un-executed observation would hang
-    forever, so absent the non-blocking accessor the count is simply skipped."""
+    for the value — `get` would hand back an Option object), falling back to
+    the equally non-blocking `getRowOrEmpty` + positional get: under AQE at
+    large scale the listener can deliver the metrics row WITHOUT a schema, and
+    `getOrEmpty` then NPEs mapping names (observed at 10⁷-row hamming runs) —
+    the row itself still carries the value, and observe_candidates attaches
+    exactly ONE metric, so position 0 is it. There is deliberately NO fallback
+    to the blocking `Observation.get`: on a runtime without `_jo` (e.g. Spark
+    Connect) an un-executed observation would hang forever, so absent the
+    non-blocking accessors the count is simply skipped.
+
+    Known gap (best-effort by design): when the consuming query's RESULT is
+    empty, AQE's `AQEPropagateEmptyRelation` re-plans the downstream stages to
+    an empty LocalRelation after the candidate stage already ran, and the
+    metrics row is delivered EMPTY (size 0, schema null) — both accessors
+    throw and the count is skipped. Real dedup corpora return pairs, so this
+    only bites all-unique inputs; a measurement harness that needs the count
+    on empty results excludes that one rule via
+    `spark.sql.adaptive.optimizer.excludedRules` (see bench_hamming.py) —
+    verified to restore exact counts without disabling AQE itself."""
     out: dict[str, int] = {}
     for op, obs in list(CANDIDATE_OBS.items()):
-        try:
-            jo = getattr(obs, "_jo", None)
-            if jo is not None:
+        jo = getattr(obs, "_jo", None)
+        if jo is not None:
+            try:
                 jmap = jo.getOrEmpty()
                 if jmap.size() > 0:
                     out[op] = int(jmap.apply("candidates"))
-        except Exception:
-            pass
+            except Exception:
+                try:
+                    jrow = jo.getRowOrEmpty()
+                    if jrow.isDefined():
+                        out[op] = int(jrow.get().get(0))
+                except Exception:
+                    pass
         if reset:
             CANDIDATE_OBS.pop(op, None)
     return out
@@ -85,9 +112,11 @@ def _pin(df: DataFrame) -> DataFrame:
     Every pinned frame is registered; call `release_pins()` after the consuming
     action so long-lived sessions (bench.py runs 36+ queries in one session)
     free storage memory deterministically instead of waiting for eviction
-    (ADVICE r1)."""
+    (ADVICE r1). Inside a `pin_scope()` block the frame registers to that
+    scope instead, so concurrent threads don't release each other's pins."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.append(df)
+    stack = getattr(_PIN_SCOPES, "stack", None)
+    (stack[-1] if stack else _PINNED).append(df)
     return df
 
 
@@ -102,10 +131,14 @@ def release_pins() -> int:
     assumes the session runs queries single-threaded (the driver/bench/test
     model). Releasing from one thread while another's query is mid-flight is
     still CORRECT (recompute-safe) but forfeits that query's self-join dedup
-    benefit; concurrent drivers should scope their own persist/unpersist."""
+    benefit; concurrent drivers wrap each query in `pin_scope()` instead."""
+    return _release_list(_PINNED)
+
+
+def _release_list(frames: list) -> int:
     n = 0
-    while _PINNED:
-        df = _PINNED.pop()
+    while frames:
+        df = frames.pop()
         try:
             df.unpersist()  # no-op for localCheckpoint'd frames …
             n += 1
@@ -113,6 +146,36 @@ def release_pins() -> int:
             pass
         _release_local_checkpoint(df)  # … which this handles (and vice versa)
     return n
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def pin_scope():
+    """Scope pin registration to this block AND this thread (VERDICT r3
+    item 8): frames pinned inside register to the scope, not the process-global
+    list, and are released on exit — so concurrent library threads can each run
+    queries without forfeiting (or clobbering) each other's self-join pins.
+
+        with pin_scope():
+            pairs = minhash_lsh_pairs(df, ...).collect()
+        # this thread's signature pins are released here; other threads'
+        # pins (scoped or global) are untouched
+
+    Scopes nest (innermost wins); the global `release_pins()` contract is
+    unchanged for single-threaded drivers."""
+    stack = getattr(_PIN_SCOPES, "stack", None)
+    if stack is None:
+        stack = []
+        _PIN_SCOPES.stack = stack
+    scope: list = []
+    stack.append(scope)
+    try:
+        yield
+    finally:
+        stack.remove(scope)
+        _release_list(scope)
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

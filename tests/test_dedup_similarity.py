@@ -677,3 +677,63 @@ def test_ivf_assignment_ignores_batch_composition(spark):
     )
     assert got["cell"].iloc[:60].isna().all()  # corrupt rows: no cell
     assert (got["cell"].iloc[60:] == 0).all()  # valid rows keep their cell
+
+
+def test_pin_scope_isolates_and_releases(spark, docs):
+    """VERDICT r3 item 8: pins made inside pin_scope() register to the scope
+    (not the global registry) and are released on exit; concurrent threads
+    each keep their own pins and compute correct results."""
+    import threading
+
+    from data_quality_check_spark.operators.dedup import (
+        _PINNED,
+        _pin,
+        pin_scope,
+        release_pins,
+    )
+
+    pdf, df = docs
+    release_pins()
+    # scoped pin: global registry untouched, released (uncached) on exit
+    with pin_scope():
+        pinned = _pin(df.select("doc_id"))
+        pinned.count()
+        assert pinned.storageLevel.useMemory
+        assert all(p is not pinned for p in _PINNED)
+    assert not pinned.storageLevel.useMemory
+    # outside any scope, _pin goes global again and release_pins drains it
+    g = _pin(df.select("doc_id"))
+    assert any(p is g for p in _PINNED)
+    assert release_pins() >= 1
+
+    # two threads under pin_scope run pinned self-join queries concurrently
+    # and both get the single-thread answer
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5, ngram=1
+        ).collect()
+    )
+    release_pins()  # the unscoped `want` run pinned globally — drain it
+    results, errors = {}, []
+
+    def run(tag):
+        try:
+            with pin_scope():
+                got = sorted(
+                    (r.id_a, r.id_b)
+                    for r in DD.minhash_lsh_pairs(
+                        df, "doc_id", "text",
+                        num_hashes=32, bands=16, threshold=0.5, ngram=1,
+                    ).collect()
+                )
+                results[tag] = got
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errors.append((tag, repr(e)))
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    assert results[0] == results[1] == want
+    assert len(_PINNED) == 0  # nothing leaked into the global registry
