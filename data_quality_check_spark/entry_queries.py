@@ -1107,7 +1107,10 @@ def _shared_ivf_index(spark: SparkSession, sf_dir: str):
     from data_quality_check_spark.sources.tables import TableIO
 
     def build_into(tmp: str) -> None:
-        io_tmp = TableIO(spark, warehouse=tmp)
+        # backend="parquet": scratch warehouses are per-fingerprint PATHS; the
+        # Iceberg catalog's warehouse is session-fixed, so routing through it
+        # would ignore `tmp` and serve stale artifacts across fingerprints
+        io_tmp = TableIO(spark, warehouse=tmp, backend="parquet")
         SIM.ivf_build_index(
             io_tmp,
             t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
@@ -1117,7 +1120,7 @@ def _shared_ivf_index(spark: SparkSession, sf_dir: str):
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     path = _scratch_build_dir(sf_dir, "ivf_index_c10", build_into, ext=".wh")
-    return TableIO(spark, warehouse=path)
+    return TableIO(spark, warehouse=path, backend="parquet")
 
 
 # Same oracle as ann_ivf_topk_embeddings: identical centroids (same kernel,
@@ -1301,38 +1304,25 @@ def _seen_corpus_artifacts(spark: SparkSession, sf_dir: str) -> "DD.SeenCorpusAr
     once per (input-content, tag) like _scratch_materialize, so every later
     run pays only the O(increment) path (VERDICT r3 task 1: the bench cost of
     dedup_incremental_documents drops to the increment-only floor). Same
-    atomic-rename publication: the meta table is only present in a fully
-    initialized warehouse because init() writes it last and the rename is
-    all-or-nothing."""
-    import hashlib
-    import shutil
-    import tempfile
-    import uuid
-
+    atomic-rename publication via `_scratch_build_dir` (shared lost-the-race
+    and crashed-build self-heal handling), with a `_SUCCESS` marker touched
+    after init() so a half-built warehouse is never mistaken for a healthy
+    one."""
     from data_quality_check_spark.sources.tables import TableIO
 
     def art_for(warehouse: str) -> DD.SeenCorpusArtifacts:
+        # backend="parquet": same reasoning as _shared_ivf_index — scratch
+        # warehouses are per-fingerprint paths the session catalog can't honor
         return DD.SeenCorpusArtifacts(
-            TableIO(spark, warehouse), ngram=_SHINGLE_N
+            TableIO(spark, warehouse, backend="parquet"), ngram=_SHINGLE_N
         )
 
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), "dqx_query_scratch", key,
-        f"seen_corpus_{_QUERY_SCRATCH_TAG}_{_sf_fingerprint(sf_dir)}",
-    )
-    if not art_for(path).exists():
-        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    def build_into(tmp: str) -> None:
         docs = t(spark, sf_dir, "documents")
         art_for(tmp).init(docs.filter(F.col("doc_id") % 4 != 0), "doc_id", "text")
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if art_for(path).exists():
-                shutil.rmtree(tmp, ignore_errors=True)  # lost the race — keep winner
-            else:
-                shutil.rmtree(path, ignore_errors=True)  # crashed build: self-heal
-                os.rename(tmp, path)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    path = _scratch_build_dir(sf_dir, "seen_corpus", build_into, ext=".wh")
     return art_for(path)
 
 

@@ -622,8 +622,14 @@ def ann_ivf_topk_indexed(
     lets the scan prune partitions statically: only the probed cells' files
     are opened, ~nprobe/n_centroids of the corpus for a tight query batch."""
     cents = ivf_load_centroids(io, name)
-    if "_qn" in queries.columns:
-        raise ValueError("query columns collide with reserved norm name: _qn")
+    # same reserved-name contract as _hoist_norms: the candidate side aliases
+    # its stored norm to _cn, so a query column named _cn would duplicate
+    # after the join just like _qn would
+    for reserved in ("_qn", "_cn"):
+        if reserved in queries.columns:
+            raise ValueError(
+                f"query columns collide with reserved norm name: {reserved}"
+            )
     queries = queries.withColumn("_qn", _norm(F.col(qvec_col))).filter(F.col("_qn") > 0)
     q = queries.withColumn(
         "cell", F.explode(ivf_probe_udf(cents, nprobe)(F.col(qvec_col)))

@@ -75,14 +75,18 @@ def vocab_partial(
 
     Schema per row:
       (bucket, total_tokens, cap, items: array<struct<token, n_occurrences,
-       n_docs>>)
+       n_docs, err>>)
     where `items` is the bucket's EXACT per-token stats truncated to the top-m
     by occurrences (the SpaceSaving/Misra-Gries parallel-merge shape: a
     truncated exact summary IS an MG summary), and `cap` is the largest
     occurrence count the truncation dropped (0 if nothing was dropped). `cap`
     is what makes the merge honest: a token absent from this bucket's items
     has a count here of at most `cap`, so merged counts carry a certified
-    upper bound (see `merge_vocab_partials`).
+    upper bound (see `merge_vocab_partials`). `err` is the retained token's
+    OWN slack — 0 on a fresh build (retained counts are exact for the rows
+    summarized) and accumulated by `compact_vocab_partials`, where a token
+    retained in some constituent summaries but truncated out of others can
+    hide up to the missing summaries' caps behind its retained count.
 
     `n_docs` sums exactly across buckets/batches because bucketing is by
     document (the pipeline's bucket(B, id) layout): a document contributes to
@@ -136,6 +140,7 @@ def vocab_partial(
                 s["token"].alias("token"),
                 s["n_occurrences"].alias("n_occurrences"),
                 s["n_docs"].alias("n_docs"),
+                F.lit(0).cast("long").alias("err"),  # fresh build: counts exact
             ),
         ),
     )
@@ -149,13 +154,15 @@ def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
       * n_occurrences / n_docs — sums of the retained per-bucket stats: a
         LOWER bound on the true count (exact when the token was retained in
         every summary covering a bucket/batch where it occurs);
-      * n_occurrences_ub — certified upper bound: lower bound + Σ cap over
-        summary rows the token is ABSENT from (it can hide at most `cap`
+      * n_occurrences_ub — certified upper bound: lower bound + the token's
+        own accumulated `err` slack (nonzero only after compaction) + Σ cap
+        over summary rows the token is ABSENT from (it can hide at most `cap`
         occurrences in each);
       * certified — true iff n_occurrences_ub == n_occurrences, i.e. every
-        summary not listing the token dropped nothing, so the count is
-        PROVABLY exact (the safety-margin check: pick m so the fixture's
-        top-k certifies, and the merge equals the exact rescan).
+        summary not listing the token dropped nothing AND the token carries
+        no compaction slack, so the count is PROVABLY exact (the
+        safety-margin check: pick m so the fixture's top-k certifies, and
+        the merge equals the exact rescan).
 
     Ranking is by lower bound (desc, token asc) — the MG merge convention;
     callers needing a certified top-k SET additionally check that the k-th
@@ -168,20 +175,25 @@ def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
         F.col("it.token").alias("token"),
         F.col("it.n_occurrences").alias("n_occurrences"),
         F.col("it.n_docs").alias("n_docs"),
+        F.col("it.err").alias("err"),
     )
     per_token = exploded.groupBy("token").agg(
         F.sum("n_occurrences").alias("n_occurrences"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("cap").alias("_present_caps"),
+        F.sum("err").alias("_err"),
     )
     total_cap = parts.agg(F.sum("cap").alias("_total_cap"))
     merged = per_token.crossJoin(F.broadcast(total_cap)).select(
         "token",
         "n_occurrences",
         "n_docs",
-        (F.col("n_occurrences") + F.col("_total_cap") - F.col("_present_caps")).alias(
-            "n_occurrences_ub"
-        ),
+        (
+            F.col("n_occurrences")
+            + F.col("_err")
+            + F.col("_total_cap")
+            - F.col("_present_caps")
+        ).alias("n_occurrences_ub"),
     )
     return (
         merged.withColumn(
@@ -205,52 +217,85 @@ def vocab_topk_certified(parts: DataFrame, k: int = 25) -> bool:
         "cap",
         F.col("it.token").alias("token"),
         F.col("it.n_occurrences").alias("n_occurrences"),
+        F.col("it.err").alias("err"),
     )
     per_token = exploded.groupBy("token").agg(
-        F.sum("n_occurrences").alias("lb"), F.sum("cap").alias("pc")
+        F.sum("n_occurrences").alias("lb"),
+        F.sum("cap").alias("pc"),
+        F.sum("err").alias("err"),
     )
     total_cap = int(parts.agg(F.sum("cap")).collect()[0][0] or 0)
     topset = [r["token"] for r in top]
     worst = (
         per_token.filter(~F.col("token").isin(topset))
-        .agg(F.max(F.col("lb") + F.lit(total_cap) - F.col("pc")))
+        .agg(F.max(F.col("lb") + F.col("err") + F.lit(total_cap) - F.col("pc")))
         .collect()[0][0]
     )
     hidden_bound = max(worst or 0, total_cap)  # never-retained tokens ≤ Σ cap
-    return kth >= hidden_bound
+    # STRICT: at kth == hidden_bound an excluded token could tie the k-th
+    # count and win the (count desc, token asc) tie-break — the SET would
+    # depend on a name the summaries may not even retain, so refuse.
+    return kth > hidden_bound
 
 
 def compact_vocab_partials(parts: DataFrame, m: int = 256) -> DataFrame:
     """Re-emit one summary row per bucket from many (batches × buckets) rows —
     the periodic compaction step, same role as `partials.compact_partials`.
-    Counts for retained tokens sum exactly; the new `cap` is conservative:
-    Σ old caps (absent-token slack carries over) + the largest combined count
-    the re-truncation drops — so every `merge_vocab_partials` upper bound
-    computed from compacted rows still holds."""
+
+    Retained counts sum exactly over the summaries that LISTED the token; the
+    occurrences a constituent summary truncated away instead land in the
+    retained token's `err` slack: err_new = Σ err over listing summaries +
+    Σ cap over the bucket's summaries that did NOT list it (it can hide at
+    most `cap` in each). That keeps `merge_vocab_partials`' invariant — a
+    listed token's true count ∈ [n_occurrences, n_occurrences + err] — true
+    ACROSS compaction, so certificates stay sound: a token whose count became
+    uncertain is visibly uncertain (err > 0), never silently "exact".
+
+    The compacted row's `cap` bounds every token NOT in the new items:
+    greatest(Σ old caps — covers tokens no constituent listed — and the
+    largest (count + err) the re-truncation dropped)."""
     from pyspark.sql import Window
 
     exploded = parts.select(
-        "bucket", F.explode("items").alias("it")
+        "bucket", F.col("cap").alias("_row_cap"), F.explode("items").alias("it")
     ).select(
         "bucket",
+        "_row_cap",
         F.col("it.token").alias("token"),
         F.col("it.n_occurrences").alias("n_occurrences"),
         F.col("it.n_docs").alias("n_docs"),
+        F.col("it.err").alias("err"),
     )
-    stats = exploded.groupBy("bucket", "token").agg(
-        F.sum("n_occurrences").alias("n_occurrences"),
-        F.sum("n_docs").alias("n_docs"),
-    )
-    w = Window.partitionBy("bucket").orderBy(F.desc("n_occurrences"), F.asc("token"))
-    ranked = stats.withColumn("_rk", F.row_number().over(w))
     sums = parts.groupBy("bucket").agg(
         F.sum("total_tokens").alias("total_tokens"),
         F.sum("cap").alias("_old_caps"),
     )
+    # per (bucket, token): exact sums over listing summaries, plus the caps of
+    # those summaries (a token appears at most once per summary row, so
+    # sum(_row_cap) here is exactly Σ cap over listing rows)
+    stats = (
+        exploded.groupBy("bucket", "token")
+        .agg(
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("err").alias("_err_listed"),
+            F.sum("_row_cap").alias("_listed_caps"),
+        )
+        .join(sums.select("bucket", "_old_caps"), "bucket")
+        .withColumn(
+            "err",
+            F.col("_err_listed") + F.col("_old_caps") - F.col("_listed_caps"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_occurrences"), F.asc("token"))
+    ranked = stats.withColumn("_rk", F.row_number().over(w))
     folded = ranked.groupBy("bucket").agg(
         F.coalesce(
-            F.max(F.when(F.col("_rk") > m, F.col("n_occurrences"))), F.lit(0)
-        ).alias("_dropped_cap"),
+            F.max(
+                F.when(F.col("_rk") > m, F.col("n_occurrences") + F.col("err"))
+            ),
+            F.lit(0),
+        ).alias("_dropped_ub"),
         F.array_sort(
             F.collect_list(
                 F.when(
@@ -260,6 +305,7 @@ def compact_vocab_partials(parts: DataFrame, m: int = 256) -> DataFrame:
                         F.col("token").alias("token"),
                         F.col("n_occurrences").alias("n_occurrences"),
                         F.col("n_docs").alias("n_docs"),
+                        F.col("err").alias("err"),
                     ),
                 )
             )
@@ -270,13 +316,14 @@ def compact_vocab_partials(parts: DataFrame, m: int = 256) -> DataFrame:
         .select(
             "bucket",
             "total_tokens",
-            (F.col("_old_caps") + F.col("_dropped_cap")).alias("cap"),
+            F.greatest(F.col("_old_caps"), F.col("_dropped_ub")).alias("cap"),
             F.transform(
                 F.col("items"),
                 lambda s: F.struct(
                     s["token"].alias("token"),
                     s["n_occurrences"].alias("n_occurrences"),
                     s["n_docs"].alias("n_docs"),
+                    s["err"].alias("err"),
                 ),
             ).alias("items"),
         )

@@ -372,12 +372,17 @@ def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
 
 
 def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> DataFrame:
-    """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason."""
+    """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason.
+    Honors the FULL FilterConfig — including contamination_eval_path — so its
+    verdicts always agree with run_filter's for the same config (a config
+    option this path silently ignored would make the two public decision APIs
+    disagree)."""
     if "rid" not in df.columns:
         df = with_rid(df)
     if dups is None:
         dups = decisions_for(df, cfg)
-    return finalize(score_rows(df, cfg), cfg, dups)
+    contaminated = contamination_decisions(df.sparkSession, df, cfg)
+    return finalize(score_rows(df, cfg), cfg, dups, contaminated=contaminated)
 
 
 def _mixture_ok_col(cfg: FilterConfig) -> F.Column:
@@ -491,7 +496,10 @@ def contamination_decisions(
 
     eval_df = spark.read.parquet(cfg.contamination_eval_path)
     if cfg.contamination_text_col != "caption":
-        eval_df = eval_df.withColumnRenamed(cfg.contamination_text_col, "caption")
+        # select-and-alias, not withColumnRenamed: the eval parquet may ALSO
+        # carry a 'caption' column (common for caption benchmarks), and a
+        # rename would produce two ambiguous 'caption' columns
+        eval_df = eval_df.select(F.col(cfg.contamination_text_col).alias("caption"))
     overlap = contamination_overlap(
         df.select("image_id", "caption"),
         eval_df,

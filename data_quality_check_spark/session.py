@@ -119,10 +119,13 @@ def get_spark(
     # getActiveSession is thread-local; getOrCreate ALSO reuses the
     # process-global default session created by another thread, so check both
     # or the reconciliation/warning below silently skips exactly the case it
-    # exists for.
+    # exists for. PySpark exposes no public default-session accessor (classic
+    # mode) — `_instantiatedSession` IS that slot (what getOrCreate consults);
+    # guarded getattr so Connect/other runtimes without it degrade to the
+    # thread-local check rather than breaking.
     reused = (
         SparkSession.getActiveSession() is not None
-        or getattr(SparkSession, "getDefaultSession", lambda: None)() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
     )
     spark = builder.getOrCreate()
     if reused:

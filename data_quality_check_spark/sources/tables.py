@@ -33,11 +33,21 @@ class TableIO:
         spark: SparkSession,
         warehouse: str,
         catalog: str = "local",
+        backend: str = "auto",
     ) -> None:
+        """`backend="auto"` uses Iceberg when the session has it, else the
+        parquet layout. Pass `backend="parquet"` to FORCE the path-based
+        layout even when Iceberg is available: the Iceberg catalog's
+        warehouse is fixed at session build, so a TableIO whose `warehouse`
+        is a caller-chosen path (per-fingerprint scratch, mktemp test dirs)
+        must not silently route through the shared catalog — names would
+        collide across fingerprints and `warehouse` would never be read."""
+        if backend not in ("auto", "parquet"):
+            raise ValueError(f"unknown TableIO backend: {backend!r}")
         self.spark = spark
         self.warehouse = warehouse
         self.catalog = catalog
-        self.use_iceberg = iceberg_available()
+        self.use_iceberg = backend == "auto" and iceberg_available()
 
     # ---------- naming ----------
 

@@ -760,3 +760,42 @@ def test_audit_reports_zero_keep_run_instead_of_crashing(spark, tmp_path):
     assert not rep["passed"]
     failed = {c["name"] for c in rep["checks"] if not c["passed"]}
     assert "min_rows_kept" in failed and "staged_rows_match_manifest" not in failed
+
+
+def test_decide_honors_contamination_config(
+    spark, fixture_paths, pipeline_out, tmp_path_factory
+):
+    """The per-row decision API and run_filter must agree on EVERY FilterConfig
+    option: decide() with contamination_eval_path set drops an
+    otherwise-kept caption with reason 'contamination'. (Regression: decide()
+    used to call finalize() without the contamination table, silently keeping
+    rows run_filter would drop.)"""
+    from data_quality_check_spark.pipeline.run import FilterConfig, decide
+
+    _, path = fixture_paths
+    default_out, _, _ = pipeline_out
+    # an id the DEFAULT config keeps — contamination must be the only delta
+    kept = (
+        spark.read.parquet(os.path.join(default_out, "filtered"))
+        .select("image_id", "caption")
+        .orderBy("image_id")
+        .limit(1)
+        .collect()[0]
+    )
+    eval_path = str(tmp_path_factory.mktemp("evalset2") / "eval.parquet")
+    pd.DataFrame({"question": [kept.caption]}).to_parquet(eval_path)
+
+    cfg = FilterConfig(
+        contamination_eval_path=eval_path,
+        contamination_text_col="question",
+        contamination_threshold_pct=50,
+    )
+    df = spark.read.parquet(path)
+    row = {
+        r.image_id: r
+        for r in decide(df, cfg)
+        .filter(F.col("image_id") == kept.image_id)
+        .collect()
+    }[kept.image_id]
+    assert row.flag_contamination
+    assert not row.keep and row.drop_reason == "contamination"

@@ -74,3 +74,24 @@ def test_append_into_bucketed_layout_keeps_partitions(spark, tmp_path):
     for b in range(4):
         got |= {r["id"] for r in io.read_buckets("t", "id", 4, [b]).collect()}
     assert got == set(range(60))  # appended rows visible to bucket scans
+
+
+def test_tableio_backend_parquet_is_path_scoped(spark, tmp_path):
+    """backend='parquet' pins the path-based layout regardless of Iceberg
+    availability — the contract per-fingerprint scratch warehouses rely on
+    (the Iceberg catalog's warehouse is session-fixed, so it cannot honor a
+    caller-chosen path). Unknown backends are refused loudly."""
+    import os
+
+    import pytest
+
+    from data_quality_check_spark.sources.tables import TableIO
+
+    io = TableIO(spark, warehouse=str(tmp_path / "wh_forced"), backend="parquet")
+    assert io.use_iceberg is False  # even if a future session has the jar
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit("v").alias("val"))
+    io.overwrite(df, "scoped.t")
+    assert os.path.isdir(str(tmp_path / "wh_forced" / "scoped" / "t"))
+    assert io.read("scoped.t").count() == 5
+    with pytest.raises(ValueError, match="backend"):
+        TableIO(spark, warehouse=str(tmp_path), backend="delta")

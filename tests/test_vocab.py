@@ -178,3 +178,60 @@ def test_vocab_merge_query_certifies_on_gate_fixture(spark):
     )
     parts = vocab_partial(docs, "_b", "doc_id", "text", m=2048, min_len=2)
     assert vocab_topk_certified(parts, k=25)
+
+
+def test_vocab_compaction_cannot_fake_certainty(spark):
+    """A token truncated out of one batch's summary but retained in another's
+    must NOT come out of compaction with a 'provably exact' count: its err
+    slack carries the truncating batch's cap, the merge ub covers the true
+    count, and certified is False. (Regression: compaction used to erase the
+    absent-row attribution, so the merge subtracted the full row cap for
+    'present' tokens and under-reported the upper bound.)"""
+    from data_quality_check_spark.operators.vocab import (
+        compact_vocab_partials,
+        merge_vocab_partials,
+        vocab_partial,
+        vocab_topk_certified,
+    )
+
+    # batch 1: 'victim' occurs 5x but m=2 truncates it (hot1/hot2 dominate);
+    # batch 2: 'victim' is hot and retained. One bucket throughout.
+    b1 = spark.createDataFrame(
+        [(1, "hot1 " * 9 + "hot2 " * 8 + "victim " * 5)], "doc_id long, text string"
+    ).withColumn("_b", F.lit(0))
+    b2 = spark.createDataFrame(
+        [(2, "victim " * 7 + "hot1 " * 2)], "doc_id long, text string"
+    ).withColumn("_b", F.lit(0))
+    p1 = vocab_partial(b1, "_b", "doc_id", "text", m=2)
+    p2 = vocab_partial(b2, "_b", "doc_id", "text", m=2)
+    comp = compact_vocab_partials(p1.unionByName(p2), m=8)
+
+    got = {r.token: r for r in merge_vocab_partials(comp, k=8).collect()}
+    v = got["victim"]
+    true_count = 12  # 5 (truncated in batch 1) + 7 (retained in batch 2)
+    assert v.n_occurrences <= true_count <= v.n_occurrences_ub
+    assert not v.certified  # the lost batch-1 attribution is visible slack
+    # and the raw (uncompacted) merge tells the same honest story
+    raw = {r.token: r for r in merge_vocab_partials(p1.unionByName(p2), k=8).collect()}
+    assert raw["victim"].n_occurrences_ub >= true_count
+    assert not vocab_topk_certified(comp, k=3)
+
+
+def test_vocab_certificate_refuses_boundary_ties(spark):
+    """If an excluded token's upper bound TIES the k-th retained count, the
+    top-k SET depends on the (count desc, token asc) tie-break over a token
+    the summaries may not retain — the certificate must refuse. (Regression:
+    the comparison was >=.)"""
+    from data_quality_check_spark.operators.vocab import (
+        vocab_partial,
+        vocab_topk_certified,
+    )
+
+    # 'apple' and 'zebra' tie at 4 occurrences; m=1 retains only one per
+    # bucket-batch summary, so the other is truncation slack with cap 4 —
+    # hidden_bound == kth == 4 exactly.
+    df = spark.createDataFrame(
+        [(1, "apple " * 4 + "zebra " * 4)], "doc_id long, text string"
+    ).withColumn("_b", F.lit(0))
+    parts = vocab_partial(df, "_b", "doc_id", "text", m=1)
+    assert not vocab_topk_certified(parts, k=1)
