@@ -939,6 +939,45 @@ class SeenCorpusArtifacts:
         finally:
             _release_local_checkpoint(snap)
 
+    def append_once(
+        self, committed_df: DataFrame, id_col: str, text_col: str, token: str
+    ) -> bool:
+        """`append` with an idempotency token — the at-least-once caller's API
+        (streaming foreachBatch, retried orchestration steps). The token is
+        recorded in a `{name}_applied` table AFTER the data appends commit, so:
+
+          * a replayed call with an already-recorded token is a no-op
+            (returns False);
+          * a crash BETWEEN the data appends and the token write makes the
+            replay re-append the same rows — which is safe by construction:
+            every consumer reads fps through semi-joins, band hits through a
+            distinct'd candidate table, and shingle sets through per-pair
+            confirms that dedup on ids, so duplicate artifact rows cost
+            storage, never correctness (and the next compaction absorbs them).
+
+        Streaming callers should key the token on the STREAMING batch id
+        (stable across restarts of the same checkpoint), not a per-run id —
+        a restarted run replaying the batch must see the same token."""
+        if self.token_applied(token):
+            return False
+        self.append(committed_df, id_col, text_col)
+        spark = committed_df.sparkSession
+        self.io.append(
+            spark.createDataFrame([(token,)], "token string"), self._t("applied")
+        )
+        return True
+
+    def token_applied(self, token: str) -> bool:
+        """True iff an `append_once` with this token committed fully — i.e.
+        the append is the LAST side effect of whatever unit of work the token
+        names, so a true here means that unit needs no reprocessing."""
+        applied = self._t("applied")
+        if not self.io.exists(applied):
+            return False
+        return bool(
+            self.io.read(applied).filter(F.col("token") == token).limit(1).count()
+        )
+
     def fingerprints(self) -> DataFrame:
         return self.io.read(self._t("fp")).select("fp")
 

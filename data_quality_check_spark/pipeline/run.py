@@ -104,6 +104,10 @@ DROP_REASONS = [
     "duplicate",
     "contamination",
     "mixture",
+    # streaming-only (run_stream_filter seen_artifacts=): caption content
+    # already in the persisted seen corpus or an earlier micro-batch — never
+    # fires in the batch job, so batch metrics rows just carry a zero column
+    "corpus_duplicate",
 ]
 
 
@@ -457,6 +461,10 @@ def finalize(
         "duplicate": F.col("flag_duplicate"),
         "contamination": F.col("flag_contamination"),
         "mixture": ~mix_ok,
+        # streaming-only: run_stream_filter overlays this verdict AFTER
+        # finalize (it needs the persisted seen-corpus tables); here it is
+        # never the reason, it just must not look for a flag_ column
+        "corpus_duplicate": F.lit(False),
     }
     pairs = [(r, cond_of.get(r, F.col(f"flag_{r}"))) for r in DROP_REASONS]
     expr = F.when(pairs[0][1], pairs[0][0])

@@ -96,6 +96,8 @@ def run_stream_filter(
     cfg: FilterConfig | None = None,
     max_files_per_trigger: int | None = None,
     dedup_within: str | None = None,
+    seen_artifacts=None,
+    content_dedup_threshold: float = 0.6,
 ) -> dict:
     """Drain all currently-available files through the filter and stop
     (`Trigger.AvailableNow`), writing kept rows append-only, bucket-partitioned.
@@ -103,11 +105,51 @@ def run_stream_filter(
     Returns {batches, rows_in, rows_kept}. Re-running after new files land
     processes ONLY the new files (streaming checkpoint), making this the
     incremental twin of the batch job's bucket-manifest resume. `dedup_within`
-    enables cross-batch re-delivery dedup (see `read_image_stream`)."""
+    enables cross-batch re-delivery dedup (see `read_image_stream`).
+
+    `seen_artifacts` (a `dedup.SeenCorpusArtifacts`) adds CORPUS-level caption
+    content dedup — the continuously-running-crawl shape: every micro-batch is
+    checked against the persisted seen corpus (exact fingerprint + MinHash
+    near-dup, O(batch) via `dedup_incremental`) and against itself; losers
+    drop with reason 'corpus_duplicate'; survivors' captions are appended back
+    to the artifacts AFTER the batch's output commits, keyed by the streaming
+    batch id (`append_once`) so an at-least-once replay of the batch never
+    double-appends. Batch N+1 therefore dedups against batch N without ever
+    re-reading batch N's text — the artifact tables are the only cross-batch
+    state, and they grow O(kept rows)."""
     cfg = cfg or FilterConfig()
     totals = {"batches": 0, "rows_in": 0, "rows_kept": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from data_quality_check_spark.operators.dedup import pin_scope
+
+        # dedup_incremental pins its signature tables; scope them to this
+        # micro-batch so a long-lived stream releases storage per batch
+        # instead of accumulating pins for the query's lifetime
+        with pin_scope():
+            _process_batch(batch_df, batch_id)
+
+    def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if seen_artifacts is not None and seen_artifacts.token_applied(
+            f"batch-{int(batch_id)}"
+        ):
+            # the artifact append is the LAST side effect of a batch, so a
+            # recorded token means output + metrics + append all committed and
+            # only the streaming offset commit was lost. Reprocessing would be
+            # WRONG, not just wasteful: the batch's own captions are in the
+            # corpus now, so a recomputed verdict would drop every row as its
+            # own corpus_duplicate. Replay = restore totals from the committed
+            # metrics row and do nothing else.
+            m = (
+                spark.read.parquet(os.path.join(checkpoint_dir, "stream_run_metrics"))
+                .filter(F.col("batch_id") == int(batch_id))
+                .select("rows_in", "rows_kept")
+                .collect()[0]
+            )
+            totals["batches"] += 1
+            totals["rows_in"] += int(m["rows_in"])
+            totals["rows_kept"] += int(m["rows_kept"])
+            return
         df = batch_df
         if "_bucket" not in df.columns:
             df = df.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
@@ -118,6 +160,41 @@ def run_stream_filter(
             F.col("row_selected")
             & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
         )
+        if seen_artifacts is not None:
+            from data_quality_check_spark.operators.dedup import dedup_incremental
+
+            # one decision row per image_id: exact-seen / near-seen vs the
+            # persisted corpus, exact-new / near-new within the batch. The
+            # decision table is batch-sized — broadcast it onto the scored rows
+            # and fold the verdict into keep/drop_reason BEFORE the metrics
+            # observe, so corpus drops are first-class in the metric row.
+            dec = dedup_incremental(
+                df.select("image_id", "caption"),
+                None,
+                "image_id",
+                "caption",
+                threshold=content_dedup_threshold,
+                ngram=seen_artifacts.ngram,
+                num_hashes=seen_artifacts.num_hashes,
+                bands=seen_artifacts.bands,
+                seen_artifacts=seen_artifacts,
+            ).select("image_id", F.col("keep").alias("_corpus_keep"))
+            scored = scored.join(F.broadcast(dec), "image_id", "left")
+            # rows dedup_incremental never saw (null caption → no fingerprint,
+            # no shingles) are already dropped by caption_missing; treat their
+            # NULL verdict as keep so the corpus stage never flips them
+            corpus_dup = ~F.coalesce(F.col("_corpus_keep"), F.lit(True))
+            scored = (
+                scored.withColumn(
+                    "drop_reason",
+                    F.when(
+                        F.col("keep") & corpus_dup, F.lit("corpus_duplicate")
+                    ).otherwise(F.col("drop_reason")),
+                )
+                .withColumn("keep", F.col("keep") & ~corpus_dup)
+                .withColumn("row_selected", F.col("row_selected") & ~corpus_dup)
+                .drop("_corpus_keep")
+            )
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
         # the batch job's metric aggs with no per-bucket terms — SAME code
         # object (run._bucket_metric_aggs), so the two jobs' metric schemas
@@ -130,8 +207,11 @@ def run_stream_filter(
         # rows land under a _batch_id partition with dynamic-partition
         # OVERWRITE — a replay rewrites exactly its own partitions instead of
         # appending duplicates. Readers still prune on the nested _bucket dirs.
-        spark = kept.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # NOT `spark = ...`: an assignment would shadow the closure's session
+        # for the WHOLE function body (the replay guard above reads it first)
+        kept.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         (
             kept.withColumn("_batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -165,6 +245,21 @@ def run_stream_filter(
         totals["batches"] += 1
         totals["rows_in"] += int(m["rows_in"])
         totals["rows_kept"] += int(m["rows_kept"])
+        if seen_artifacts is not None:
+            # fold this batch's survivors into the seen corpus — read them back
+            # from the COMMITTED output partition (cheap narrow scan of what
+            # actually landed; re-evaluating `kept`'s lineage here would re-run
+            # the scoring plan against artifact tables mid-append). Token =
+            # streaming batch id: stable across restarts of this checkpoint,
+            # so an at-least-once replay skips the append (append_once).
+            committed = (
+                spark.read.parquet(os.path.join(output_dir, "filtered"))
+                .filter(F.col("_batch_id") == int(batch_id))
+                .select("image_id", "caption")
+            )
+            seen_artifacts.append_once(
+                committed, "image_id", "caption", token=f"batch-{int(batch_id)}"
+            )
 
     stream = read_image_stream(spark, input_path, max_files_per_trigger, dedup_within)
     query = (

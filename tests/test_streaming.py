@@ -292,3 +292,107 @@ def test_stream_replay_is_idempotent(spark, fixture_files, tmp_path):
     assert rows == s1["rows_kept"]
     m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).collect()
     assert len(m) == 1  # one metrics row per batch_id, replay replaced it
+
+
+def test_stream_corpus_dedup_against_seen_artifacts(spark, tmp_path):
+    """Streaming ingest with a persisted seen corpus (SeenCorpusArtifacts):
+    captions already in the corpus drop as corpus_duplicate; batch 2 dedups
+    against batch 1's appended survivors WITHOUT re-reading batch 1's text;
+    and a replayed batch (crash after the artifact append, before the stream
+    commit) is a no-op instead of dropping its own rows as self-duplicates."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.operators.dedup import SeenCorpusArtifacts
+    from data_quality_check_spark.pipeline.fixtures import (
+        _pa_schema,
+        generate_images_pdf,
+    )
+    from data_quality_check_spark.sources.tables import TableIO
+
+    pdf = generate_images_pdf(n=60, dup_rate=0.0)
+    # b2 rows 30..34 copy the captions of b1 rows 10..14 (cross-batch dups)
+    donors_b2 = list(range(10, 15))
+    for j, s in enumerate(donors_b2):
+        pdf.loc[30 + j, "caption"] = pdf.loc[s, "caption"]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = _pa_schema()
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:30], schema=schema, preserve_index=False),
+        str(landing / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[30:], schema=schema, preserve_index=False),
+        str(landing / "part-001.parquet"),
+    )
+
+    # baseline WITHOUT corpus dedup — the independent expectation source
+    cfg = FilterConfig(num_buckets=4)
+    run_stream_filter(
+        spark, str(landing), str(tmp_path / "base_out"), str(tmp_path / "base_ckpt"),
+        cfg, max_files_per_trigger=1,
+    )
+    kept_base = set(_kept(spark, tmp_path / "base_out"))
+    id_of = pdf["image_id"].to_dict()
+
+    # bootstrap corpus = captions of the first 2 baseline-kept b1 rows
+    boot_rows = sorted(i for i in range(30) if id_of[i] in kept_base)[:2]
+    assert len(boot_rows) == 2
+    art = SeenCorpusArtifacts(
+        TableIO(spark, str(tmp_path / "corpus_wh"), backend="parquet"), ngram=1
+    )
+    art.init(
+        spark.createDataFrame(
+            [(f"seen-{i}", pdf.loc[i, "caption"]) for i in boot_rows],
+            "doc_id string, caption string",
+        ),
+        "doc_id",
+        "caption",
+    )
+    fp_after_init = art.fingerprints().count()
+
+    # threshold 0.95: only (near-)identical caption token sets fire, so the
+    # planted exact copies are the only corpus verdicts in play
+    summary = run_stream_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        max_files_per_trigger=1, seen_artifacts=art, content_dedup_threshold=0.95,
+    )
+    assert summary["batches"] >= 2
+
+    # expectation: baseline kept set, minus the bootstrap donors (their caption
+    # is in the corpus), minus b2 copies whose donor's caption reached the
+    # corpus (donor kept in batch 1, or donor was itself a bootstrap donor)
+    expected = set(kept_base)
+    for i in boot_rows:
+        expected.discard(id_of[i])
+    batch1_kept = {id_of[i] for i in range(30) if id_of[i] in expected}
+    for j, s in enumerate(donors_b2):
+        if id_of[s] in batch1_kept or s in boot_rows:
+            expected.discard(id_of[30 + j])
+    got = set(_kept(spark, tmp_path / "out"))
+    assert got == expected
+
+    # corpus drops are first-class in the metrics rows
+    m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
+    assert int(m["n_corpus_duplicate"].sum()) == len(kept_base) - len(got)
+
+    # survivors were appended once per batch, keyed by the streaming batch id
+    assert art.fingerprints().count() >= fp_after_init
+    assert art.token_applied("batch-0") and art.token_applied("batch-1")
+    fp_before_replay = art.fingerprints().count()
+
+    # replay the LAST batch (offsets survive, commits don't — recovery re-runs
+    # the latest uncommitted batch): it already appended, so the replay must
+    # be a NO-OP — same output, same metrics, no double-append, and crucially
+    # no self-duplicate drops from seeing its own captions in the corpus
+    shutil.rmtree(tmp_path / "ckpt" / "stream" / "commits")
+    summary2 = run_stream_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        max_files_per_trigger=1, seen_artifacts=art, content_dedup_threshold=0.95,
+    )
+    assert set(_kept(spark, tmp_path / "out")) == expected
+    assert art.fingerprints().count() == fp_before_replay
+    m2 = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
+    assert len(m2) == len(m)  # one metrics row per batch_id, replay kept it
