@@ -85,7 +85,7 @@ def cached_image_fixture(n: int, num_files: int = 32) -> str:
     return cache
 
 
-def bench_queries(spark) -> "tuple[dict[str, float], float, dict[str, dict]]":
+def bench_queries(spark) -> "tuple[dict[str, float], float, dict[str, dict], float]":
     from data_quality_check_spark import entry_queries
 
     qs = entry_queries.queries()

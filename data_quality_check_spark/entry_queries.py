@@ -883,7 +883,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # just no per-query recomputation of the same pair join + CC iteration (the
 # 10^12-row analogue is writing the cluster table once per dedup run and
 # joining everything downstream against it).
-_QUERY_SCRATCH_TAG = "r3"  # bump when a shared lineage's semantics change
+# bump when a shared lineage's semantics change — r4: scratch warehouses
+# moved to TableIO(backend="parquet"), so an old _SUCCESS-marked dir built on
+# an Iceberg session would hold no parquet tables at the path
+_QUERY_SCRATCH_TAG = "r4"
 
 
 def _sf_fingerprint(sf_dir: str) -> str:

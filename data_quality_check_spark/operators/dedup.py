@@ -586,6 +586,7 @@ def dedup_incremental(
     bands: int = 42,
     ngram: int = 1,
     seen_artifacts: "SeenCorpusArtifacts | None" = None,
+    exclude_token: str | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: a keep/drop decision for every NEW document
     against an already-curated SEEN corpus, without re-clustering the corpus —
@@ -632,9 +633,12 @@ def dedup_incremental(
         raise ValueError("pass exactly one of seen_df or seen_artifacts")
     if seen_artifacts is not None:
         seen_artifacts.check_config(num_hashes=num_hashes, bands=bands, ngram=ngram)
-        fp_seen = seen_artifacts.fingerprints()
-        banded_seen = seen_artifacts.band_table()
-        toks_seen = seen_artifacts.shingles()
+        # exclude_token: an at-least-once caller retrying the SAME unit of
+        # work passes its token so a crashed prior attempt's partial appends
+        # don't read as corpus membership (SeenCorpusArtifacts.append_once)
+        fp_seen = seen_artifacts.fingerprints(exclude_token)
+        banded_seen = seen_artifacts.band_table(exclude_token)
+        toks_seen = seen_artifacts.shingles(exclude_token)
     else:
         fp_seen = seen_df.select(fingerprint_col(F.col(text_col)).alias("fp"))
         toks_seen = _shingle_base(seen_df, id_col, text_col, ngram)
@@ -879,28 +883,39 @@ class SeenCorpusArtifacts:
         )
         return fps, _shingle_base(df, id_col, text_col, self.ngram)
 
-    def _write(self, df: DataFrame, id_col: str, text_col: str, mode: str) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        mode: str,
+        token: str | None = None,
+    ) -> None:
         fps, base = self._derived(df, id_col, text_col)
+        # every row carries its provenance token (null for plain appends):
+        # a retried writer can then EXCLUDE its own earlier partial rows from
+        # the seen side (`exclude_token=` on the readers) and recompute correct
+        # verdicts instead of seeing its own crashed attempt as "the corpus"
+        tok = F.lit(token).cast("string")
+        fps = fps.withColumn("_token", tok)
         # base feeds two writes (toks + bands): persist locally rather than via
         # _pin so a library caller's pinned frames aren't swept mid-query
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            bands = _minhash_band_table(base, self.num_hashes, self.bands).withColumn(
+                "_token", tok
+            )
+            toks = base.withColumn("_token", tok)
             if mode == "overwrite":
                 self.io.overwrite(fps, self._t("fp"))
-                self.io.write_bucketed(base, self._t("toks"), "id", self.toks_buckets)
-                self.io.overwrite(
-                    _minhash_band_table(base, self.num_hashes, self.bands),
-                    self._t("bands"),
-                )
+                self.io.write_bucketed(toks, self._t("toks"), "id", self.toks_buckets)
+                self.io.overwrite(bands, self._t("bands"))
             else:
                 self.io.append(fps, self._t("fp"))
                 self.io.append(
-                    base, self._t("toks"), bucket_col="id", num_buckets=self.toks_buckets
+                    toks, self._t("toks"), bucket_col="id", num_buckets=self.toks_buckets
                 )
-                self.io.append(
-                    _minhash_band_table(base, self.num_hashes, self.bands),
-                    self._t("bands"),
-                )
+                self.io.append(bands, self._t("bands"))
         finally:
             base.unpersist()
 
@@ -914,8 +929,15 @@ class SeenCorpusArtifacts:
         )
         self.io.overwrite(meta, self._t("meta"))
 
-    def append(self, committed_df: DataFrame, id_col: str, text_col: str) -> None:
+    def append(
+        self,
+        committed_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        token: str | None = None,
+    ) -> None:
         """Fold a committed increment into the corpus — O(increment).
+        `token` stamps the appended rows' provenance (see `_write`).
 
         Pass the rows actually kept (post-decision): their fingerprints are
         disjoint from the corpus by construction (exact_seen/exact_new losers
@@ -935,7 +957,7 @@ class SeenCorpusArtifacts:
         self.check_config(self.num_hashes, self.bands, self.ngram)
         snap = committed_df.select(id_col, text_col).localCheckpoint(eager=True)
         try:
-            self._write(snap, id_col, text_col, "append")
+            self._write(snap, id_col, text_col, "append", token=token)
         finally:
             _release_local_checkpoint(snap)
 
@@ -948,23 +970,33 @@ class SeenCorpusArtifacts:
 
           * a replayed call with an already-recorded token is a no-op
             (returns False);
-          * a crash BETWEEN the data appends and the token write makes the
-            replay re-append the same rows — which is safe by construction:
+          * a crash BETWEEN the data appends and the token write leaves rows
+            stamped with this token in the tables but no recorded token. The
+            replay must then compute its verdicts with `exclude_token=` on the
+            artifact readers (dedup_incremental forwards it) so it does not
+            mistake its own crashed attempt for corpus membership, and its
+            re-append duplicates those rows — which is safe by construction:
             every consumer reads fps through semi-joins, band hits through a
             distinct'd candidate table, and shingle sets through per-pair
             confirms that dedup on ids, so duplicate artifact rows cost
             storage, never correctness (and the next compaction absorbs them).
 
-        Streaming callers should key the token on the STREAMING batch id
-        (stable across restarts of the same checkpoint), not a per-run id —
-        a restarted run replaying the batch must see the same token."""
+        Streaming callers must key the token on (checkpoint identity,
+        streaming batch id) — stable across restarts of the same checkpoint,
+        distinct across different streams sharing one corpus. A bare batch id
+        collides: every checkpoint counts from 0."""
         if self.token_applied(token):
             return False
-        self.append(committed_df, id_col, text_col)
+        self.append(committed_df, id_col, text_col, token=token)
         spark = committed_df.sparkSession
-        self.io.append(
-            spark.createDataFrame([(token,)], "token string"), self._t("applied")
-        )
+        row = spark.createDataFrame([(token,)], "token string")
+        applied = self._t("applied")
+        # io.append on Iceberg requires the table to exist; first token
+        # creates it (overwrite), later ones append
+        if self.io.exists(applied):
+            self.io.append(row, applied)
+        else:
+            self.io.overwrite(row, applied)
         return True
 
     def token_applied(self, token: str) -> bool:
@@ -978,14 +1010,28 @@ class SeenCorpusArtifacts:
             self.io.read(applied).filter(F.col("token") == token).limit(1).count()
         )
 
-    def fingerprints(self) -> DataFrame:
-        return self.io.read(self._t("fp")).select("fp")
+    @staticmethod
+    def _excl(df: DataFrame, exclude_token: str | None) -> DataFrame:
+        """Drop rows a crashed attempt of the SAME unit of work appended
+        (matching `_token`), so a replay never sees its own partial rows as
+        corpus membership. Artifacts written before tokens existed carry no
+        `_token` column and are never excluded."""
+        if exclude_token is not None and "_token" in df.columns:
+            df = df.filter(~F.col("_token").eqNullSafe(F.lit(exclude_token)))
+        return df
 
-    def band_table(self) -> DataFrame:
-        return self.io.read(self._t("bands")).select("id", "band", "bkey")
+    def fingerprints(self, exclude_token: str | None = None) -> DataFrame:
+        return self._excl(self.io.read(self._t("fp")), exclude_token).select("fp")
 
-    def shingles(self) -> DataFrame:
-        return self.io.read(self._t("toks")).select("id", "toks")
+    def band_table(self, exclude_token: str | None = None) -> DataFrame:
+        return self._excl(self.io.read(self._t("bands")), exclude_token).select(
+            "id", "band", "bkey"
+        )
+
+    def shingles(self, exclude_token: str | None = None) -> DataFrame:
+        return self._excl(self.io.read(self._t("toks")), exclude_token).select(
+            "id", "toks"
+        )
 
 
 # ---------------- SimHash ----------------

@@ -46,6 +46,7 @@ from data_quality_check_spark.pipeline.run import (
     _append_parquet,
     _bucket_metric_aggs,
     bucket_col,
+    contamination_decisions,
     dup_decisions,
     finalize,
     score_rows,
@@ -112,13 +113,26 @@ def run_stream_filter(
     checked against the persisted seen corpus (exact fingerprint + MinHash
     near-dup, O(batch) via `dedup_incremental`) and against itself; losers
     drop with reason 'corpus_duplicate'; survivors' captions are appended back
-    to the artifacts AFTER the batch's output commits, keyed by the streaming
-    batch id (`append_once`) so an at-least-once replay of the batch never
-    double-appends. Batch N+1 therefore dedups against batch N without ever
-    re-reading batch N's text — the artifact tables are the only cross-batch
-    state, and they grow O(kept rows)."""
+    to the artifacts AFTER the batch's output commits, keyed by (checkpoint
+    identity, streaming batch id) via `append_once` so an at-least-once replay
+    of the batch never double-appends, a crashed half-append is excluded from
+    the replay's own verdicts (`exclude_token`), and two streams sharing one
+    corpus never mistake each other's batch numbering. Batch N+1 therefore
+    dedups against batch N without ever re-reading batch N's text — the
+    artifact tables are the only cross-batch state, and they grow
+    O(kept rows)."""
+    import hashlib
+
     cfg = cfg or FilterConfig()
     totals = {"batches": 0, "rows_in": 0, "rows_kept": 0}
+    # artifact idempotency tokens are (checkpoint identity, batch id): batch
+    # ids restart at 0 for every new checkpoint, so a bare id would collide
+    # across streams sharing one corpus — a new stream's batch 0 would read as
+    # an already-applied replay of some OTHER stream's batch 0
+    ckpt_key = hashlib.sha1(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+    def _token(batch_id: int) -> str:
+        return f"{ckpt_key}-b{int(batch_id)}"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from data_quality_check_spark.operators.dedup import pin_scope
@@ -131,7 +145,7 @@ def run_stream_filter(
 
     def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if seen_artifacts is not None and seen_artifacts.token_applied(
-            f"batch-{int(batch_id)}"
+            _token(batch_id)
         ):
             # the artifact append is the LAST side effect of a batch, so a
             # recorded token means output + metrics + append all committed and
@@ -155,30 +169,40 @@ def run_stream_filter(
             df = df.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
         df = with_rid(df)
         dups = dup_decisions(df)  # batch-scope; see module docstring
-        scored = finalize(score_rows(df, cfg), cfg, dups).withColumn(
-            "_scrub_changed",
-            F.col("row_selected")
-            & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
-        )
+        # the batch job computes contamination once over the full input; the
+        # stream's unit of input IS the micro-batch, so per-batch here — same
+        # FilterConfig options must mean the same verdicts in both jobs
+        contaminated = contamination_decisions(spark, df, cfg)
+        scored = finalize(score_rows(df, cfg), cfg, dups, contaminated)
         if seen_artifacts is not None:
             from data_quality_check_spark.operators.dedup import dedup_incremental
 
-            # one decision row per image_id: exact-seen / near-seen vs the
-            # persisted corpus, exact-new / near-new within the batch. The
-            # decision table is batch-sized — broadcast it onto the scored rows
-            # and fold the verdict into keep/drop_reason BEFORE the metrics
-            # observe, so corpus drops are first-class in the metric row.
-            dec = dedup_incremental(
-                df.select("image_id", "caption"),
-                None,
-                "image_id",
-                "caption",
-                threshold=content_dedup_threshold,
-                ngram=seen_artifacts.ngram,
-                num_hashes=seen_artifacts.num_hashes,
-                bands=seen_artifacts.bands,
-                seen_artifacts=seen_artifacts,
-            ).select("image_id", F.col("keep").alias("_corpus_keep"))
+            # one decision row per DISTINCT image_id (bool_and collapses the
+            # duplicate-row copies with_rid/keep_rid exist for — a row-level
+            # table would fan the join out and defeat the one-physical-row
+            # guarantee): exact-seen / near-seen vs the persisted corpus,
+            # exact-new / near-new within the batch. exclude_token makes a
+            # retry of THIS batch blind to its own crashed attempt's partial
+            # appends. The decision table is batch-sized — broadcast it onto
+            # the scored rows and fold the verdict into keep/drop_reason
+            # BEFORE the metrics observe, so corpus drops are first-class in
+            # the metric row.
+            dec = (
+                dedup_incremental(
+                    df.select("image_id", "caption"),
+                    None,
+                    "image_id",
+                    "caption",
+                    threshold=content_dedup_threshold,
+                    ngram=seen_artifacts.ngram,
+                    num_hashes=seen_artifacts.num_hashes,
+                    bands=seen_artifacts.bands,
+                    seen_artifacts=seen_artifacts,
+                    exclude_token=_token(batch_id),
+                )
+                .groupBy("image_id")
+                .agg(F.bool_and("keep").alias("_corpus_keep"))
+            )
             scored = scored.join(F.broadcast(dec), "image_id", "left")
             # rows dedup_incremental never saw (null caption → no fingerprint,
             # no shingles) are already dropped by caption_missing; treat their
@@ -195,12 +219,27 @@ def run_stream_filter(
                 .withColumn("row_selected", F.col("row_selected") & ~corpus_dup)
                 .drop("_corpus_keep")
             )
+        # AFTER the corpus overlay: n_scrubbed must count kept-and-scrubbed
+        # rows, not rows later dropped as corpus duplicates
+        scored = scored.withColumn(
+            "_scrub_changed",
+            F.col("row_selected")
+            & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
+        )
+        out_cols = list(OUT_COLS)
+        if cfg.splits:
+            # same pure-function split assignment the batch job rides on its
+            # pass (run._process_group) — identical column, identical hashes
+            from data_quality_check_spark.operators.curation import hash_split
+
+            scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
+            out_cols.append("split")
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
         # the batch job's metric aggs with no per-bucket terms — SAME code
         # object (run._bucket_metric_aggs), so the two jobs' metric schemas
         # cannot drift
-        scored = scored.observe(obs, *_bucket_metric_aggs([]))
-        kept = scored.filter(F.col("row_selected")).select(*OUT_COLS)
+        scored = scored.observe(obs, *_bucket_metric_aggs([], cfg.split_labels()))
+        kept = scored.filter(F.col("row_selected")).select(*out_cols)
         kept = kept.repartition(cfg.num_buckets, F.col("_bucket"))
         # IDEMPOTENT write: foreachBatch is at-least-once (a batch whose write
         # committed but whose offsets didn't is re-run on restart), so kept
@@ -250,15 +289,22 @@ def run_stream_filter(
             # from the COMMITTED output partition (cheap narrow scan of what
             # actually landed; re-evaluating `kept`'s lineage here would re-run
             # the scoring plan against artifact tables mid-append). Token =
-            # streaming batch id: stable across restarts of this checkpoint,
-            # so an at-least-once replay skips the append (append_once).
-            committed = (
-                spark.read.parquet(os.path.join(output_dir, "filtered"))
-                .filter(F.col("_batch_id") == int(batch_id))
-                .select("image_id", "caption")
-            )
+            # (checkpoint, batch id): stable across restarts of this
+            # checkpoint, so an at-least-once replay skips the append
+            # (append_once) — and the token must be recorded even for an
+            # all-dropped batch, whose output dir may hold no readable files.
+            if int(m["rows_kept"]) > 0:
+                committed = (
+                    spark.read.parquet(os.path.join(output_dir, "filtered"))
+                    .filter(F.col("_batch_id") == int(batch_id))
+                    .select("image_id", "caption")
+                )
+            else:
+                committed = spark.createDataFrame(
+                    [], "image_id string, caption string"
+                )
             seen_artifacts.append_once(
-                committed, "image_id", "caption", token=f"batch-{int(batch_id)}"
+                committed, "image_id", "caption", token=_token(batch_id)
             )
 
     stream = read_image_stream(spark, input_path, max_files_per_trigger, dedup_within)

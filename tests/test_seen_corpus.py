@@ -169,3 +169,54 @@ def test_append_refused_before_init(spark, tmp_path):
     art = DD.SeenCorpusArtifacts(TableIO(spark, str(tmp_path / "w2")))
     with pytest.raises(ValueError, match="not initialized"):
         art.append(_df(spark, _new_rows()), "doc_id", "text")
+
+
+def test_append_once_crash_window_excluded_from_replay(spark, corpus):
+    """At-least-once safety: a crash BETWEEN the data appends and the token
+    write leaves token-stamped rows in the tables; the replay passes
+    exclude_token so its verdicts ignore its own crashed attempt — identical
+    to a clean first run — and append_once then completes and dedups."""
+    seen_df, _, art = corpus
+    new = _df(spark, _new_rows())
+    tok = "ckpt123-b7"
+
+    clean = {r.doc_id: (r.keep, r.reason) for r in DD.dedup_incremental(
+        new, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    ).collect()}
+    kept_ids = spark.createDataFrame(
+        [(i,) for i, (k, _) in clean.items() if k], "doc_id long"
+    )
+    kept_df = new.join(kept_ids, "doc_id", "left_semi")
+    # simulate the crash: data appended with the token, token never recorded
+    art.append(kept_df, "doc_id", "text", token=tok)
+    assert not art.token_applied(tok)
+
+    # naive replay WITHOUT exclusion poisons itself: survivors read as seen
+    poisoned = {r.doc_id: r.keep for r in DD.dedup_incremental(
+        new, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    ).collect()}
+    assert not any(poisoned[i] for i, (k, _) in clean.items() if k and i != 204)
+
+    # the replay path: exclude its own token → verdicts identical to clean run
+    replay = {r.doc_id: (r.keep, r.reason) for r in DD.dedup_incremental(
+        new, None, "doc_id", "text", threshold=T, seen_artifacts=art,
+        exclude_token=tok,
+    ).collect()}
+    assert replay == clean
+
+    # finishing the replay records the token; duplicate stamped rows remain
+    # (tolerated by every consumer) and a THIRD attempt is a no-op
+    assert art.append_once(kept_df, "doc_id", "text", token=tok)
+    assert art.token_applied(tok)
+    assert not art.append_once(kept_df, "doc_id", "text", token=tok)
+
+
+def test_append_once_empty_increment_records_token(spark, corpus):
+    """An all-dropped batch still records its token (the caller's replay
+    guard depends on it) without disturbing the corpus tables."""
+    _, _, art = corpus
+    before = art.fingerprints().count()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert art.append_once(empty, "doc_id", "text", token="ck-b0")
+    assert art.token_applied("ck-b0")
+    assert art.fingerprints().count() == before

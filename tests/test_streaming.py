@@ -378,9 +378,14 @@ def test_stream_corpus_dedup_against_seen_artifacts(spark, tmp_path):
     m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
     assert int(m["n_corpus_duplicate"].sum()) == len(kept_base) - len(got)
 
-    # survivors were appended once per batch, keyed by the streaming batch id
+    # survivors were appended once per batch, keyed by (checkpoint, batch id)
+    # — a second stream with a different checkpoint must NOT collide
+    import hashlib
+
+    ck = hashlib.sha1(os.path.abspath(str(tmp_path / "ckpt")).encode()).hexdigest()[:12]
     assert art.fingerprints().count() >= fp_after_init
-    assert art.token_applied("batch-0") and art.token_applied("batch-1")
+    assert art.token_applied(f"{ck}-b0") and art.token_applied(f"{ck}-b1")
+    assert not art.token_applied("batch-0")  # bare batch ids are not the key
     fp_before_replay = art.fingerprints().count()
 
     # replay the LAST batch (offsets survive, commits don't — recovery re-runs
@@ -396,3 +401,48 @@ def test_stream_corpus_dedup_against_seen_artifacts(spark, tmp_path):
     assert art.fingerprints().count() == fp_before_replay
     m2 = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
     assert len(m2) == len(m)  # one metrics row per batch_id, replay kept it
+
+
+def test_stream_corpus_dedup_duplicate_rows_no_fanout(spark, tmp_path):
+    """A micro-batch carrying the same image_id twice (re-delivered rows,
+    dedup_within unset) must still write ONE physical row and count metrics
+    once: the corpus-decision table is aggregated per image_id before the
+    join, so it cannot fan scored rows out. (Regression: a row-level decision
+    table made the join produce rows x copies duplicates.)"""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.operators.dedup import SeenCorpusArtifacts
+    from data_quality_check_spark.pipeline.fixtures import (
+        _pa_schema,
+        generate_images_pdf,
+    )
+    from data_quality_check_spark.sources.tables import TableIO
+
+    pdf = generate_images_pdf(n=40, dup_rate=0.0)
+    dup = pd.concat([pdf, pdf.iloc[:6]], ignore_index=True)  # 6 verbatim copies
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(dup, schema=_pa_schema(), preserve_index=False),
+        str(landing / "part-000.parquet"),
+    )
+
+    art = SeenCorpusArtifacts(
+        TableIO(spark, str(tmp_path / "wh"), backend="parquet"), ngram=1
+    )
+    art.init(
+        spark.createDataFrame([("boot-1", "bootstrap corpus caption nothing matches")],
+                              "doc_id string, caption string"),
+        "doc_id", "caption",
+    )
+    summary = run_stream_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        FilterConfig(num_buckets=4), seen_artifacts=art,
+        content_dedup_threshold=0.95,
+    )
+    out = spark.read.parquet(os.path.join(str(tmp_path / "out"), "filtered"))
+    ids = [r["image_id"] for r in out.select("image_id").collect()]
+    assert len(ids) == len(set(ids))  # one physical row per kept id
+    assert summary["rows_kept"] == len(ids)  # metrics agree with the output
