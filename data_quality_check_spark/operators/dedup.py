@@ -979,7 +979,7 @@ class SeenCorpusArtifacts:
             every consumer reads fps through semi-joins, band hits through a
             distinct'd candidate table, and shingle sets through per-pair
             confirms that dedup on ids, so duplicate artifact rows cost
-            storage, never correctness (and the next compaction absorbs them).
+            storage, never correctness (`compact()` absorbs them).
 
         Streaming callers must key the token on (checkpoint identity,
         streaming batch id) — stable across restarts of the same checkpoint,
@@ -1032,6 +1032,90 @@ class SeenCorpusArtifacts:
         return self._excl(self.io.read(self._t("toks")), exclude_token).select(
             "id", "toks"
         )
+
+    def compact(self) -> dict:
+        """Rewrite the artifact tables to their canonical minimal form — the
+        maintenance step `append_once`'s at-least-once contract defers to.
+
+        Absorbed (all tolerated by readers until then, so this costs storage,
+        never correctness):
+
+          * duplicate rows a crash-then-retry re-appended (same committed
+            token twice, or a pre-token plain `append` re-run);
+          * ORPHAN rows: stamped with a token that was never recorded in
+            `{name}_applied` — a crashed attempt whose unit of work never
+            committed, i.e. captions NOT actually in the published corpus.
+            Dropping them is the correctness half of compaction: once the
+            owning checkpoint is gone, no future replay will `exclude_token`
+            them, and they would veto genuinely-new content forever.
+
+        Keeps: `{name}_applied` untouched (the streaming replay guard reads
+        it — `token_applied` must keep answering True for committed batches);
+        absorbed rows' `_token` is cleared to NULL (their provenance is now
+        "the corpus", and a late retry of a committed token is already a
+        no-op via `token_applied`, so exclusion never needs to find them).
+
+        OFFLINE maintenance, same contract as any table rewrite (Iceberg
+        rewrite_data_files included): must not run concurrently with an
+        appender — it snapshots each table eagerly, then overwrites, so rows
+        appended in that window would be lost. Idempotent:
+        compact(compact(X)) ≡ compact(X), and reader results are identical
+        before and after (pinned by tests/test_seen_corpus.py).
+
+        Returns {table: {"before": n, "after": m}} row counts. Each table is
+        one narrow scan + dedup + rewrite — O(corpus artifacts), no text
+        re-read, the same cost class as the appends it absorbs."""
+        self.check_config(self.num_hashes, self.bands, self.ngram)
+        applied_name = self._t("applied")
+        applied = (
+            self.io.read(applied_name).select("token")
+            if self.io.exists(applied_name)
+            else None
+        )
+
+        def _committed(df: DataFrame) -> DataFrame:
+            # pre-token artifacts (no _token column) are committed by
+            # definition; otherwise keep NULL-token rows plus rows whose token
+            # is recorded — everything else is a crashed attempt's orphan
+            if "_token" not in df.columns:
+                return df
+            untokened = df.filter(F.col("_token").isNull())
+            if applied is None:
+                return untokened
+            tokened = df.filter(F.col("_token").isNotNull()).join(
+                F.broadcast(applied.withColumnRenamed("token", "_token")),
+                "_token",
+                "left_semi",
+            )
+            return untokened.unionByName(tokened)
+
+        def _absorb(df: DataFrame, key_cols: list[str]) -> DataFrame:
+            out = _committed(df)
+            if "_token" in out.columns:
+                out = out.withColumn("_token", F.lit(None).cast("string"))
+            # key-scoped dedup, not full-row distinct: toks' array column is
+            # derivation-identical per id, so one row per key is the canon
+            return out.dropDuplicates(key_cols)
+
+        stats: dict[str, dict[str, int]] = {}
+        for suffix, key_cols in (("fp", ["fp"]), ("bands", ["id", "band", "bkey"]),
+                                 ("toks", ["id"])):
+            name = self._t(suffix)
+            src = self.io.read(name)
+            before = src.count()
+            # eager snapshot BEFORE the overwrite: the rewrite reads the very
+            # files it replaces, and a lazy plan would scan a half-deleted dir
+            snap = _absorb(src, key_cols).localCheckpoint(eager=True)
+            try:
+                after = snap.count()
+                if suffix == "toks":
+                    self.io.write_bucketed(snap, name, "id", self.toks_buckets)
+                else:
+                    self.io.overwrite(snap, name)
+            finally:
+                _release_local_checkpoint(snap)
+            stats[suffix] = {"before": before, "after": after}
+        return stats
 
 
 # ---------------- SimHash ----------------

@@ -220,3 +220,61 @@ def test_append_once_empty_increment_records_token(spark, corpus):
     assert art.append_once(empty, "doc_id", "text", token="ck-b0")
     assert art.token_applied("ck-b0")
     assert art.fingerprints().count() == before
+
+
+def test_compact_absorbs_duplicates_and_orphans(spark, corpus):
+    """compact(): duplicate committed rows collapse, orphan rows (token never
+    recorded) drop, applied tokens survive, decisions on committed content are
+    unchanged, and a second compact is a no-op."""
+    seen_df, _, art = corpus
+    new = _df(spark, _new_rows())
+    tok = "ck-b1"
+
+    kept_ids = [r.doc_id for r in DD.dedup_incremental(
+        new, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    ).filter("keep").collect()]
+    DD.release_pins()
+    kept_df = new.filter(F.col("doc_id").isin(kept_ids))
+    # committed batch + a crashed-attempt duplicate of the SAME token (the
+    # crash-then-retry shape: data landed twice, token recorded once)
+    assert art.append_once(kept_df, "doc_id", "text", token=tok)
+    art.append(kept_df, "doc_id", "text", token=tok)
+    # an orphan: token-stamped rows whose unit of work never committed —
+    # its text must NOT count as corpus membership once compacted away
+    orphan = _df(spark, [(900, "orphan caption that never actually published")])
+    art.append(orphan, "doc_id", "text", token="ck-crashed")
+
+    probe = _df(
+        spark,
+        [
+            (400, "totally novel text unlike anything else whatsoever"),  # = kept 201
+            (401, "orphan caption that never actually published"),
+            (402, "fresh probe content matching nothing at all anywhere"),
+        ],
+    )
+    # pre-compact: the orphan's rows are visible (tolerated-until-compaction)
+    pre = {r.doc_id: r.reason for r in DD.dedup_incremental(
+        probe, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    ).collect()}
+    DD.release_pins()
+    assert pre[400] == "exact_seen" and pre[401] == "exact_seen"
+
+    stats = art.compact()
+    assert set(stats) == {"fp", "bands", "toks"}
+    for s in stats.values():
+        assert s["after"] < s["before"]
+    # committed membership unchanged; orphan membership gone
+    post = {r.doc_id: r.reason for r in DD.dedup_incremental(
+        probe, None, "doc_id", "text", threshold=T, seen_artifacts=art
+    ).collect()}
+    DD.release_pins()
+    assert post[400] == "exact_seen"
+    assert post[401] == "kept"
+    assert post[402] == "kept"
+    # replay guard intact, and a late retry of the committed token stays a no-op
+    assert art.token_applied(tok)
+    assert not art.append_once(kept_df, "doc_id", "text", token=tok)
+    # idempotent: a second compact rewrites nothing away
+    stats2 = art.compact()
+    for k in stats2:
+        assert stats2[k]["before"] == stats2[k]["after"] == stats[k]["after"]
