@@ -128,11 +128,21 @@ def bench_queries(spark) -> "tuple[dict[str, float], float, dict[str, dict], flo
     # recurring query's time would measure a cost no steady-state run pays.
     # Build it here, timed and DISCLOSED in the details file, so the query
     # below measures what a daily crawl actually spends: the increment path.
+    # a pre-existing scratch warehouse means this call is a CACHE HIT, not the
+    # bootstrap — reporting its ~0s as "the O(corpus) pass" would claim the
+    # bootstrap is free; report null instead and say which case this run was
+    bootstrap_cached = os.path.exists(
+        os.path.join(entry_queries._scratch_path(SF_DIR, "seen_corpus", ".wh"), "_SUCCESS")
+    )
     t0 = time.perf_counter()
     entry_queries._seen_corpus_artifacts(spark, SF_DIR)
-    bootstrap_sec = round(time.perf_counter() - t0, 3)
-    log(f"[bench] seen-corpus bootstrap (once per corpus, not a query): "
-        f"{bootstrap_sec}s")
+    dt0 = round(time.perf_counter() - t0, 3)
+    bootstrap_sec = None if bootstrap_cached else dt0
+    log(
+        f"[bench] seen-corpus bootstrap (once per corpus, not a query): "
+        + (f"cache hit in {dt0}s — bootstrap not measured this run"
+           if bootstrap_cached else f"{bootstrap_sec}s")
+    )
     from data_quality_check_spark.operators.dedup import candidate_counts, release_pins
 
     candidates: dict[str, dict[str, int]] = {}
@@ -295,7 +305,9 @@ def main() -> None:
         "cpus": CPUS,
         "candidate_fractions": cand_fracs,
         # once-per-corpus artifact build (SeenCorpusArtifacts.init), run and
-        # timed OUTSIDE the query loop — disclosed, not hidden in a query
+        # timed OUTSIDE the query loop — disclosed, not hidden in a query.
+        # null = this run served the scratch cache and did NOT measure the
+        # bootstrap (see the [bench] log line); a number = a real init pass
         "seen_corpus_bootstrap_sec": bootstrap_sec,
         "pipeline": pipe,
     }

@@ -911,6 +911,20 @@ class SeenCorpusArtifacts:
                 self.io.write_bucketed(toks, self._t("toks"), "id", self.toks_buckets)
                 self.io.overwrite(bands, self._t("bands"))
             else:
+                # refuse to append tokened rows into a pre-token table layout:
+                # Iceberg would throw an opaque too-many-columns error, and the
+                # parquet fallback would SUCCEED into a mixed-schema directory
+                # whose reads then sample an arbitrary footer — `_token in
+                # df.columns` turns nondeterministic and `exclude_token`/
+                # `compact` silently misjudge. compact() rewrites every table
+                # with the column, so it doubles as the one-time migration.
+                for t in (self._t("fp"), self._t("toks"), self._t("bands")):
+                    if "_token" not in self.io.read(t).columns:
+                        raise ValueError(
+                            f"seen-corpus table '{t}' predates provenance "
+                            "tokens; run compact() once to migrate its layout "
+                            "before appending"
+                        )
                 self.io.append(fps, self._t("fp"))
                 self.io.append(
                     toks, self._t("toks"), bucket_col="id", num_buckets=self.toks_buckets
@@ -962,7 +976,13 @@ class SeenCorpusArtifacts:
             _release_local_checkpoint(snap)
 
     def append_once(
-        self, committed_df: DataFrame, id_col: str, text_col: str, token: str
+        self,
+        committed_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        token: str,
+        *,
+        assume_new: bool = False,
     ) -> bool:
         """`append` with an idempotency token — the at-least-once caller's API
         (streaming foreachBatch, retried orchestration steps). The token is
@@ -984,8 +1004,14 @@ class SeenCorpusArtifacts:
         Streaming callers must key the token on (checkpoint identity,
         streaming batch id) — stable across restarts of the same checkpoint,
         distinct across different streams sharing one corpus. A bare batch id
-        collides: every checkpoint counts from 0."""
-        if self.token_applied(token):
+        collides: every checkpoint counts from 0.
+
+        `assume_new=True` skips the token_applied pre-check — for a caller
+        that already consulted it this unit of work (the streaming batch
+        guard), saving one applied-table read per batch. Only safe when no
+        other writer can have applied the same token in between (single
+        owner per token is the contract anyway)."""
+        if not assume_new and self.token_applied(token):
             return False
         self.append(committed_df, id_col, text_col, token=token)
         spark = committed_df.sparkSession
@@ -1062,6 +1088,11 @@ class SeenCorpusArtifacts:
         compact(compact(X)) ≡ compact(X), and reader results are identical
         before and after (pinned by tests/test_seen_corpus.py).
 
+        Doubles as the one-time LAYOUT MIGRATION for corpora built before
+        provenance tokens existed: the rewrite adds the `_token` column
+        (all-NULL — those rows are committed by definition), after which
+        appends are accepted again.
+
         Returns {table: {"before": n, "after": m}} row counts. Each table is
         one narrow scan + dedup + rewrite — O(corpus artifacts), no text
         re-read, the same cost class as the appends it absorbs."""
@@ -1091,8 +1122,10 @@ class SeenCorpusArtifacts:
 
         def _absorb(df: DataFrame, key_cols: list[str]) -> DataFrame:
             out = _committed(df)
-            if "_token" in out.columns:
-                out = out.withColumn("_token", F.lit(None).cast("string"))
+            # always (re)emit a NULL _token column: absorbed provenance, and
+            # for a pre-token table this rewrite IS the layout migration —
+            # `_write`'s append path refuses token-less tables and points here
+            out = out.withColumn("_token", F.lit(None).cast("string"))
             # key-scoped dedup, not full-row distinct: toks' array column is
             # derivation-identical per id, so one row per key is the canon
             return out.dropDuplicates(key_cols)

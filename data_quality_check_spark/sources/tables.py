@@ -80,12 +80,14 @@ class TableIO:
         out = df.withColumn(
             "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).cast("int")
         )
-        (
-            out.repartition(F.col("_bucket"))
-            .write.mode(mode)
-            .partitionBy("_bucket")
-            .parquet(self._path(name))
-        )
+        w = out.repartition(F.col("_bucket")).write.mode(mode).partitionBy("_bucket")
+        if mode == "overwrite":
+            # whole-TABLE replace, not a partition patch: under the session's
+            # partitionOverwriteMode=dynamic (the filter jobs set it), a plain
+            # overwrite would keep buckets absent from `df` — e.g. a compaction
+            # that absorbed a bucket's every row would leave its stale files
+            w = w.option("partitionOverwriteMode", "static")
+        w.parquet(self._path(name))
 
     def append(
         self,
@@ -131,7 +133,9 @@ class TableIO:
             return
         w = df.write.mode("overwrite")
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            # whole-table replace (see write_bucketed): never let the session's
+            # dynamic partitionOverwriteMode turn this into a partition patch
+            w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "static")
         w.parquet(self._path(name))
 
     # ---------- reads ----------

@@ -121,27 +121,60 @@ def run_stream_filter(
     dedups against batch N without ever re-reading batch N's text — the
     artifact tables are the only cross-batch state, and they grow
     O(kept rows)."""
-    import hashlib
-
     cfg = cfg or FilterConfig()
     totals = {"batches": 0, "rows_in": 0, "rows_kept": 0}
-    # artifact idempotency tokens are (checkpoint identity, batch id): batch
+    # artifact idempotency tokens are (checkpoint IDENTITY, batch id): batch
     # ids restart at 0 for every new checkpoint, so a bare id would collide
-    # across streams sharing one corpus — a new stream's batch 0 would read as
-    # an already-applied replay of some OTHER stream's batch 0
-    ckpt_key = hashlib.sha1(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    # across streams sharing one corpus. Identity = the streaming query id
+    # Spark writes to <checkpoint>/stream/metadata at query creation — stable
+    # across restarts of the same checkpoint, fresh when the checkpoint is
+    # wiped and recreated. A path hash would NOT be: wipe-and-recreate at the
+    # same path keeps the key while batch ids restart at 0, so every early
+    # batch of the new run reads as an already-applied replay and is silently
+    # skipped. Two hosts with identical local paths sharing one corpus
+    # collide the same way; UUIDs never do.
+    _key_cache: dict[str, str] = {}
+
+    def _ckpt_key() -> str:
+        key = _key_cache.get("key")
+        if key is None:
+            import json
+
+            meta_path = os.path.join(checkpoint_dir, "stream", "metadata")
+            try:
+                with open(meta_path) as fh:
+                    key = str(json.load(fh)["id"])
+            except Exception as exc:  # no silent path-hash fallback: it
+                # reintroduces the wipe-and-recreate collision invisibly
+                raise RuntimeError(
+                    f"cannot read the streaming query id from {meta_path} — "
+                    "needed to key seen-corpus idempotency tokens"
+                ) from exc
+            _key_cache["key"] = key
+        return key
 
     def _token(batch_id: int) -> str:
-        return f"{ckpt_key}-b{int(batch_id)}"
+        return f"{_ckpt_key()}-b{int(batch_id)}"
+
+    _snap_cell: dict = {}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from data_quality_check_spark.operators.dedup import pin_scope
+        from data_quality_check_spark.operators.dedup import (
+            _release_local_checkpoint,
+            pin_scope,
+        )
 
         # dedup_incremental pins its signature tables; scope them to this
         # micro-batch so a long-lived stream releases storage per batch
-        # instead of accumulating pins for the query's lifetime
+        # instead of accumulating pins for the query's lifetime — and release
+        # the batch's scored snapshot the same way, crash or not
         with pin_scope():
-            _process_batch(batch_df, batch_id)
+            try:
+                _process_batch(batch_df, batch_id)
+            finally:
+                snap = _snap_cell.pop("snap", None)
+                if snap is not None:
+                    _release_local_checkpoint(snap)
 
     def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if seen_artifacts is not None and seen_artifacts.token_applied(
@@ -154,12 +187,21 @@ def run_stream_filter(
             # corpus now, so a recomputed verdict would drop every row as its
             # own corpus_duplicate. Replay = restore totals from the committed
             # metrics row and do nothing else.
-            m = (
+            rows = (
                 spark.read.parquet(os.path.join(checkpoint_dir, "stream_run_metrics"))
                 .filter(F.col("batch_id") == int(batch_id))
                 .select("rows_in", "rows_kept")
-                .collect()[0]
+                .collect()
             )
+            if not rows:
+                raise RuntimeError(
+                    f"batch {batch_id} is recorded as applied in the seen "
+                    "corpus but its stream_run_metrics row is missing — the "
+                    "metrics table and the checkpoint have diverged (was the "
+                    "metrics directory deleted?); reprocessing is NOT safe "
+                    "(the batch's captions are in the corpus already)"
+                )
+            m = rows[0]
             totals["batches"] += 1
             totals["rows_in"] += int(m["rows_in"])
             totals["rows_kept"] += int(m["rows_kept"])
@@ -177,19 +219,26 @@ def run_stream_filter(
         if seen_artifacts is not None:
             from data_quality_check_spark.operators.dedup import dedup_incremental
 
-            # one decision row per DISTINCT image_id (bool_and collapses the
-            # duplicate-row copies with_rid/keep_rid exist for — a row-level
-            # table would fan the join out and defeat the one-physical-row
-            # guarantee): exact-seen / near-seen vs the persisted corpus,
-            # exact-new / near-new within the batch. exclude_token makes a
-            # retry of THIS batch blind to its own crashed attempt's partial
-            # appends. The decision table is batch-sized — broadcast it onto
-            # the scored rows and fold the verdict into keep/drop_reason
-            # BEFORE the metrics observe, so corpus drops are first-class in
-            # the metric row.
+            # corpus dedup competes ONLY among rows the filter would PUBLISH
+            # (row_selected) — not the raw batch: a non-emitted duplicate
+            # copy's caption must not veto its image_id, and a within-batch
+            # near-dup loser must not drop as corpus_duplicate when its winner
+            # row is itself dropped for quality (the caption would then reach
+            # neither the output nor the corpus). Snapshot the scored batch
+            # eagerly first: `dec` is derived from it AND joined back onto it,
+            # so a lazy plan would evaluate the scoring twice — and this
+            # batch's later artifact appends must not shift what dec's
+            # lineage reads. exclude_token makes a retry of THIS batch blind
+            # to its own crashed attempt's partial appends. The decision
+            # table is batch-sized — broadcast it onto the scored rows and
+            # fold the verdict into keep/drop_reason BEFORE the metrics
+            # observe, so corpus drops are first-class in the metric row.
+            scored_snap = scored.localCheckpoint(eager=True)
+            _snap_cell["snap"] = scored_snap
+            scored = scored_snap
             dec = (
                 dedup_incremental(
-                    df.select("image_id", "caption"),
+                    scored.filter(F.col("row_selected")).select("image_id", "caption"),
                     None,
                     "image_id",
                     "caption",
@@ -200,13 +249,15 @@ def run_stream_filter(
                     seen_artifacts=seen_artifacts,
                     exclude_token=_token(batch_id),
                 )
+                # one physical row per selected image_id already; bool_and is
+                # belt-and-braces against a caller-side duplicate-id slip
                 .groupBy("image_id")
                 .agg(F.bool_and("keep").alias("_corpus_keep"))
             )
             scored = scored.join(F.broadcast(dec), "image_id", "left")
-            # rows dedup_incremental never saw (null caption → no fingerprint,
-            # no shingles) are already dropped by caption_missing; treat their
-            # NULL verdict as keep so the corpus stage never flips them
+            # rows outside the decision table (not row_selected, or null
+            # caption → no fingerprint) keep their existing verdict: a NULL
+            # _corpus_keep must never flip them
             corpus_dup = ~F.coalesce(F.col("_corpus_keep"), F.lit(True))
             scored = (
                 scored.withColumn(
@@ -248,17 +299,38 @@ def run_stream_filter(
         # appending duplicates. Readers still prune on the nested _bucket dirs.
         # NOT `spark = ...`: an assignment would shadow the closure's session
         # for the WHOLE function body (the replay guard above reads it first)
-        kept.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        sess_conf = kept.sparkSession.conf
+        sess_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # an ALL-DROPPED batch makes the observed plan's kept side empty at
+        # runtime; AQE's AQEPropagateEmptyRelation then replaces the subtree
+        # and the CollectMetrics row is never delivered — obs.get fails on an
+        # empty observation (the snapshot's known partition stats make the
+        # emptiness visible to AQE; bench_hamming.py hits the same behavior).
+        # Exclude that single rule around this write; AQE itself stays on.
+        _EMPTY_RULE = (
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
         )
-        (
-            kept.withColumn("_batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id", "_bucket")
-            .option("compression", "uncompressed")
-            .option("parquet.enable.dictionary", "false")
-            .parquet(os.path.join(output_dir, "filtered"))
+        prev_excluded = sess_conf.get("spark.sql.adaptive.optimizer.excludedRules", None)
+        sess_conf.set(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            _EMPTY_RULE if not prev_excluded else f"{prev_excluded},{_EMPTY_RULE}",
         )
+        try:
+            (
+                kept.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id", "_bucket")
+                .option("compression", "uncompressed")
+                .option("parquet.enable.dictionary", "false")
+                .parquet(os.path.join(output_dir, "filtered"))
+            )
+        finally:
+            if prev_excluded is None:
+                sess_conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+            else:
+                sess_conf.set(
+                    "spark.sql.adaptive.optimizer.excludedRules", prev_excluded
+                )
         m = obs.get
         import pandas as pd
 
@@ -303,8 +375,10 @@ def run_stream_filter(
                 committed = spark.createDataFrame(
                     [], "image_id string, caption string"
                 )
+            # assume_new: this batch's entry guard already read the applied
+            # table and proved the token absent — don't pay that read twice
             seen_artifacts.append_once(
-                committed, "image_id", "caption", token=_token(batch_id)
+                committed, "image_id", "caption", token=_token(batch_id), assume_new=True
             )
 
     stream = read_image_stream(spark, input_path, max_files_per_trigger, dedup_within)

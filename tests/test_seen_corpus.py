@@ -278,3 +278,28 @@ def test_compact_absorbs_duplicates_and_orphans(spark, corpus):
     stats2 = art.compact()
     for k in stats2:
         assert stats2[k]["before"] == stats2[k]["after"] == stats[k]["after"]
+
+
+def test_pretoken_layout_refused_then_migrated_by_compact(spark, corpus):
+    """A corpus whose tables predate provenance tokens must refuse appends
+    (an Iceberg append would die on schema mismatch; a parquet append would
+    build a mixed-schema dir whose reads sample an arbitrary footer), and
+    compact() is the documented one-time migration that re-admits them."""
+    _, _, art = corpus
+    io = art.io
+    for suffix in ("fp", "bands"):
+        t = art._t(suffix)
+        legacy = io.read(t).drop("_token").localCheckpoint(eager=True)
+        io.overwrite(legacy, t)
+    t = art._t("toks")
+    legacy = io.read(t).drop("_token").localCheckpoint(eager=True)
+    io.write_bucketed(legacy, t, "id", art.toks_buckets)
+
+    inc = _df(spark, [(999, "brand new migration test caption entirely unique")])
+    with pytest.raises(ValueError, match="predates provenance tokens"):
+        art.append(inc, "doc_id", "text")
+
+    before = art.fingerprints().count()
+    art.compact()  # the migration: rewrites every table with a NULL _token
+    art.append(inc, "doc_id", "text")
+    assert art.fingerprints().count() == before + 1

@@ -378,13 +378,16 @@ def test_stream_corpus_dedup_against_seen_artifacts(spark, tmp_path):
     m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
     assert int(m["n_corpus_duplicate"].sum()) == len(kept_base) - len(got)
 
-    # survivors were appended once per batch, keyed by (checkpoint, batch id)
-    # — a second stream with a different checkpoint must NOT collide
-    import hashlib
+    # survivors were appended once per batch, keyed by (checkpoint IDENTITY,
+    # batch id) — identity is Spark's streaming query id, NOT the path: a
+    # wiped-and-recreated checkpoint at the same path gets a fresh id, so its
+    # restarted batch 0 can never read as an already-applied replay
+    import json
 
-    ck = hashlib.sha1(os.path.abspath(str(tmp_path / "ckpt")).encode()).hexdigest()[:12]
+    with open(tmp_path / "ckpt" / "stream" / "metadata") as fh:
+        qid = json.load(fh)["id"]
     assert art.fingerprints().count() >= fp_after_init
-    assert art.token_applied(f"{ck}-b0") and art.token_applied(f"{ck}-b1")
+    assert art.token_applied(f"{qid}-b0") and art.token_applied(f"{qid}-b1")
     assert not art.token_applied("batch-0")  # bare batch ids are not the key
     fp_before_replay = art.fingerprints().count()
 
@@ -446,3 +449,91 @@ def test_stream_corpus_dedup_duplicate_rows_no_fanout(spark, tmp_path):
     ids = [r["image_id"] for r in out.select("image_id").collect()]
     assert len(ids) == len(set(ids))  # one physical row per kept id
     assert summary["rows_kept"] == len(ids)  # metrics agree with the output
+
+
+def test_stream_corpus_dedup_competes_only_among_published_rows(spark, tmp_path):
+    """Corpus content dedup must compete only among rows the filter would
+    PUBLISH: a caption carried by a quality-dropped row (smaller image_id —
+    the would-be within-batch dedup winner) must not veto the kept row that
+    shares it, or the caption reaches neither the output nor the corpus. The
+    survivor's caption must then be corpus membership for the NEXT batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_spark.operators.dedup import SeenCorpusArtifacts
+    from data_quality_check_spark.pipeline.fixtures import (
+        _pa_schema,
+        generate_images_pdf,
+    )
+    from data_quality_check_spark.sources.tables import TableIO
+
+    pdf = generate_images_pdf(n=8, dup_rate=0.0)
+    id_of = pdf["image_id"].to_dict()
+
+    # learn which rows the quality gates keep, independent of corpus dedup
+    base_landing = tmp_path / "base_landing"
+    base_landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=_pa_schema(), preserve_index=False),
+        str(base_landing / "part-000.parquet"),
+    )
+    cfg = FilterConfig(num_buckets=4)
+    run_stream_filter(
+        spark, str(base_landing), str(tmp_path / "base_out"), str(tmp_path / "base_ckpt"), cfg
+    )
+    kept_base = set(_kept(spark, tmp_path / "base_out"))
+    donors = [i for i in range(1, 8) if id_of[i] in kept_base]
+    assert donors, "fixture must keep at least one row beyond index 0"
+    k = donors[0]
+
+    # row 0: quality-dropped (bad dims) but carrying row k's caption; its
+    # image_id sorts before k's, so whole-batch caption dedup would crown it
+    # within-batch winner and drop row k as corpus_duplicate
+    pdf.loc[0, "w"] = 0
+    pdf.loc[0, "caption"] = pdf.loc[k, "caption"]
+    assert id_of[0] < id_of[k]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=_pa_schema(), preserve_index=False),
+        str(landing / "part-000.parquet"),
+    )
+
+    art = SeenCorpusArtifacts(
+        TableIO(spark, str(tmp_path / "wh"), backend="parquet"), ngram=1
+    )
+    art.init(
+        spark.createDataFrame(
+            [("boot-1", "bootstrap corpus caption nothing matches")],
+            "doc_id string, caption string",
+        ),
+        "doc_id", "caption",
+    )
+    run_stream_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        seen_artifacts=art, content_dedup_threshold=0.95,
+    )
+    got = set(_kept(spark, tmp_path / "out"))
+    # row k survives; nothing at all drops as corpus_duplicate (captions are
+    # unique except the planted copy on the quality-dropped row)
+    assert id_of[k] in got
+    assert got == kept_base - {id_of[0]}
+    m = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
+    assert int(m["n_corpus_duplicate"].sum()) == 0
+
+    # and the SURVIVOR's caption is in the corpus now: a later batch's clone
+    # of row k (same image, fresh id) must drop as corpus_duplicate
+    clone = pdf.iloc[[k]].copy()
+    clone["image_id"] = "zzz-clone-of-k"
+    pq.write_table(
+        pa.Table.from_pandas(clone, schema=_pa_schema(), preserve_index=False),
+        str(landing / "part-001.parquet"),
+    )
+    summary2 = run_stream_filter(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        seen_artifacts=art, content_dedup_threshold=0.95,
+    )
+    assert summary2["rows_kept"] == 0  # clone not published (totals are per call)
+    m2 = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
+    assert int(m2["n_corpus_duplicate"].sum()) == 1
