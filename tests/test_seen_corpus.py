@@ -303,3 +303,34 @@ def test_pretoken_layout_refused_then_migrated_by_compact(spark, corpus):
     art.compact()  # the migration: rewrites every table with a NULL _token
     art.append(inc, "doc_id", "text")
     assert art.fingerprints().count() == before + 1
+
+
+def test_compact_absorbs_orphan_only_buckets_under_dynamic_overwrite(spark, corpus):
+    """The filter jobs set partitionOverwriteMode=dynamic session-wide; a
+    compact() in the same driver must still fully rewrite the bucketed toks
+    table — under dynamic mode a bucket whose EVERY row was absorbed is not
+    present in the compacted output, so a plain overwrite would leave its
+    stale files (and the stale shingle sets could later confirm wrong
+    near_seen verdicts)."""
+    _, _, art = corpus
+    prev = None
+    try:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # 200 orphan ids spread over all 32 toks buckets: the 42-doc corpus
+        # leaves many buckets corpus-empty, so several buckets are orphan-only
+        orphan_ids = list(range(7000, 7200))
+        orphans = _df(
+            spark,
+            [(i, f"orphan only caption number {i} with several filler words") for i in orphan_ids],
+        )
+        art.append(orphans, "doc_id", "text", token="never-committed")
+        assert art.shingles().filter(F.col("id").isin(orphan_ids)).count() == len(orphan_ids)
+        art.compact()
+        assert art.shingles().filter(F.col("id").isin(orphan_ids)).count() == 0
+        assert art.band_table().filter(F.col("id").isin(orphan_ids)).count() == 0
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
