@@ -623,6 +623,22 @@ def _mixture_threshold_case(group_col: str, thresholds: "dict[str, str]") -> str
     return f"CASE {group_col} {arms} END"
 
 
+def mixture_keep_col(
+    group_col: str, id_col: str, thresholds: "dict[str, str]", salt: str = ""
+) -> F.Column:
+    """The mixture-sampling row predicate — keep iff md5(salt:id) <
+    threshold(group) — as ONE shared Column builder: `mixture_sample` filters
+    on it and the filter job's `_mixture_ok_col` wraps it, so the two public
+    mixture surfaces cannot drift. NULL (group absent from thresholds — the
+    CASE has no ELSE) compares to NULL: a filter rejects it; callers needing a
+    boolean coalesce it themselves."""
+    key = _hash_key_col(id_col, salt)
+    case = F.lit(None).cast("string")
+    for g, t in thresholds.items():
+        case = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(case)
+    return key < case
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -659,11 +675,7 @@ def mixture_sample(
     th = mixture_thresholds(counts, weights, output_rows)
     if not th:
         return df.filter(F.lit(False))
-    key = _hash_key_col(id_col, salt)
-    case = F.lit(None).cast("string")
-    for g, t in th.items():
-        case = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(case)
-    return df.filter(key < case)
+    return df.filter(mixture_keep_col(group_col, id_col, th, salt))
 
 
 def mixture_sample_where_sql(

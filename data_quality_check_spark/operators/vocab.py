@@ -168,6 +168,19 @@ def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
     callers needing a certified top-k SET additionally check that the k-th
     lower bound beats every excluded token's upper bound
     (`vocab_topk_certified`)."""
+    return (
+        _merged_vocab(parts)
+        .select("token", "n_occurrences", "n_docs", "n_occurrences_ub", "certified")
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def _merged_vocab(parts: DataFrame) -> DataFrame:
+    """ALL merged tokens with bounds — the single aggregation both
+    merge_vocab_partials and vocab_topk_certified rank from (one shared
+    builder, one explode+agg pass). `_total_cap` rides along so the
+    certification check never needs a second aggregate over summaries."""
     exploded = parts.select(
         F.col("cap"), F.explode(F.col("items")).alias("it")
     ).select(
@@ -184,7 +197,7 @@ def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
         F.sum("err").alias("_err"),
     )
     total_cap = parts.agg(F.sum("cap").alias("_total_cap"))
-    merged = per_token.crossJoin(F.broadcast(total_cap)).select(
+    return per_token.crossJoin(F.broadcast(total_cap)).select(
         "token",
         "n_occurrences",
         "n_docs",
@@ -194,43 +207,45 @@ def merge_vocab_partials(parts: DataFrame, k: int = 25) -> DataFrame:
             + F.col("_total_cap")
             - F.col("_present_caps")
         ).alias("n_occurrences_ub"),
-    )
-    return (
-        merged.withColumn(
-            "certified", F.col("n_occurrences_ub") == F.col("n_occurrences")
-        )
-        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-        .limit(k)
-    )
+        "_total_cap",
+    ).withColumn("certified", F.col("n_occurrences_ub") == F.col("n_occurrences"))
 
 
 def vocab_topk_certified(parts: DataFrame, k: int = 25) -> bool:
     """True iff the merged top-k SET is provably the exact top-k: every
     retained token's count is certified AND the k-th count is ≥ the upper
     bound of every token outside the top-k (including never-retained tokens,
-    whose bound is Σ cap). Driver-side: two tiny aggregates over summaries."""
-    top = merge_vocab_partials(parts, k).collect()
-    if len(top) < k or not all(r["certified"] for r in top):
-        return False
-    kth = top[-1]["n_occurrences"]
-    exploded = parts.select(F.col("cap"), F.explode("items").alias("it")).select(
-        "cap",
-        F.col("it.token").alias("token"),
-        F.col("it.n_occurrences").alias("n_occurrences"),
-        F.col("it.err").alias("err"),
-    )
-    per_token = exploded.groupBy("token").agg(
-        F.sum("n_occurrences").alias("lb"),
-        F.sum("cap").alias("pc"),
-        F.sum("err").alias("err"),
-    )
-    total_cap = int(parts.agg(F.sum("cap")).collect()[0][0] or 0)
-    topset = [r["token"] for r in top]
-    worst = (
-        per_token.filter(~F.col("token").isin(topset))
-        .agg(F.max(F.col("lb") + F.col("err") + F.lit(total_cap) - F.col("pc")))
-        .collect()[0][0]
-    )
+    whose bound is Σ cap). ONE pass over the summaries: the merged token
+    table is pinned, the top-k collect computes it, and the excluded-token
+    bound reads the cache — previously three separate jobs each re-derived
+    the explode+aggregate."""
+    from pyspark.storagelevel import StorageLevel
+
+    merged = _merged_vocab(parts).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        top = (
+            merged.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(top) < k or not all(r["certified"] for r in top):
+            return False
+        kth = top[-1]["n_occurrences"]
+        topset = [r["token"] for r in top]
+        row = (
+            merged.filter(~F.col("token").isin(topset))
+            .agg(
+                F.max("n_occurrences_ub").alias("worst"),
+                F.max("_total_cap").alias("tc"),
+            )
+            .collect()[0]
+        )
+        worst = row["worst"]
+        # excluded set may be empty (every merged token is in the top-k);
+        # Σ cap then comes from the top rows, which carry it too
+        total_cap = int(row["tc"] if row["tc"] is not None else top[0]["_total_cap"] or 0)
+    finally:
+        merged.unpersist()
     hidden_bound = max(worst or 0, total_cap)  # never-retained tokens ≤ Σ cap
     # STRICT: at kth == hidden_bound an excluded token could tie the k-th
     # count and win the (count desc, token asc) tie-break — the SET would

@@ -188,6 +188,47 @@ def bucket_col(id_col: str = "image_id", num_buckets: int = 16) -> F.Column:
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
 
 
+def _validate_bucket_layout(raw: DataFrame, num_buckets: int) -> None:
+    """Fail fast when a prebucketed input's layout disagrees with
+    cfg.num_buckets. pending = range(num_buckets), so `_bucket` values outside
+    that range match no group filter — their rows would be scored never,
+    written never, yet the run would return success: silent data loss.
+
+    Partition-dir layouts (the production shape) are validated driver-side by
+    parsing the partition values out of the file list — no Spark job. A
+    data-column `_bucket` (no `_bucket=` path segments) instead pays one
+    narrow pushed-down scan for out-of-range values; that shape is the
+    test/flat path, never the 10^12 one."""
+    import re
+
+    vals: set[int] = set()
+    partition_layout = False
+    for p in raw.inputFiles():
+        m = re.search(r"/_bucket=(-?\d+)/", p)
+        if m:
+            partition_layout = True
+            vals.add(int(m.group(1)))
+    if partition_layout:
+        bad = sorted(v for v in vals if v < 0 or v >= num_buckets)
+    else:
+        bad = [
+            r["_bucket"]
+            for r in raw.filter(
+                (F.col("_bucket") < 0) | (F.col("_bucket") >= num_buckets)
+            )
+            .select("_bucket")
+            .limit(5)
+            .collect()
+        ]
+    if bad:
+        raise ValueError(
+            f"prebucketed input has _bucket values {sorted(set(bad))[:5]} outside "
+            f"range(num_buckets={num_buckets}); cfg.num_buckets must match the "
+            "layout's bucket count — those buckets would otherwise be silently "
+            "skipped"
+        )
+
+
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
     path = os.path.join(checkpoint_dir, "manifest")
     try:
@@ -197,7 +238,32 @@ def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
         return []
 
 
-def dup_decisions(df: DataFrame) -> DataFrame:
+def _decisions_from_candidates(cand: DataFrame, gkey: str) -> DataFrame:
+    """Shared id-level decision tail for dup_decisions / near_dup_decisions:
+    candidate rows (image_id, <gkey>, rid) → (image_id, is_loser, keep_rid).
+    One function so the winner/tie-break/keep_rid contract — which the resume
+    and determinism guarantees of BOTH callers rest on — cannot drift between
+    the exact and perceptual variants."""
+    ids = cand.groupBy("image_id").agg(
+        F.min(gkey).alias(gkey),
+        F.min("rid").alias("keep_rid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    groups = ids.groupBy(gkey).agg(
+        F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
+    )
+    return (
+        ids.join(groups, gkey)
+        .filter((F.col("n_ids") > 1) | (F.col("n_rows") > 1))
+        .select(
+            "image_id",
+            (F.col("image_id") != F.col("winner")).alias("is_loser"),
+            "keep_rid",
+        )
+    )
+
+
+def dup_decisions(df: DataFrame, max_broadcast: int = 2_000_000) -> DataFrame:
     """Small table of ids needing dedup action, from a narrow
     (image_id, phash, rid) columnar scan — `bytes` is never read.
 
@@ -218,32 +284,26 @@ def dup_decisions(df: DataFrame) -> DataFrame:
     8M-row shuffles when run over everything — only ever touches the ~dup-rate
     fraction of rows surviving the broadcast semi-join (measured 12.9s → ~3s
     at 32 cores / 8M rows).
+
+    The dup-phash table is dup-rate-proportional, same magnitude as the final
+    decisions table the callers size-gate, so its broadcast is gated the same
+    way: pinned (registry-released, or scope it with `pin_scope()`), counted
+    once, broadcast-hinted only within `max_broadcast` — a high-dup corpus
+    falls back to a shuffled semi-join instead of OOMing every executor.
     """
+    from data_quality_check_spark.operators.dedup import _pin
+
     narrow = df.select("image_id", "phash", "rid")
-    dup_ph = (
+    dup_ph = _pin(
         narrow.groupBy("phash")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select("phash")
     )
-    cand = narrow.join(F.broadcast(dup_ph), "phash")
-    ids = cand.groupBy("image_id").agg(
-        F.min("phash").alias("phash"),
-        F.min("rid").alias("keep_rid"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    groups = ids.groupBy("phash").agg(
-        F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
-    )
-    return (
-        ids.join(groups, "phash")
-        .filter((F.col("n_ids") > 1) | (F.col("n_rows") > 1))
-        .select(
-            "image_id",
-            (F.col("image_id") != F.col("winner")).alias("is_loser"),
-            "keep_rid",
-        )
-    )
+    if dup_ph.count() <= max_broadcast:
+        dup_ph = F.broadcast(dup_ph)
+    cand = narrow.join(dup_ph, "phash")
+    return _decisions_from_candidates(cand, "phash")
 
 
 def near_dup_decisions(
@@ -298,23 +358,7 @@ def near_dup_decisions(
     if acting.count() <= max_broadcast:
         acting = F.broadcast(acting)
     cand = narrow.join(acting, "phash")
-    ids = cand.groupBy("image_id").agg(
-        F.min("gkey").alias("gkey"),
-        F.min("rid").alias("keep_rid"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    groups = ids.groupBy("gkey").agg(
-        F.min("image_id").alias("winner"), F.count(F.lit(1)).alias("n_ids")
-    )
-    return (
-        ids.join(groups, "gkey")
-        .filter((F.col("n_ids") > 1) | (F.col("n_rows") > 1))
-        .select(
-            "image_id",
-            (F.col("image_id") != F.col("winner")).alias("is_loser"),
-            "keep_rid",
-        )
-    )
+    return _decisions_from_candidates(cand, "gkey")
 
 
 def decisions_for(df: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -324,7 +368,7 @@ def decisions_for(df: DataFrame, cfg: FilterConfig) -> DataFrame:
         return near_dup_decisions(
             df, cfg.near_dup_hamming, max_broadcast=cfg.max_broadcast_decisions
         )
-    return dup_decisions(df)
+    return dup_decisions(df, max_broadcast=cfg.max_broadcast_decisions)
 
 
 def with_rid(df: DataFrame) -> DataFrame:
@@ -357,6 +401,13 @@ def with_rid(df: DataFrame) -> DataFrame:
 def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
     """The heavy per-row stages: heuristic flags + the model UDFs. No shuffle,
     no dup information — one map-side pass."""
+    if cfg.ppl_mode not in ("map", "grouped", "modular"):
+        # a typo ('Grouped', 'groupped') must not silently run the fused path:
+        # at scale that co-loads every per-language model in each python
+        # worker — the exact OOM the grouped mode exists to avoid
+        raise ValueError(
+            f"ppl_mode must be 'map', 'grouped', or 'modular', got {cfg.ppl_mode!r}"
+        )
     df = with_flags(df)
     if cfg.ppl_mode == "grouped":
         # scale path for oversized per-language models: salted applyInPandas
@@ -377,14 +428,21 @@ def score_rows(df: DataFrame, cfg: FilterConfig) -> DataFrame:
 
 def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> DataFrame:
     """All per-row scoring stages; adds flags, lang, ppl, dup flag, keep, reason.
-    Honors the FULL FilterConfig — including contamination_eval_path — so its
-    verdicts always agree with run_filter's for the same config (a config
-    option this path silently ignored would make the two public decision APIs
-    disagree)."""
+    Honors the FULL FilterConfig — including contamination_eval_path and
+    `max_broadcast_decisions` — so its verdicts AND its join strategy always
+    agree with run_filter's for the same config: the decisions table is
+    pinned (registry-released; wrap in `pin_scope()` for scoped release),
+    counted, and broadcast-hinted only within the budget, exactly like
+    run_filter's gate. A caller-supplied `dups` is joined as given (hint it
+    yourself if you know it is small)."""
     if "rid" not in df.columns:
         df = with_rid(df)
     if dups is None:
-        dups = decisions_for(df, cfg)
+        from data_quality_check_spark.operators.dedup import _pin
+
+        dups = _pin(decisions_for(df, cfg))
+        if dups.count() <= cfg.max_broadcast_decisions:
+            dups = F.broadcast(dups)
     contaminated = contamination_decisions(df.sparkSession, df, cfg)
     return finalize(score_rows(df, cfg), cfg, dups, contaminated=contaminated)
 
@@ -393,9 +451,11 @@ def _mixture_ok_col(cfg: FilterConfig) -> F.Column:
     """Row-local mixture-sampling predicate (curation.mixture_sample semantics:
     keep iff md5(salt:id) < threshold(group), thresholds from FROZEN counts).
     Pure projection — no shuffle, no action; a group absent from the
-    weights/thresholds drops entirely (NULL threshold → not ok)."""
+    weights/thresholds drops entirely (NULL threshold → not ok). The predicate
+    itself is curation.mixture_keep_col — the SAME builder mixture_sample
+    filters on, so the two surfaces cannot drift."""
     from data_quality_check_spark.operators.curation import (
-        _hash_key_col,
+        mixture_keep_col,
         mixture_thresholds,
     )
 
@@ -408,11 +468,10 @@ def _mixture_ok_col(cfg: FilterConfig) -> F.Column:
     th = mixture_thresholds(cfg.mixture_counts, cfg.mixture_weights, cfg.mixture_output_rows)
     if not th:
         return F.lit(False)
-    key = _hash_key_col("image_id", cfg.mixture_salt)
-    case = F.lit(None).cast("string")
-    for g, t in th.items():
-        case = F.when(F.col(cfg.mixture_group_col) == F.lit(g), F.lit(t)).otherwise(case)
-    return F.coalesce(key < case, F.lit(False))
+    return F.coalesce(
+        mixture_keep_col(cfg.mixture_group_col, "image_id", th, cfg.mixture_salt),
+        F.lit(False),
+    )
 
 
 def finalize(
@@ -421,15 +480,17 @@ def finalize(
     dups: DataFrame,
     contaminated: DataFrame | None = None,
 ) -> DataFrame:
-    """Cheap tail over scored rows: dup broadcast join, keep/drop decision,
+    """Cheap tail over scored rows: dup decision join, keep/drop decision,
     drop reason, scrub, output-row selection — pure expressions.
-    `contaminated` is an optional (image_id, _contam) decision table (already
-    broadcast-hinted when small) from `contamination_decisions`."""
+    Both decision tables (`dups`, `contaminated`) are joined AS GIVEN — the
+    caller owns the size-gated broadcast hint (run_filter's per-group slices
+    and decide()'s gated table arrive pre-hinted); forcing a broadcast here
+    would override the gate the config knob exists for."""
     from data_quality_check_spark.functions.textmodel import default_model
 
     target = cfg.target_langs or default_model().langs
 
-    df = df.join(F.broadcast(dups), "image_id", "left")
+    df = df.join(dups, "image_id", "left")
     df = df.withColumn("flag_duplicate", F.coalesce(F.col("is_loser"), F.lit(False))).drop(
         "is_loser"
     )
@@ -523,17 +584,33 @@ def contamination_decisions(
     )
 
 
-def _bucket_metric_aggs(pending: list[int], split_labels: list[str] | None = None) -> list:
+def _bucket_metric_aggs(
+    pending: list[int],
+    split_labels: list[str] | None = None,
+    check_hash_buckets: int | None = None,
+) -> list:
     """observe() aggregates: per-pending-bucket (rows_in, rows_kept, n_scrubbed)
     + per-run global drop-reason and flag breakdowns (+ per-split kept counts
     when the job assigns splits). All plain conditional counts (observe forbids
     distinct aggregates — which `row_selected` makes unnecessary: output rows =
-    count_if(row_selected), exactly)."""
+    count_if(row_selected), exactly).
+
+    `check_hash_buckets` (prebucketed inputs only) rides one more counter:
+    rows whose layout `_bucket` disagrees with bucket_col(image_id). The spill
+    path prunes decision slices by the COMPUTED bucket, so a layout bucketed
+    by a different hash would silently join no decisions onto its rows;
+    _process_group refuses to commit any group observing a mismatch."""
     aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.count_if(F.col("row_selected")).alias("rows_kept"),
         F.count_if(F.col("_scrub_changed")).alias("n_scrubbed"),
     ]
+    if check_hash_buckets is not None:
+        aggs.append(
+            F.count_if(
+                F.col("_bucket") != bucket_col(num_buckets=check_hash_buckets)
+            ).alias("n_bucket_mismatch")
+        )
     for r in DROP_REASONS:
         aggs.append(F.count_if(F.col("drop_reason") == r).alias(f"n_{r}"))
     for c in FLAG_COLS:
@@ -633,6 +710,10 @@ def run_filter(
     if cfg.mixture_weights is not None:
         _mixture_ok_col(cfg)  # validate counts/output_rows BEFORE any Spark work
     STEP_TIMINGS.clear()  # one job's stages only — see the declaration
+    # dynamic partition overwrite is a JOB-scoped need (per-group bucket
+    # patches); restore the caller's setting on exit or their own later
+    # overwrite-partitionBy writes silently keep stale partitions
+    _prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     raw = spark.read.parquet(input_path)
@@ -644,7 +725,9 @@ def run_filter(
     # rows of exactly one bucket. A flat input falls back to computing the
     # bucket and repartitioning before the write.
     prebucketed = "_bucket" in raw.columns
-    if not prebucketed:
+    if prebucketed:
+        _validate_bucket_layout(raw, cfg.num_buckets)
+    else:
         raw = raw.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
     df = with_rid(raw)
 
@@ -692,7 +775,9 @@ def run_filter(
             n_act = dups.count()
         if n_act <= cfg.max_broadcast_decisions:
             groups = [pending]
-            slice_for = lambda grp: dups  # noqa: E731
+            # finalize joins decision tables AS GIVEN — the gate decided
+            # broadcast is safe, so the hint is attached here
+            slice_for = lambda grp: F.broadcast(dups)  # noqa: E731
         else:
             with _step("dup_decisions_spill"):
                 (
@@ -727,11 +812,18 @@ def run_filter(
                 cur_n += c
             if cur:
                 groups.append(cur)
-            slice_for = lambda grp: (  # noqa: E731
-                spark.read.parquet(spill_dir)
-                .filter(F.col("_bucket").isin(grp))
-                .drop("_bucket")
-            )
+            # a group's pruned slice is within max_broadcast_decisions by
+            # construction (greedy fill) EXCEPT a single oversized bucket,
+            # which gets its own group — that irreducible slice joins
+            # un-hinted (shuffle join) instead of blowing the budget
+            def slice_for(grp):
+                sl = (
+                    spark.read.parquet(spill_dir)
+                    .filter(F.col("_bucket").isin(grp))
+                    .drop("_bucket")
+                )
+                n_grp = sum(by_bucket.get(b, 0) for b in grp)
+                return F.broadcast(sl) if n_grp <= cfg.max_broadcast_decisions else sl
 
         for gi, grp in enumerate(groups):
             m = _process_group(df, cfg, grp, gi, slice_for(grp), output_dir,
@@ -739,6 +831,10 @@ def run_filter(
             totals["rows_in"] += int(m["rows_in"])
             totals["rows_kept"] += int(m["rows_kept"])
     finally:
+        if _prev_pom is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _prev_pom)
         dups.unpersist()
         if contam_pinned is not None:
             contam_pinned.unpersist()
@@ -792,7 +888,14 @@ def _process_group(
         out_cols.append("split")
 
     obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
-    scored = scored.observe(obs, *_bucket_metric_aggs(grp, cfg.split_labels()))
+    scored = scored.observe(
+        obs,
+        *_bucket_metric_aggs(
+            grp,
+            cfg.split_labels(),
+            check_hash_buckets=cfg.num_buckets if prebucketed else None,
+        ),
+    )
 
     kept = scored.filter(F.col("row_selected")).select(*out_cols)
     if not prebucketed:
@@ -818,6 +921,16 @@ def _process_group(
 
     with _step(f"metrics_write g{group_idx}"):
         m = obs.get
+        if int(m.get("n_bucket_mismatch", 0)) > 0:
+            # staged data exists but the manifest is NOT committed — the
+            # group stays pending, and a rerun with a corrected num_buckets
+            # rewrites its partitions (dynamic overwrite)
+            raise ValueError(
+                f"{m['n_bucket_mismatch']} rows have a layout _bucket that "
+                "disagrees with bucket(num_buckets, image_id) — the input was "
+                "bucketed with a different hash or bucket count, so decision-"
+                "slice pruning would be misaligned; refusing to commit"
+            )
         _write_checkpoint(checkpoint_dir, cfg, grp, m)
     return m
 

@@ -210,7 +210,14 @@ def run_stream_filter(
         if "_bucket" not in df.columns:
             df = df.withColumn("_bucket", bucket_col(num_buckets=cfg.num_buckets))
         df = with_rid(df)
-        dups = dup_decisions(df)  # batch-scope; see module docstring
+        # batch-scope (see module docstring); finalize joins decision tables
+        # AS GIVEN, so gate the broadcast hint here like the batch job does —
+        # the pin releases with this batch's pin_scope
+        from data_quality_check_spark.operators.dedup import _pin
+
+        dups = _pin(dup_decisions(df, max_broadcast=cfg.max_broadcast_decisions))
+        if dups.count() <= cfg.max_broadcast_decisions:
+            dups = F.broadcast(dups)
         # the batch job computes contamination once over the full input; the
         # stream's unit of input IS the micro-batch, so per-batch here — same
         # FilterConfig options must mean the same verdicts in both jobs
@@ -300,6 +307,9 @@ def run_stream_filter(
         # NOT `spark = ...`: an assignment would shadow the closure's session
         # for the WHOLE function body (the replay guard above reads it first)
         sess_conf = kept.sparkSession.conf
+        # scoped like excludedRules below: restored after the write so the
+        # dynamic mode never leaks into the caller's own overwrite writes
+        prev_pom = sess_conf.get("spark.sql.sources.partitionOverwriteMode", None)
         sess_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # an ALL-DROPPED batch makes the observed plan's kept side empty at
         # runtime; AQE's AQEPropagateEmptyRelation then replaces the subtree
@@ -331,6 +341,10 @@ def run_stream_filter(
                 sess_conf.set(
                     "spark.sql.adaptive.optimizer.excludedRules", prev_excluded
                 )
+            if prev_pom is None:
+                sess_conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                sess_conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
         m = obs.get
         import pandas as pd
 

@@ -799,3 +799,93 @@ def test_decide_honors_contamination_config(
     }[kept.image_id]
     assert row.flag_contamination
     assert not row.keep and row.drop_reason == "contamination"
+
+
+def test_prebucketed_layout_mismatch_refused(spark, tmp_path_factory):
+    """A prebucketed input whose layout bucket count exceeds cfg.num_buckets
+    must FAIL FAST, not silently skip the out-of-range buckets: pending =
+    range(num_buckets), so bucket 4..7 rows of a B=8 layout would match no
+    group filter and the run would report success over half the corpus."""
+    from data_quality_check_spark.pipeline.fixtures import write_images_parquet_spark
+
+    bdir = str(tmp_path_factory.mktemp("bucketed_wide"))
+    write_images_parquet_spark(spark, bdir, n=200, num_files=8, bucket_by_id=8)
+    out = str(tmp_path_factory.mktemp("out_mis"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_mis"))
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_filter(spark, bdir, out, ckpt, FilterConfig(num_buckets=4))
+    # driver-side check → nothing staged, nothing committed
+    assert not os.path.exists(os.path.join(ckpt, "manifest"))
+    assert not os.path.exists(os.path.join(out, "filtered"))
+
+
+def test_data_column_bucket_out_of_range_refused(spark, fixture_paths, tmp_path_factory):
+    """Same hazard when `_bucket` is a plain data column (no partition dirs):
+    the narrow fallback scan must catch out-of-range values before any work."""
+    from data_quality_check_spark.pipeline.run import bucket_col
+
+    _, path = fixture_paths
+    wide = str(tmp_path_factory.mktemp("datacol") / "images8.parquet")
+    (
+        spark.read.parquet(path)
+        .withColumn("_bucket", bucket_col(num_buckets=8))
+        .write.parquet(wide)
+    )
+    out = str(tmp_path_factory.mktemp("out_dc"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_dc"))
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_filter(spark, wide, out, ckpt, FilterConfig(num_buckets=4))
+    assert not os.path.exists(os.path.join(ckpt, "manifest"))
+
+
+def test_ppl_mode_typo_rejected(spark, fixture_paths):
+    """An unrecognized ppl_mode must raise, not silently run the fused path
+    (which co-loads every per-language model per worker — the OOM the grouped
+    mode exists to avoid)."""
+    from data_quality_check_spark.pipeline.run import score_rows
+
+    _, path = fixture_paths
+    df = spark.read.parquet(path)
+    for bad in ("Grouped", "groupped", ""):
+        with pytest.raises(ValueError, match="ppl_mode"):
+            score_rows(df, FilterConfig(ppl_mode=bad))
+
+
+def test_overwrite_mode_restored_after_run(spark, fixture_paths, tmp_path_factory):
+    """run_filter needs dynamic partition overwrite internally but must restore
+    the caller's setting: leaking `dynamic` makes the caller's own later
+    overwrite-partitionBy writes keep stale partitions silently."""
+    _, path = fixture_paths
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        out = str(tmp_path_factory.mktemp("out_pom"))
+        ckpt = str(tmp_path_factory.mktemp("ckpt_pom"))
+        run_filter(spark, path, out, ckpt, FilterConfig(), max_buckets=2)
+        assert spark.conf.get(key) == "static"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_decide_gate_zero_matches_broadcast_path(spark, fixture_paths):
+    """decide() must honor max_broadcast_decisions: with the gate at 0 the
+    decisions join is un-hinted (shuffle join) yet verdict-identical to the
+    broadcast path — previously finalize force-broadcast the full table no
+    matter the config."""
+    from data_quality_check_spark.pipeline.run import decide
+
+    _, path = fixture_paths
+    df = spark.read.parquet(path)
+    cols = ["image_id", "keep", "drop_reason", "row_selected"]
+    a = sorted(map(tuple, decide(df, FilterConfig()).select(*cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decide(df, FilterConfig(max_broadcast_decisions=0)).select(*cols).collect(),
+        )
+    )
+    assert a == b
