@@ -1968,3 +1968,38 @@ def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min__n_chars").cast("long").alias("min__n_chars"),
         F.col("max__n_chars").cast("long").alias("max__n_chars"),
     )
+
+
+# C4-style duplicated-span REMOVAL — the action half of line_dedup_documents:
+# rewrite every document keeping only the corpus-global first occurrence of
+# each 8-word span (C4 §2.2 removes all-but-one occurrence). The winner
+# election is a min(struct) partial agg (skew-immune), winners join back on
+# 60-bit fingerprints, reassembly is one groupBy per doc.
+@register(
+    "line_dedup_rewrite_documents",
+    DD.duplicate_span_rewrite_sql("documents", "doc_id", "text", _SPAN_WORDS),
+)
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicate_span_rewrite(
+        t(spark, sf_dir, "documents"), "doc_id", "text", span_words=_SPAN_WORDS
+    )
+
+
+# Keep-rate calibration sweep for the composite text quality score: 21
+# thresholds answered by ONE histogram aggregation (curation.py
+# score_threshold_sweep) — the tuning step before committing a keep/drop rule.
+@register(
+    "quality_threshold_sweep_documents",
+    CU.score_threshold_sweep_sql("documents", TX.quality_score_sql("text")),
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return CU.score_threshold_sweep(docs, TX.quality_score_col(F.col("text")))
+
+
+# Pre-shuffle skew audit on the key a sessionize/as-of pipeline would shuffle
+# events by: the top-20 heaviest user_ids with corpus fraction and
+# multiple-of-mean — the decision input for salting / AQE skew tuning.
+@register("key_skew_events_user", DR.key_skew_sql("events", "user_id"))
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DR.key_skew(t(spark, sf_dir, "events"), "user_id")

@@ -688,3 +688,72 @@ def mixture_sample_where_sql(
     `mixture_thresholds`, computed on identical counts)."""
     key = _split_hash_key(id_col, salt).replace(" AS STRING)", " AS VARCHAR)")
     return f"{key} < {_mixture_threshold_case(group_col, thresholds)}"
+
+
+def score_threshold_sweep(df: DataFrame, score: F.Column, steps: int = 20) -> DataFrame:
+    """Keep-rate calibration curve for a quality-filter threshold: for each
+    candidate threshold k/steps (k = 0..steps), how many rows a `score >=
+    threshold` filter would keep and what corpus fraction that is. The tuning
+    step that precedes committing a keep/drop rule (the reference exposes
+    per-table scores interactively, app_v3.py sliders; at corpus scale the
+    sweep must be ONE aggregation, not `steps` filtered count jobs).
+
+    Emits (threshold, docs_kept, frac_kept) with exactly steps+1 rows — empty
+    buckets included, so the curve's shape is stable across corpora.
+
+    Exact semantics (engine-identical): a row counts toward threshold k iff
+    `score * steps >= k` — equivalent to `floor(score * steps) >= k` for
+    integer k, so ONE histogram of `floor(score * steps)` (clamped to
+    [0, steps] for score == 1.0) answers every threshold at once. Both engines
+    run the identical double multiply + floor, so bucket boundaries agree
+    bitwise; frac_kept is a single double division of two exact longs.
+
+    Plan shape for 10^12 rows: one map-side-combined hash agg with ≤ steps+1
+    groups; everything downstream (the threshold join, the cumulative sum,
+    the total) runs on K = steps+1 rows. The cumulative sum is a window over
+    those K rows — a single trivial task, NOT a window over the corpus.
+    """
+    b = F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    hist = df.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    ks = (
+        df.sparkSession.range(0, steps + 1)
+        .select(F.col("id").cast("int").alias("k"))
+    )
+    # kept(k) = Σ n over buckets ≥ k; hist is ≤ steps+1 rows, so the
+    # inequality join and the unbounded window are K-row driver-trivial work
+    kept = (
+        ks.join(F.broadcast(hist), F.col("b") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("docs_kept"))
+    )
+    total = F.max("docs_kept").over(Window.partitionBy())  # kept(0) = corpus size
+    return kept.select(
+        F.round(F.col("k").cast("double") / steps, 4).alias("threshold"),
+        "docs_kept",
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("docs_kept").cast("double") / total, 6))
+        .alias("frac_kept"),
+    )
+
+
+def score_threshold_sweep_sql(table: str, score_sql: str, steps: int = 20) -> str:
+    """DuckDB twin of `score_threshold_sweep` (same clamped floor histogram,
+    same single-division rounding)."""
+    return f"""
+WITH hist AS (
+  SELECT least(CAST(floor(({score_sql}) * {steps}) AS INT), {steps}) AS b,
+         count(*) AS n
+  FROM {table} GROUP BY 1
+),
+ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, {steps}) t(k)),
+kept AS (
+  SELECT k, CAST(coalesce(sum(n), 0) AS BIGINT) AS docs_kept
+  FROM ks LEFT JOIN hist ON b >= k GROUP BY k
+)
+SELECT round(CAST(k AS DOUBLE) / {steps}, 4) AS threshold,
+       docs_kept,
+       CASE WHEN max(docs_kept) OVER () = 0 THEN 0.0
+            ELSE round(CAST(docs_kept AS DOUBLE) / max(docs_kept) OVER (), 6)
+       END AS frac_kept
+FROM kept
+"""

@@ -458,6 +458,105 @@ GROUP BY s.id
 """
 
 
+def duplicate_span_rewrite(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 8
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL — the action half of
+    `duplicate_span_stats` (C4 §2.2 deduplicates: of any three-sentence span
+    occurring more than once in the corpus, all but ONE occurrence are
+    removed). Rewrites each document's normalized text keeping a span
+    occurrence iff it is the corpus-global FIRST occurrence of its
+    fingerprint — first = smallest (doc id, span position). A unique span is
+    its own first occurrence, so exactly one copy of every distinct span
+    survives corpus-wide. Emits ({id_col}, n_spans, kept_spans,
+    text_rewritten) over the normalized (lowercased, single-spaced) text;
+    documents whose normalized text is empty yield no spans and are omitted,
+    matching the stats operator.
+
+    Plan shape for 10^12 rows:
+      * span extraction is ONE regexp pass per row; `posexplode` carries the
+        offset needed for the first-occurrence rule and reassembly;
+      * the global winner per span is `min(struct(id, pos))` — a partial/final
+        hash agg whose map-side combine absorbs hot boilerplate spans (a
+        `row_number() over (partition by sp)` window would funnel each hot
+        span's every occurrence into one task; the agg never does);
+      * winners join back on the 60-bit md5-prefix fingerprint (one row per
+        DISTINCT span — too big to broadcast by construction, so a shuffled
+        hash join on uniformly distributed 8-byte keys);
+      * reassembly is one groupBy on the doc id; the only sort anywhere is
+        `array_sort` over a single document's own kept-span list.
+    Like the stats op, the span lineage feeds two consumers and is
+    deliberately NOT pinned: recomputing the regexp+md5 map stage is cheaper
+    than caching a row-per-span table (BENCH.md finding 4), and at corpus
+    scale the production shape materializes the winner table once per
+    corpus snapshot instead.
+    """
+    spans = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), _span_norm(F.col(text_col)).alias("_t"))
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.regexp_extract_all("_t", F.lit(_span_pattern(span_words)), 0)
+            ).alias("pos", "s"),
+        )
+        # same 60-bit md5-prefix BIGINT keys as duplicate_span_stats: the
+        # winner agg and join shuffle 8-byte longs, never span strings
+        .withColumn("sp", F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+    )
+    winners = spans.groupBy("sp").agg(F.min(F.struct("id", "pos")).alias("w"))
+    keep = (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    return (
+        spans.join(winners, "sp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("kept_spans"),
+            # collect_list skips the NULLs the when() leaves on dropped spans;
+            # all-dropped documents reassemble to '' (array_join of empty)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "s")))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("text_rewritten"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def duplicate_span_rewrite_sql(
+    table: str, id_col: str, text_col: str, span_words: int = 8
+) -> str:
+    """DuckDB twin of `duplicate_span_rewrite` (same normalization, chunk
+    regex, and 60-bit keys; the window `row_number = 1` keep rule selects the
+    identical smallest-(id,pos) occurrence the Spark min-struct agg does)."""
+    norm = f"lower(trim(regexp_replace({text_col}, '\\s+', ' ', 'g')))"
+    pat = _span_pattern(span_words)
+    return f"""
+WITH spans AS (
+  SELECT {id_col} AS id, u.pos, u.s,
+         CAST(concat('0x', substr(md5(u.s), 1, 15)) AS BIGINT) AS sp
+  FROM (
+    SELECT {id_col}, regexp_extract_all({norm}, '{pat}') AS arr FROM {table}
+  ), unnest(list_transform(arr, (s, i) -> {{'pos': i, 's': s}})) AS t(u)
+),
+ranked AS (
+  SELECT id, pos, s,
+         row_number() OVER (PARTITION BY sp ORDER BY id, pos) AS rn
+  FROM spans
+)
+SELECT id AS {id_col},
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY pos), '')
+         AS text_rewritten
+FROM ranked GROUP BY id
+"""
+
+
 # ---------------- MinHash + LSH ----------------
 
 

@@ -324,3 +324,75 @@ def snapshot_overlap(
         F.theta_sketch_estimate(F.theta_difference("_sb", "_sa")).cast("long").alias("b_only_est"),
         F.round(inter / union, 4).alias("jaccard_est"),
     )
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Pre-shuffle skew audit for a prospective join/agg key: the `top_n`
+    heaviest keys with their row counts, corpus fraction, and multiple of the
+    mean group size. The decision input for salting / AQE skew-join tuning —
+    at 10^12 rows you run THIS before keying a shuffle on a column, because a
+    key carrying 5% of the corpus turns a 1000-executor stage into one straggler.
+
+    Emits (rank, {key_col}, cnt, frac_rows, x_mean): `frac_rows` = share of
+    all rows on that key, `x_mean` = cnt / (total/keys) — how many times an
+    average group. NULL keys count as a key (they hash-partition together
+    exactly like any hot value). Ties in cnt break on the key value, so the
+    top-N boundary is engine-deterministic.
+
+    Plan shape: ONE partial/final hash agg on the key (map-side combine —
+    ironically immune to the skew it measures, combiners shrink the hot key
+    per task before the exchange); the 1-row totals agg re-reads the same
+    exchange (ReusedExchange — the grouped frame feeds both consumers with an
+    identical exchange, as in `categorical_drift`); broadcast cross-join of
+    the totals row; global top-N via orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort); the rank
+    window runs on the ≤ top_n collected rows.
+
+    Float determinism: frac_rows / x_mean are each ONE double division (or a
+    double ratio of exact longs) rounded to 6/4 dp — identical in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_keys")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc_nulls_first())
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc_nulls_first())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        key_col,
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("_total"), 6).alias("frac_rows"),
+        F.round(
+            F.col("cnt").cast("double")
+            / (F.col("_total").cast("double") / F.col("_keys")),
+            4,
+        ).alias("x_mean"),
+    )
+
+
+def key_skew_sql(table: str, key_col: str, top_n: int = 20) -> str:
+    """DuckDB twin of `key_skew` (same tie-break, same single-division
+    rounding; NULLS FIRST matches Spark's asc_nulls_first)."""
+    return f"""
+WITH counts AS (
+  SELECT {key_col}, count(*) AS cnt FROM {table} GROUP BY {key_col}
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS _total, count(*) AS _keys FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, {key_col} ASC NULLS FIRST) AS INT)
+         AS rank,
+       {key_col},
+       cnt,
+       round(CAST(cnt AS DOUBLE) / _total, 6) AS frac_rows,
+       round(CAST(cnt AS DOUBLE) / (CAST(_total AS DOUBLE) / _keys), 4) AS x_mean
+FROM counts, tot
+ORDER BY cnt DESC, {key_col} ASC NULLS FIRST
+LIMIT {top_n}
+"""

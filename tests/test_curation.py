@@ -395,3 +395,45 @@ def test_split_and_mixture_survive_quoted_values(spark):
     where = mixture_sample_where_sql("lang", th, "doc_id", salt="s'alt")
     dmix = duckdb.sql(f"SELECT doc_id FROM t WHERE {where}").df()
     assert sorted(dmix["doc_id"]) == sorted(mix["doc_id"])
+
+
+def test_score_threshold_sweep_exact_counts(spark):
+    """Hand-computed curve: 5 rows with literal scores at steps=4; bucket
+    clamping at score=1.0, empty buckets present, cumulative counts exact."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.curation import score_threshold_sweep
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.24,), (0.5,), (0.5,), (1.0,)], "s double"
+    )
+    got = {
+        r.threshold: (r.docs_kept, r.frac_kept)
+        for r in score_threshold_sweep(df, F.col("s"), steps=4).collect()
+    }
+    assert got == {
+        0.0: (5, 1.0),
+        0.25: (3, 0.6),
+        0.5: (3, 0.6),
+        0.75: (1, 0.2),
+        1.0: (1, 0.2),
+    }
+
+
+def test_score_threshold_sweep_shape_and_monotone(spark, sf_dir):
+    """On real fixture scores: exactly steps+1 rows, kept(0) = corpus size,
+    docs_kept non-increasing in threshold."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.functions.text import quality_score_col
+    from data_quality_check_spark.operators.curation import score_threshold_sweep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        score_threshold_sweep(docs, quality_score_col(F.col("text"))).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 21
+    assert rows[0].docs_kept == docs.count()
+    kept = [r.docs_kept for r in rows]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))

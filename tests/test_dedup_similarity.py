@@ -737,3 +737,55 @@ def test_pin_scope_isolates_and_releases(spark, docs):
     assert not errors, errors
     assert results[0] == results[1] == want
     assert len(_PINNED) == 0  # nothing leaked into the global registry
+
+
+def test_duplicate_span_rewrite_semantics(spark):
+    """Rewrite keeps exactly the corpus-global first occurrence of each span:
+    cross-doc duplicates drop in the later doc, WITHIN-doc repeats drop after
+    the first, a full-copy doc rewrites to '', unique docs pass through, and
+    empty docs vanish (no spans) — mirroring duplicate_span_stats."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d1 = shared + " tail1 a b c d e f g"
+    rows = [
+        (1, d1),
+        (2, "  " + shared.upper() + "\t extra x y z 1 2 3 4"),
+        (3, "self self2 self3 self4 self5 self6 self7 self8 "
+            "self self2 self3 self4 self5 self6 self7 self8"),
+        (4, ""),
+        (5, "lone span words here only four five six"),
+        (6, d1.upper()),  # exact normalized copy of doc 1 -> everything drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.kept_spans, r.text_rewritten)
+        for r in DD.duplicate_span_rewrite(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (2, 2, d1),
+        2: (2, 1, "extra x y z 1 2 3 4"),
+        3: (2, 1, "self self2 self3 self4 self5 self6 self7 self8"),
+        5: (1, 1, "lone span words here only four five six"),
+        6: (2, 0, ""),
+    }
+
+
+def test_duplicate_span_rewrite_agrees_with_stats(spark, sf_dir):
+    """On real fixture text the rewrite's span accounting must agree with
+    duplicate_span_stats: same docs, same n_spans, and every dropped span is a
+    dup (kept >= n - dup; a doc with zero dup spans keeps everything)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    stats = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in DD.duplicate_span_stats(df, "doc_id", "text").collect()
+    }
+    rewr = {
+        r.doc_id: (r.n_spans, r.kept_spans)
+        for r in DD.duplicate_span_rewrite(df, "doc_id", "text").collect()
+    }
+    assert set(stats) == set(rewr)
+    for doc, (n, dup) in stats.items():
+        n2, kept = rewr[doc]
+        assert n2 == n
+        assert kept >= n - dup  # only duplicated spans may drop
+        if dup == 0:
+            assert kept == n

@@ -177,3 +177,33 @@ def test_snapshot_overlap_estimates_within_2pct(spark):
 
     plan = snapshot_overlap(a, b, "k")._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_key_skew_exact(spark):
+    """Hand-computed skew audit: counts, fractions, multiple-of-mean, NULL
+    keys counted as a key, and the cnt-tie broken nulls-first."""
+    from data_quality_check_spark.operators.drift import key_skew
+
+    rows = [("a",)] * 4 + [("b",)] * 3 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    got = [tuple(r) for r in key_skew(df, "k", top_n=3).collect()]
+    # total=10, keys=3, mean=10/3
+    assert got == [
+        (1, "a", 4, 0.4, round(4 / (10 / 3), 4)),
+        (2, None, 3, 0.3, round(3 / (10 / 3), 4)),
+        (3, "b", 3, 0.3, round(3 / (10 / 3), 4)),
+    ]
+
+
+def test_key_skew_top_n_bounds(spark, sf_dir):
+    """On fixture events: at most top_n rows, ranks 1..n, frac_rows sums to
+    <=1, ordering is by cnt desc."""
+    from data_quality_check_spark.operators.drift import key_skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = key_skew(ev, "user_id", top_n=10).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert sum(r.frac_rows for r in rows) <= 1.0 + 1e-9

@@ -262,3 +262,44 @@ def test_alignment_is_one_arrow_projection_no_shuffle(spark):
     plan = _plan(EQ.queries()["alignment_scores_images"](spark, SF_DIR))
     assert plan.count("ArrowEvalPython") == 1
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_span_rewrite_is_jvm_only_and_agg_elected(spark):
+    """duplicate_span_rewrite: no Python eval anywhere (regexp chunking, md5
+    fingerprints, min-struct election, reassembly all JVM), and the winner
+    election is a hash AGGREGATE (map-side combinable), not a window over sp
+    (which would funnel each hot boilerplate span into one task)."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    df = EQ.queries()["line_dedup_rewrite_documents"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly ONE Window node is acceptable: none — election must be an agg
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+    assert "HashAggregate" in plan
+
+
+def test_threshold_sweep_scans_one_column_one_agg(spark):
+    """score_threshold_sweep: the corpus scan reads ONLY the text column
+    (ReadSchema pruned), the per-row work is one JVM hash agg, and the
+    cumulative window runs AFTER the K-row aggregation (no corpus window)."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    df = EQ.queries()["quality_threshold_sweep_documents"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for chunk in plan.split("ReadSchema")[1:]:
+        line = chunk[:300]
+        if "documents.parquet" in chunk[:600] or "text" in line:
+            assert "doc_id" not in line and "source" not in line
+
+
+def test_key_skew_uses_topk_not_global_sort(spark):
+    """key_skew: global top-N executes as TakeOrderedAndProject (per-partition
+    heaps), never a full Sort+Exchange of all keys; totals ride a broadcast."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    df = EQ.queries()["key_skew_events_user"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
