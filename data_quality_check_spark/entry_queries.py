@@ -2003,3 +2003,44 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("key_skew_events_user", DR.key_skew_sql("events", "user_id"))
 def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.key_skew(t(spark, sf_dir, "events"), "user_id")
+
+
+# End-to-end image near-dup over real encoded payloads: synthesize the
+# image-BYTES gate table (shared kernel, deterministic per doc_id; every 10th
+# image = the previous image re-encoded lossy), decode + grid-luma-embed via
+# the production Arrow UDF (functions/multimodal.feature_vector_udf), center
+# the nonneg luma features (x − 0.5, so distinct images sit near cosine 0 and
+# SRP banding can prune — measured candidate fraction <1%), then the shared
+# banded-SRP near-dup operator at the production threshold. This is the
+# multimodal loop closed: bytes → pixels → embedding → LSH dedup, value-checked
+# against a driver-twin that replays the identical kernels (incl. the
+# array<float> Arrow precision boundary) and runs the joins in DuckDB.
+_IMG_EMB_T = 0.9
+
+from data_quality_check_spark.functions import multimodal as MM  # noqa: E402
+from data_quality_check_spark.gate_fixtures import (  # noqa: E402
+    IMG_FEATURE_GRID,
+    synthetic_image_bytes_df,
+)
+
+
+@register(
+    "image_embedding_neardup",
+    lambda: _OR.image_embedding_neardup_sql(
+        ORACLE_SF_DIR, threshold=_IMG_EMB_T, bands=_EMB_LSH_BANDS,
+        bits_per_band=_EMB_LSH_R,
+    ),
+)
+def q_image_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthetic_image_bytes_df(t(spark, sf_dir, "documents"))
+    feats = imgs.select(
+        "image_id", MM.feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f")
+    )
+    centered = feats.select(
+        F.col("image_id").alias("vec_id"),
+        F.transform("_f", lambda x: x.cast("double") - F.lit(0.5)).alias("embedding"),
+    )
+    return SIM.neardup_pairs_lsh(
+        centered, threshold=_IMG_EMB_T, bands=_EMB_LSH_BANDS,
+        bits_per_band=_EMB_LSH_R, dim=IMG_FEATURE_GRID * IMG_FEATURE_GRID,
+    )

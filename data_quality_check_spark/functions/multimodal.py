@@ -75,6 +75,29 @@ def with_decode_check(df: DataFrame, bytes_col: str = "bytes",
     ).drop("_dec")
 
 
+def grid_luma_features(arr: np.ndarray, grid: int = 4) -> list[float]:
+    """Grid-block mean-luma feature kernel (length grid², values in [0,1]) —
+    the SINGLE definition shared by the Spark UDF (`feature_vector_udf`) and
+    the driver-side oracle twin (oracles.image_embedding_neardup_sql), so both
+    engines embed every image identically (same policy as
+    similarity.srp_band_chunks)."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.arange(grid + 1) * h // grid
+    xs = np.arange(grid + 1) * w // grid
+    return [
+        float(
+            gray[
+                ys[i] : max(ys[i + 1], ys[i] + 1),
+                xs[j] : max(xs[j + 1], xs[j] + 1),
+            ].mean()
+            / 255.0
+        )
+        for i in range(grid)
+        for j in range(grid)
+    ]
+
+
 def feature_vector_udf(grid: int = 4):
     """Decode → grid-block mean-luma feature vector (`array<float>`, length
     grid², values in [0,1]) — the image-side input to the similarity operators
@@ -88,26 +111,7 @@ def feature_vector_udf(grid: int = 4):
             out = []
             for b in blobs:
                 arr = codecs.decode(b)
-                if arr is None:
-                    out.append(None)
-                    continue
-                gray = arr.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
-                ys = np.arange(grid + 1) * h // grid
-                xs = np.arange(grid + 1) * w // grid
-                out.append(
-                    [
-                        float(
-                            gray[
-                                ys[i] : max(ys[i + 1], ys[i] + 1),
-                                xs[j] : max(xs[j + 1], xs[j] + 1),
-                            ].mean()
-                            / 255.0
-                        )
-                        for i in range(grid)
-                        for j in range(grid)
-                    ]
-                )
+                out.append(None if arr is None else grid_luma_features(arr, grid))
             yield pd.Series(out)
 
     return _feat

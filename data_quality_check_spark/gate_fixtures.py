@@ -189,3 +189,98 @@ def synthetic_image_meta_sql(docs_rel: str = "documents") -> str:
         f" CAST({phash_expr('duckdb')} AS BIGINT) AS phash"
         f" FROM {docs_rel}"
     )
+
+
+# ── Synthetic image-BYTES gate table (decode → embed → near-dup, end-to-end) ──
+#
+# The metadata gate table above deliberately never materializes pixels; the
+# image-EMBEDDING near-dup query needs real encoded payloads so the full
+# decode → grid-luma-feature → SRP-LSH chain runs through the same Arrow UDFs
+# production would use. Deterministic construction per image_id (= doc_id):
+#
+#   * 16 md5-derived bits choose a 4×4 bright/dark block pattern (200 vs 40),
+#     plus a fixed per-pixel texture — block patterns are i.i.d.-like across
+#     ids, so the centered grid-luma features of DISTINCT images sit near
+#     cosine 0 (measured p50 0.008) while every planted copy sits ≥ 0.9999;
+#   * every IMG_BYTES_EVERY-th image is the PREVIOUS image's pixels re-encoded
+#     as 'jpeg' (the codec family's lossy member) — a realistic re-compressed
+#     duplicate whose decode differs by ≤ the quantization step;
+#   * base images cycle 'png'/'bmp'/'jpeg' containers by id.
+#
+# `image_payload` is the SINGLE kernel shared by the Spark mapInPandas builder
+# and the DuckDB oracle twin (oracles.image_embedding_neardup_sql): both
+# engines synthesize byte-identical payloads, so features/signatures agree
+# exactly (same policy as srp_band_chunks / grid_luma_features).
+
+IMG_BYTES_EVERY = 10
+IMG_BYTES_H, IMG_BYTES_W = 16, 24
+IMG_FEATURE_GRID = 4  # 4×4 blocks = 16-dim feature, matches feature_vector_udf
+_IMG_BYTES_FMTS = ("png", "bmp", "jpeg")
+
+
+def _image_bits(base: int) -> "list[int]":
+    """16 well-mixed deterministic bits per base id (md5 — a linear
+    multiplicative mixer leaves bit-13 patterns correlated across consecutive
+    ids and floods the gate with accidental near-identical patterns)."""
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(str(base).encode()).digest()[:2], "big")
+    g = IMG_FEATURE_GRID
+    return [(v >> k) & 1 for k in range(g * g)]
+
+
+def image_payload(image_id: int) -> "tuple[bytes, str]":
+    """Encoded (bytes, fmt) for one image id — the shared synthesis kernel."""
+    from data_quality_check_spark.pipeline import codecs
+
+    every, h, w, g = IMG_BYTES_EVERY, IMG_BYTES_H, IMG_BYTES_W, IMG_FEATURE_GRID
+    base = image_id - 1 if (image_id % every == every - 1 and image_id > 0) else image_id
+    bm = np.array(_image_bits(base), dtype=np.int64).reshape(g, g)
+    valmap = np.where(
+        bm.repeat(h // g, 0).repeat(w // g, 1)[:, :, None] == 1, 200, 40
+    )
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    tex = (y * 7 + x * 13 + c * 5) % 17 - 8
+    px = np.clip(valmap + tex, 0, 255).astype(np.uint8)
+    fmt = "jpeg" if image_id != base else _IMG_BYTES_FMTS[base % 3]
+    return codecs.encode(px, fmt), fmt
+
+
+def synthetic_image_bytes_df(docs: DataFrame) -> DataFrame:
+    """Spark construction: (image_id, bytes, fmt), one image per doc_id, via
+    an Arrow-batched mapInPandas over the shared `image_payload` kernel. At
+    production scale this stands in for the Iceberg image table scan — the
+    synthesis is map-side-only, so the plan downstream of it (features, LSH)
+    is exactly the plan a real table would feed."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [image_payload(int(i)) for i in ids]
+            yield _pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": [p[0] for p in payloads],
+                    "fmt": [p[1] for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "image_id long, bytes binary, fmt string"
+    )
+
+
+def synthetic_image_bytes_pdf(ids: np.ndarray) -> pd.DataFrame:
+    """Driver-side twin of `synthetic_image_bytes_df` (same kernel, same
+    columns) for the DuckDB oracle."""
+    payloads = [image_payload(int(i)) for i in ids]
+    return pd.DataFrame(
+        {
+            "image_id": np.asarray(ids, dtype=np.int64),
+            "bytes": [p[0] for p in payloads],
+            "fmt": [p[1] for p in payloads],
+        }
+    )

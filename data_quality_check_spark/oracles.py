@@ -441,3 +441,70 @@ def alignment_sql(sf_dir: str, threshold: float) -> str:
     )
     path = _write_parquet(out, _scratch(sf_dir, "alignment_scores.parquet"))
     return f"SELECT image_id, align_score, aligned FROM '{path}'"
+
+
+def image_embedding_neardup_sql(
+    sf_dir: str, threshold: float, bands: int, bits_per_band: int
+) -> str:
+    """Twin of the decode → grid-luma-embed → SRP-LSH near-dup chain over the
+    synthetic image-BYTES gate table: bytes from the shared synthesis kernel
+    (gate_fixtures.image_payload), decoded with the same codec family, embedded
+    with the same grid_luma_features kernel — INCLUDING the array<float> Arrow
+    boundary round-trip (float64 → float32 → float64, the exact precision the
+    Spark UDF output carries) and the query's `x − 0.5` centering — then banded
+    with the shared srp_band_chunks kernel. The relational stages (banded
+    self-join, distinct, exact rounded-cosine confirm) stay genuine DuckDB SQL,
+    mirroring embedding_neardup_lsh_sql."""
+    from data_quality_check_spark.functions.multimodal import grid_luma_features
+    from data_quality_check_spark.gate_fixtures import (
+        IMG_FEATURE_GRID,
+        synthetic_image_bytes_pdf,
+    )
+    from data_quality_check_spark.operators.similarity import (
+        srp_band_chunks,
+        srp_planes,
+    )
+    from data_quality_check_spark.pipeline import codecs
+
+    ids = _read_cols(sf_dir, "documents", ["doc_id"])["doc_id"].to_numpy()
+    imgs = synthetic_image_bytes_pdf(ids)
+    feats = [
+        grid_luma_features(codecs.decode(b), IMG_FEATURE_GRID)
+        for b in imgs["bytes"]
+    ]
+    dim = IMG_FEATURE_GRID * IMG_FEATURE_GRID
+    # float32 round-trip = the Spark UDF's array<float> Arrow boundary
+    x = np.asarray(feats, dtype=np.float32).astype(np.float64) - 0.5
+    vec_path = _write_parquet(
+        pd.DataFrame(
+            {"vec_id": imgs["image_id"], "ev": [row.tolist() for row in x]}
+        ),
+        _scratch(sf_dir, "img_bytes_feats.parquet"),
+    )
+    ch = srp_band_chunks(x, srp_planes(bands * bits_per_band, dim), bands)
+    chunk_path = _write_parquet(
+        pd.DataFrame(
+            {
+                "vec_id": np.repeat(imgs["image_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(imgs)),
+                "chunk": ch.reshape(-1),
+            }
+        ),
+        _scratch(sf_dir, f"img_bytes_chunks_b{bands}_r{bits_per_band}.parquet"),
+    )
+    return f"""
+WITH v AS (SELECT vec_id, ev FROM '{vec_path}'),
+chunks AS (SELECT vec_id, band, chunk FROM '{chunk_path}'),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM chunks a JOIN chunks b USING (band, chunk)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(va.ev, vb.ev), 4) AS cosine
+  FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
+"""

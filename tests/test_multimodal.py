@@ -246,3 +246,68 @@ def test_with_alignment_null_phash_is_unaligned(spark):
     assert got.loc["a", "align_score"] == UNALIGNED_SENTINEL
     assert not got.loc["a", "aligned"]  # even at a loose threshold
     assert got.loc["b", "align_score"] > UNALIGNED_SENTINEL
+
+
+def test_image_embedding_neardup_planted_recall(spark):
+    """Every planted re-encoded copy (id % 10 == 9 → copy of id−1) must
+    surface as a near-dup pair at cosine ≥ 0.999, and the banded candidate
+    stage must stay a small fraction of all pairs (the sub-quadratic claim)."""
+    from data_quality_check_spark.gate_fixtures import (
+        IMG_BYTES_EVERY,
+        IMG_FEATURE_GRID,
+        synthetic_image_bytes_df,
+    )
+    from data_quality_check_spark.operators.dedup import candidate_counts
+
+    n = 400
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    imgs = synthetic_image_bytes_df(docs)
+    feats = imgs.select(
+        "image_id",
+        MM.feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f"),
+    )
+    centered = feats.select(
+        F.col("image_id").alias("vec_id"),
+        F.transform("_f", lambda x: x.cast("double") - F.lit(0.5)).alias("embedding"),
+    )
+    pairs = SIM.neardup_pairs_lsh(
+        centered, threshold=0.9, dim=IMG_FEATURE_GRID * IMG_FEATURE_GRID
+    ).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs}
+    planted = [
+        (i - 1, i) for i in range(n) if i % IMG_BYTES_EVERY == IMG_BYTES_EVERY - 1 and i > 0
+    ]
+    for p in planted:
+        assert p in got, f"planted pair {p} missed"
+        assert got[p] >= 0.999
+    cand = candidate_counts().get("neardup_pairs_lsh")
+    assert cand is not None
+    assert cand / (n * (n - 1) / 2) <= 0.05
+
+
+def test_image_payload_kernel_properties(spark):
+    """Payload determinism + the dup construction: the copy decodes to within
+    the lossy quantization step of its base, distinct ids decode to genuinely
+    different block patterns, and the kernel is executor/driver identical."""
+    from data_quality_check_spark.gate_fixtures import (
+        image_payload,
+        synthetic_image_bytes_df,
+        synthetic_image_bytes_pdf,
+    )
+
+    b9, f9 = image_payload(9)
+    b8, _ = image_payload(8)
+    a9, a8 = codecs.decode(b9), codecs.decode(b8)
+    assert f9 == "jpeg"
+    assert a9.shape == a8.shape
+    assert np.abs(a9.astype(int) - a8.astype(int)).max() <= codecs.JPEG_Q
+    a0, a1 = codecs.decode(image_payload(0)[0]), codecs.decode(image_payload(1)[0])
+    assert np.abs(a0.astype(int) - a1.astype(int)).max() > 50  # different patterns
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    got = synthetic_image_bytes_df(docs).orderBy("image_id").collect()
+    want = synthetic_image_bytes_pdf(np.arange(30))
+    for row, (_, w) in zip(got, want.iterrows()):
+        assert row.image_id == w["image_id"]
+        assert bytes(row.bytes) == w["bytes"]
+        assert row.fmt == w["fmt"]

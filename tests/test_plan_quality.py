@@ -303,3 +303,16 @@ def test_key_skew_uses_topk_not_global_sort(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_image_embedding_neardup_bytes_never_shuffle(spark):
+    """image_embedding_neardup: encoded payloads stay map-side — every
+    Exchange in the plan carries only narrow columns (ids, 16-dim features,
+    band/chunk longs), never the bytes column (SURVEY.md §4.2: payload bytes
+    are orders of magnitude wider than everything else)."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    df = EQ.queries()["image_embedding_neardup"](spark, SF_DIR)
+    for line in _plan(df).splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line, line
