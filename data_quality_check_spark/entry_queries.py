@@ -2017,9 +2017,9 @@ def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array<float> Arrow precision boundary) and runs the joins in DuckDB.
 _IMG_EMB_T = 0.9
 
-from data_quality_check_spark.functions import multimodal as MM  # noqa: E402
 from data_quality_check_spark.gate_fixtures import (  # noqa: E402
     IMG_FEATURE_GRID,
+    centered_image_embeddings,
     synthetic_image_bytes_df,
 )
 
@@ -2033,13 +2033,7 @@ from data_quality_check_spark.gate_fixtures import (  # noqa: E402
 )
 def q_image_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synthetic_image_bytes_df(t(spark, sf_dir, "documents"))
-    feats = imgs.select(
-        "image_id", MM.feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f")
-    )
-    centered = feats.select(
-        F.col("image_id").alias("vec_id"),
-        F.transform("_f", lambda x: x.cast("double") - F.lit(0.5)).alias("embedding"),
-    )
+    centered = centered_image_embeddings(imgs)
     return SIM.neardup_pairs_lsh(
         centered, threshold=_IMG_EMB_T, bands=_EMB_LSH_BANDS,
         bits_per_band=_EMB_LSH_R, dim=IMG_FEATURE_GRID * IMG_FEATURE_GRID,

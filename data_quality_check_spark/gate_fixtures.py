@@ -273,6 +273,26 @@ def synthetic_image_bytes_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def centered_image_embeddings(imgs: DataFrame) -> DataFrame:
+    """(vec_id, embedding array<double>) from an (image_id, bytes) frame:
+    decode → grid-luma features (production Arrow UDF) → `x − 0.5` centering.
+    Centering is what lets SRP banding prune: raw luma features are
+    non-negative (every pair lands near cosine 1), centered ones put distinct
+    block patterns near cosine 0. ONE definition used by the registered
+    `image_embedding_neardup` query AND its tests, so the tested chain cannot
+    drift from the production chain (the oracle twin replays the same steps
+    driver-side in oracles.image_embedding_neardup_sql)."""
+    from data_quality_check_spark.functions.multimodal import feature_vector_udf
+
+    feats = imgs.select(
+        "image_id", feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f")
+    )
+    return feats.select(
+        F.col("image_id").alias("vec_id"),
+        F.transform("_f", lambda x: x.cast("double") - F.lit(0.5)).alias("embedding"),
+    )
+
+
 def synthetic_image_bytes_pdf(ids: np.ndarray) -> pd.DataFrame:
     """Driver-side twin of `synthetic_image_bytes_df` (same kernel, same
     columns) for the DuckDB oracle."""

@@ -704,44 +704,56 @@ def score_threshold_sweep(df: DataFrame, score: F.Column, steps: int = 20) -> Da
     Exact semantics (engine-identical): a row counts toward threshold k iff
     `score * steps >= k` — equivalent to `floor(score * steps) >= k` for
     integer k, so ONE histogram of `floor(score * steps)` (clamped to
-    [0, steps] for score == 1.0) answers every threshold at once. Both engines
-    run the identical double multiply + floor, so bucket boundaries agree
-    bitwise; frac_kept is a single double division of two exact longs.
+    [0, steps] for score == 1.0) answers every threshold at once. Rows whose
+    score is NULL or negative are kept at NO threshold (a `score >= t` filter
+    with t ≥ 0 rejects both) — they land in a sentinel bucket that never joins,
+    but they STAY in frac_kept's denominator: the curve reports the fraction of
+    the whole corpus a filter would keep, not of the scoreable subset. Both
+    engines run the identical double multiply + floor, so bucket boundaries
+    agree bitwise; frac_kept is a single double division of two exact longs.
 
-    Plan shape for 10^12 rows: one map-side-combined hash agg with ≤ steps+1
+    Plan shape for 10^12 rows: one map-side-combined hash agg with ≤ steps+2
     groups; everything downstream (the threshold join, the cumulative sum,
-    the total) runs on K = steps+1 rows. The cumulative sum is a window over
+    the total) runs on K = steps+2 rows. The cumulative sum is a window over
     those K rows — a single trivial task, NOT a window over the corpus.
     """
-    b = F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    b = F.when(score.isNull() | (score < 0), F.lit(-1)).otherwise(
+        F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    )
     hist = df.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
     ks = (
         df.sparkSession.range(0, steps + 1)
         .select(F.col("id").cast("int").alias("k"))
     )
-    # kept(k) = Σ n over buckets ≥ k; hist is ≤ steps+1 rows, so the
-    # inequality join and the unbounded window are K-row driver-trivial work
+    # kept(k) = Σ n over buckets ≥ k (the -1 sentinel joins to no k); hist is
+    # ≤ steps+2 rows, so the inequality join runs on K-row driver-trivial work
     kept = (
         ks.join(F.broadcast(hist), F.col("b") >= F.col("k"), "left")
         .groupBy("k")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("docs_kept"))
     )
-    total = F.max("docs_kept").over(Window.partitionBy())  # kept(0) = corpus size
-    return kept.select(
+    # denominator = ALL corpus rows, sentinel included; derived from hist so
+    # the corpus scan isn't repeated (the hist exchange is reused, as in
+    # drift.key_skew's totals)
+    tot = hist.agg(F.sum("n").alias("_total"))
+    return kept.crossJoin(F.broadcast(tot)).select(
         F.round(F.col("k").cast("double") / steps, 4).alias("threshold"),
         "docs_kept",
-        F.when(total == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("docs_kept").cast("double") / total, 6))
+        F.when(F.coalesce(F.col("_total"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("docs_kept").cast("double") / F.col("_total"), 6))
         .alias("frac_kept"),
     )
 
 
 def score_threshold_sweep_sql(table: str, score_sql: str, steps: int = 20) -> str:
     """DuckDB twin of `score_threshold_sweep` (same clamped floor histogram,
-    same single-division rounding)."""
+    same NULL/negative sentinel bucket, same whole-corpus denominator, same
+    single-division rounding)."""
+    s = f"({score_sql})"
     return f"""
 WITH hist AS (
-  SELECT least(CAST(floor(({score_sql}) * {steps}) AS INT), {steps}) AS b,
+  SELECT CASE WHEN {s} IS NULL OR {s} < 0 THEN -1
+              ELSE least(CAST(floor({s} * {steps}) AS INT), {steps}) END AS b,
          count(*) AS n
   FROM {table} GROUP BY 1
 ),
@@ -749,11 +761,12 @@ ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, {steps}) t(k)),
 kept AS (
   SELECT k, CAST(coalesce(sum(n), 0) AS BIGINT) AS docs_kept
   FROM ks LEFT JOIN hist ON b >= k GROUP BY k
-)
+),
+tot AS (SELECT coalesce(sum(n), 0) AS _total FROM hist)
 SELECT round(CAST(k AS DOUBLE) / {steps}, 4) AS threshold,
        docs_kept,
-       CASE WHEN max(docs_kept) OVER () = 0 THEN 0.0
-            ELSE round(CAST(docs_kept AS DOUBLE) / max(docs_kept) OVER (), 6)
+       CASE WHEN _total = 0 THEN 0.0
+            ELSE round(CAST(docs_kept AS DOUBLE) / _total, 6)
        END AS frac_kept
-FROM kept
+FROM kept, tot
 """

@@ -482,7 +482,15 @@ def duplicate_span_rewrite(
         span's every occurrence into one task; the agg never does);
       * winners join back on the 60-bit md5-prefix fingerprint (one row per
         DISTINCT span — too big to broadcast by construction, so a shuffled
-        hash join on uniformly distributed 8-byte keys);
+        hash join). The fingerprint KEYSPACE is uniform, but per-key row
+        counts are not: a boilerplate span occurring in millions of documents
+        sends all its probe-side occurrences (including the span string `s`,
+        which must ride this exchange for reassembly) to one join partition —
+        the build side stays one row per key either way. That residual probe
+        skew is AQE's skew-join split (runtime partition splitting), the same
+        recourse `duplicate_span_stats` documents for its non-broadcast
+        fallback; the ELECTION itself never straggles because it is an agg,
+        not a window;
       * reassembly is one groupBy on the doc id; the only sort anywhere is
         `array_sort` over a single document's own kept-span list.
     Like the stats op, the span lineage feeds two consumers and is

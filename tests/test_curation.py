@@ -437,3 +437,25 @@ def test_score_threshold_sweep_shape_and_monotone(spark, sf_dir):
     assert rows[0].docs_kept == docs.count()
     kept = [r.docs_kept for r in rows]
     assert all(a >= b for a, b in zip(kept, kept[1:]))
+
+
+def test_score_threshold_sweep_null_and_negative_scores(spark):
+    """NULL / negative scores are kept at NO threshold (a `score >= t` filter
+    rejects both for t >= 0) but stay in frac_kept's denominator — the curve
+    reports fractions of the WHOLE corpus, not of the scoreable subset."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.curation import score_threshold_sweep
+
+    df = spark.createDataFrame(
+        [(0.5,), (None,), (-0.25,), (1.0,)], "s double"
+    )
+    got = {
+        r.threshold: (r.docs_kept, r.frac_kept)
+        for r in score_threshold_sweep(df, F.col("s"), steps=2).collect()
+    }
+    assert got == {
+        0.0: (2, 0.5),
+        0.5: (2, 0.5),
+        1.0: (1, 0.25),
+    }

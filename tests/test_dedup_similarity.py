@@ -769,23 +769,44 @@ def test_duplicate_span_rewrite_semantics(spark):
     }
 
 
-def test_duplicate_span_rewrite_agrees_with_stats(spark, sf_dir):
-    """On real fixture text the rewrite's span accounting must agree with
-    duplicate_span_stats: same docs, same n_spans, and every dropped span is a
-    dup (kept >= n - dup; a doc with zero dup spans keeps everything)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-    stats = {
-        r.doc_id: (r.n_spans, r.dup_spans)
-        for r in DD.duplicate_span_stats(df, "doc_id", "text").collect()
+def test_duplicate_span_rewrite_matches_python_twin(spark, sf_dir):
+    """On real fixture text the rewrite must match an independent driver-side
+    re-implementation EXACTLY (same normalization + greedy chunk regex via
+    Python `re`, same global smallest-(id,pos) first-occurrence rule) —
+    including within-doc repeats, which duplicate_span_stats deliberately does
+    NOT count (its dup rule is >=2 distinct DOCS), so a stats-based invariant
+    would be both weaker and wrong on intra-doc-only repeats."""
+    import re as _re
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).select(
+        "doc_id", "text"
+    ).collect()
+    pat = _re.compile(r"(?:\S+ ){0,7}\S+")
+    spans = []  # (doc_id, pos, span)
+    for r in rows:
+        norm = _re.sub(r"\s+", " ", r.text or "").strip().lower()
+        for pos, s in enumerate(pat.findall(norm)):
+            spans.append((r.doc_id, pos, s))
+    first = {}
+    for did, pos, s in sorted(spans):
+        first.setdefault(s, (did, pos))
+    want = {}
+    for did, pos, s in spans:
+        n, kept, parts = want.get(did, (0, 0, []))
+        if first[s] == (did, pos):
+            kept += 1
+            parts = parts + [(pos, s)]
+        want[did] = (n + 1, kept, parts)
+    want = {
+        did: (n, kept, " ".join(s for _, s in sorted(parts)))
+        for did, (n, kept, parts) in want.items()
     }
-    rewr = {
-        r.doc_id: (r.n_spans, r.kept_spans)
+
+    # build the Spark input from the SAME collected rows (a second limit(300)
+    # on the scan is not guaranteed to pick the same subset)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.kept_spans, r.text_rewritten)
         for r in DD.duplicate_span_rewrite(df, "doc_id", "text").collect()
     }
-    assert set(stats) == set(rewr)
-    for doc, (n, dup) in stats.items():
-        n2, kept = rewr[doc]
-        assert n2 == n
-        assert kept >= n - dup  # only duplicated spans may drop
-        if dup == 0:
-            assert kept == n
+    assert got == want

@@ -255,21 +255,15 @@ def test_image_embedding_neardup_planted_recall(spark):
     from data_quality_check_spark.gate_fixtures import (
         IMG_BYTES_EVERY,
         IMG_FEATURE_GRID,
+        centered_image_embeddings,
         synthetic_image_bytes_df,
     )
     from data_quality_check_spark.operators.dedup import candidate_counts
 
     n = 400
     docs = spark.range(n).select(F.col("id").alias("doc_id"))
-    imgs = synthetic_image_bytes_df(docs)
-    feats = imgs.select(
-        "image_id",
-        MM.feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f"),
-    )
-    centered = feats.select(
-        F.col("image_id").alias("vec_id"),
-        F.transform("_f", lambda x: x.cast("double") - F.lit(0.5)).alias("embedding"),
-    )
+    # the SAME embed-and-center chain the registered query runs (shared helper)
+    centered = centered_image_embeddings(synthetic_image_bytes_df(docs))
     pairs = SIM.neardup_pairs_lsh(
         centered, threshold=0.9, dim=IMG_FEATURE_GRID * IMG_FEATURE_GRID
     ).collect()

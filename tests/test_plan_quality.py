@@ -305,14 +305,62 @@ def test_key_skew_uses_topk_not_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def _exchange_output_columns(df) -> "list[list[str]]":
+    """Column names each Exchange node's rows actually CARRY (node.output()),
+    walked over the physical plan tree. toString() is useless for this — an
+    Exchange line prints only its partitioning EXPRESSIONS, never the carried
+    schema, so a string grep can only catch partitioning BY a column, not
+    shipping it."""
+    out: list[list[str]] = []
+
+    def walk(node):
+        if "Exchange" in node.nodeName():
+            attrs = node.output()
+            out.append([attrs.apply(i).name() for i in range(attrs.size())])
+        # AdaptiveSparkPlanExec hides the plan from children(); walk its
+        # current physical plan instead
+        kids = node.children()
+        if kids.size() == 0 and hasattr(node, "executedPlan"):
+            try:
+                walk(node.executedPlan())
+                return
+            except Exception:
+                pass
+        if kids.size() == 0:
+            try:
+                walk(node.initialPlan())
+                return
+            except Exception:
+                pass
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_image_embedding_neardup_bytes_never_shuffle(spark):
     """image_embedding_neardup: encoded payloads stay map-side — every
     Exchange in the plan carries only narrow columns (ids, 16-dim features,
     band/chunk longs), never the bytes column (SURVEY.md §4.2: payload bytes
-    are orders of magnitude wider than everything else)."""
+    are orders of magnitude wider than everything else). Checked against each
+    Exchange node's OUTPUT attributes, not the toString() partitioning line."""
     from data_quality_check_spark import entry_queries as EQ
 
     df = EQ.queries()["image_embedding_neardup"](spark, SF_DIR)
-    for line in _plan(df).splitlines():
-        if "Exchange" in line:
-            assert "bytes" not in line, line
+    exchanges = _exchange_output_columns(df)
+    assert exchanges, "expected at least one Exchange in the LSH plan"
+    for cols in exchanges:
+        assert "bytes" not in cols, cols
+
+
+def test_exchange_output_walker_detects_wide_shuffle(spark):
+    """The walker itself must SEE a bytes column when one genuinely rides an
+    Exchange (guards against the walker silently traversing nothing)."""
+    from data_quality_check_spark.gate_fixtures import synthetic_image_bytes_df
+
+    imgs = synthetic_image_bytes_df(
+        spark.range(20).select(F.col("id").alias("doc_id"))
+    ).repartition(4, "image_id")
+    exchanges = _exchange_output_columns(imgs.select("image_id", "bytes"))
+    assert any("bytes" in cols for cols in exchanges), exchanges
