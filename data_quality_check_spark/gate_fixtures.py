@@ -218,24 +218,33 @@ IMG_FEATURE_GRID = 4  # 4×4 blocks = 16-dim feature, matches feature_vector_udf
 _IMG_BYTES_FMTS = ("png", "bmp", "jpeg")
 
 
-def _image_bits(base: int) -> "list[int]":
-    """16 well-mixed deterministic bits per base id (md5 — a linear
+def _image_bits(base: int, grid: int = IMG_FEATURE_GRID) -> "list[int]":
+    """grid² well-mixed deterministic bits per base id (md5 — a linear
     multiplicative mixer leaves bit-13 patterns correlated across consecutive
     ids and floods the gate with accidental near-identical patterns)."""
     import hashlib
 
-    v = int.from_bytes(hashlib.md5(str(base).encode()).digest()[:2], "big")
-    g = IMG_FEATURE_GRID
-    return [(v >> k) & 1 for k in range(g * g)]
+    nbits = grid * grid
+    v = int.from_bytes(
+        hashlib.md5(str(base).encode()).digest()[: (nbits + 7) // 8], "big"
+    )
+    return [(v >> k) & 1 for k in range(nbits)]
 
 
-def image_payload(image_id: int) -> "tuple[bytes, str]":
-    """Encoded (bytes, fmt) for one image id — the shared synthesis kernel."""
+def image_payload(image_id: int, grid: int = IMG_FEATURE_GRID) -> "tuple[bytes, str]":
+    """Encoded (bytes, fmt) for one image id — the shared synthesis kernel.
+
+    `grid` sets the block-pattern entropy (2^grid² distinct patterns) and must
+    match the feature grid downstream. The default 4×4 (2¹⁶ patterns) is sized
+    for GATE-scale tables (≤ ~10⁴ rows): past ~10⁵ images the birthday-paradox
+    mid-cosine tail saturates and the banded join degenerates toward all-pairs
+    — real image embeddings are higher-dimensional, so scale measurements use
+    grid=8 (64-dim features, 2⁶⁴ patterns; see BENCH.md)."""
     from data_quality_check_spark.pipeline import codecs
 
-    every, h, w, g = IMG_BYTES_EVERY, IMG_BYTES_H, IMG_BYTES_W, IMG_FEATURE_GRID
+    every, h, w, g = IMG_BYTES_EVERY, IMG_BYTES_H, IMG_BYTES_W, grid
     base = image_id - 1 if (image_id % every == every - 1 and image_id > 0) else image_id
-    bm = np.array(_image_bits(base), dtype=np.int64).reshape(g, g)
+    bm = np.array(_image_bits(base, g), dtype=np.int64).reshape(g, g)
     valmap = np.where(
         bm.repeat(h // g, 0).repeat(w // g, 1)[:, :, None] == 1, 200, 40
     )
@@ -248,7 +257,7 @@ def image_payload(image_id: int) -> "tuple[bytes, str]":
     return codecs.encode(px, fmt), fmt
 
 
-def synthetic_image_bytes_df(docs: DataFrame) -> DataFrame:
+def synthetic_image_bytes_df(docs: DataFrame, grid: int = IMG_FEATURE_GRID) -> DataFrame:
     """Spark construction: (image_id, bytes, fmt), one image per doc_id, via
     an Arrow-batched mapInPandas over the shared `image_payload` kernel. At
     production scale this stands in for the Iceberg image table scan — the
@@ -259,7 +268,7 @@ def synthetic_image_bytes_df(docs: DataFrame) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            payloads = [image_payload(int(i)) for i in ids]
+            payloads = [image_payload(int(i), grid) for i in ids]
             yield _pd.DataFrame(
                 {
                     "image_id": ids,
@@ -273,7 +282,7 @@ def synthetic_image_bytes_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def centered_image_embeddings(imgs: DataFrame) -> DataFrame:
+def centered_image_embeddings(imgs: DataFrame, grid: int = IMG_FEATURE_GRID) -> DataFrame:
     """(vec_id, embedding array<double>) from an (image_id, bytes) frame:
     decode → grid-luma features (production Arrow UDF) → `x − 0.5` centering.
     Centering is what lets SRP banding prune: raw luma features are
@@ -285,7 +294,7 @@ def centered_image_embeddings(imgs: DataFrame) -> DataFrame:
     from data_quality_check_spark.functions.multimodal import feature_vector_udf
 
     feats = imgs.select(
-        "image_id", feature_vector_udf(IMG_FEATURE_GRID)(F.col("bytes")).alias("_f")
+        "image_id", feature_vector_udf(grid)(F.col("bytes")).alias("_f")
     )
     return feats.select(
         F.col("image_id").alias("vec_id"),
@@ -293,10 +302,10 @@ def centered_image_embeddings(imgs: DataFrame) -> DataFrame:
     )
 
 
-def synthetic_image_bytes_pdf(ids: np.ndarray) -> pd.DataFrame:
+def synthetic_image_bytes_pdf(ids: np.ndarray, grid: int = IMG_FEATURE_GRID) -> pd.DataFrame:
     """Driver-side twin of `synthetic_image_bytes_df` (same kernel, same
     columns) for the DuckDB oracle."""
-    payloads = [image_payload(int(i)) for i in ids]
+    payloads = [image_payload(int(i), grid) for i in ids]
     return pd.DataFrame(
         {
             "image_id": np.asarray(ids, dtype=np.int64),
