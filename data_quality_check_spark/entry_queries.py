@@ -2038,3 +2038,20 @@ def q_image_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centered, threshold=_IMG_EMB_T, bands=_EMB_LSH_BANDS,
         bits_per_band=_EMB_LSH_R, dim=IMG_FEATURE_GRID * IMG_FEATURE_GRID,
     )
+
+
+# Per-language threshold calibration: the grouped sweep over the same
+# composite quality score — the CCNet/Gopher-style per-language tuning table
+# (a single global threshold over-filters languages whose score distribution
+# sits lower).
+@register(
+    "quality_threshold_sweep_by_lang",
+    CU.score_threshold_sweep_grouped_sql(
+        "documents", TX.quality_score_sql("text"), "lang"
+    ),
+)
+def q_quality_threshold_sweep_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return CU.score_threshold_sweep_grouped(
+        docs, TX.quality_score_col(F.col("text")), "lang"
+    )

@@ -770,3 +770,90 @@ SELECT round(CAST(k AS DOUBLE) / {steps}, 4) AS threshold,
        END AS frac_kept
 FROM kept, tot
 """
+
+
+def score_threshold_sweep_grouped(
+    df: DataFrame, score: F.Column, group_col: str, steps: int = 20
+) -> DataFrame:
+    """Per-group keep-rate calibration: `score_threshold_sweep` stratified by
+    `group_col` — the shape quality filters actually tune (a single global
+    threshold over-filters low-resource languages whose score distribution
+    sits lower; CCNet/Gopher-style pipelines pick thresholds per language).
+    Emits ({group_col}, threshold, docs_kept, frac_kept) with exactly
+    steps+1 rows per observed group; frac_kept's denominator is the GROUP's
+    full row count (NULL/negative-score rows included, as in the global
+    sweep). NULL groups are a group.
+
+    Plan shape for 10^12 rows: one map-side-combined hash agg with
+    ≤ groups × (steps+2) cells; the threshold expansion, per-group totals, and
+    joins all run on K-row frames (K = groups × thresholds — the OUTPUT size,
+    so nothing here exceeds what the caller asked to materialize).
+    """
+    b = F.when(score.isNull() | (score < 0), F.lit(-1)).otherwise(
+        F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    )
+    hist = (
+        df.select(F.col(group_col).alias("_g"), b.alias("b"))
+        .groupBy("_g", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = (
+        df.sparkSession.range(0, steps + 1)
+        .select(F.col("id").cast("int").alias("k"))
+    )
+    grid = (
+        hist.select(F.col("_g").alias("_gg")).distinct().crossJoin(F.broadcast(ks))
+    )
+    kept = (
+        grid.join(
+            F.broadcast(hist),
+            F.col("_gg").eqNullSafe(F.col("_g")) & (F.col("b") >= F.col("k")),
+            "left",
+        )
+        .groupBy("_gg", "k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("docs_kept"))
+    )
+    tot = hist.groupBy(F.col("_g").alias("_gt")).agg(F.sum("n").alias("_total"))
+    return (
+        kept.join(tot, F.col("_gg").eqNullSafe(F.col("_gt")))
+        .select(
+            F.col("_gg").alias(group_col),
+            F.round(F.col("k").cast("double") / steps, 4).alias("threshold"),
+            "docs_kept",
+            F.when(F.col("_total") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("docs_kept").cast("double") / F.col("_total"), 6))
+            .alias("frac_kept"),
+        )
+    )
+
+
+def score_threshold_sweep_grouped_sql(
+    table: str, score_sql: str, group_col: str, steps: int = 20
+) -> str:
+    """DuckDB twin of `score_threshold_sweep_grouped` (same sentinel bucket,
+    per-group denominator, NULL-safe group equality)."""
+    s = f"({score_sql})"
+    return f"""
+WITH hist AS (
+  SELECT {group_col} AS _g,
+         CASE WHEN {s} IS NULL OR {s} < 0 THEN -1
+              ELSE least(CAST(floor({s} * {steps}) AS INT), {steps}) END AS b,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, {steps}) t(k)),
+kept AS (
+  SELECT g._g, g.k, CAST(coalesce(sum(h.n), 0) AS BIGINT) AS docs_kept
+  FROM (SELECT DISTINCT _g, k FROM hist, ks) g
+  LEFT JOIN hist h ON g._g IS NOT DISTINCT FROM h._g AND h.b >= g.k
+  GROUP BY g._g, g.k
+),
+tot AS (SELECT _g, sum(n) AS _total FROM hist GROUP BY _g)
+SELECT kept._g AS {group_col},
+       round(CAST(k AS DOUBLE) / {steps}, 4) AS threshold,
+       docs_kept,
+       CASE WHEN _total = 0 THEN 0.0
+            ELSE round(CAST(docs_kept AS DOUBLE) / _total, 6)
+       END AS frac_kept
+FROM kept JOIN tot ON kept._g IS NOT DISTINCT FROM tot._g
+"""

@@ -459,3 +459,38 @@ def test_score_threshold_sweep_null_and_negative_scores(spark):
         0.5: (2, 0.5),
         1.0: (1, 0.25),
     }
+
+
+def test_score_threshold_sweep_grouped_matches_global_per_group(spark):
+    """The grouped sweep restricted to one group must equal the global sweep
+    run on that group's rows alone — including a NULL group and a group whose
+    rows are all NULL-scored."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.operators.curation import (
+        score_threshold_sweep,
+        score_threshold_sweep_grouped,
+    )
+
+    rows = (
+        [("en", 0.2), ("en", 0.8), ("en", None)]
+        + [("de", 1.0)]
+        + [(None, 0.5), (None, -1.0)]
+        + [("xx", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double")
+    grouped = score_threshold_sweep_grouped(df, F.col("s"), "g", steps=4)
+    got = {
+        (r.g, r.threshold): (r.docs_kept, r.frac_kept) for r in grouped.collect()
+    }
+    assert len(got) == 4 * 5  # 4 observed groups x (steps+1) thresholds
+    for gval in ["en", "de", None, "xx"]:
+        sub = df.filter(
+            F.col("g").eqNullSafe(F.lit(gval)) if gval is not None else F.col("g").isNull()
+        )
+        want = {
+            r.threshold: (r.docs_kept, r.frac_kept)
+            for r in score_threshold_sweep(sub, F.col("s"), steps=4).collect()
+        }
+        for th, v in want.items():
+            assert got[(gval, th)] == v, (gval, th, got[(gval, th)], v)
