@@ -1395,6 +1395,21 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup (Abbas et al. 2023): the ACTION on top of the IVF pair stage —
+# components over within-cell τ-edges, then the paper's keeper election (the
+# member LEAST similar to its centroid survives). Same centroids, same pair
+# semantics as embedding_neardup_ivf, so the oracle extends that twin with a
+# recursive-CTE labeling + the identical (cosine ASC, id ASC) election.
+@register(
+    "semdedup_embeddings",
+    lambda: _OR.semdedup_sql(ORACLE_SF_DIR, threshold=_NEARDUP_T, n_centroids=16),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.semdedup(
+        t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T, n_centroids=16
+    )
+
+
 # The SCALE variant of token-budget packing (two-phase: per-(group, key-range)
 # sums decide full/boundary buckets; only ~1/1024 of each group pays the exact
 # running-sum window). Exactly equivalent to pack_token_budget, so it shares

@@ -676,3 +676,103 @@ def neardup_pairs_ivf(
         assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="cell",
     )
+
+
+def ivf_assign_sim_udf(centroids: np.ndarray):
+    """Arrow-vectorized cell assignment WITH the winning cosine: returns
+    struct<cell:int, csim:double> per vector — `ivf_assign_udf` plus the
+    argmax's value, for operators that rank members by centroid proximity
+    (semdedup's keeper election). Same batch-invariant float policy
+    (`_centroid_sims`); same centroid-width dimension rule."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("struct<cell:int, csim:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x, mask = _unit_rows(vecs, dim=cents.shape[1])
+        cell = pd.array([None] * len(vecs), dtype="Int32")
+        csim = pd.array([None] * len(vecs), dtype="Float64")
+        if len(x):
+            sims = _centroid_sims(x, cents)
+            best = sims.argmax(axis=1)
+            cell[mask] = best.astype("int32")
+            csim[mask] = sims[np.arange(len(x)), best]
+        return pd.DataFrame({"cell": cell, "csim": csim})
+
+    return assign
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 50,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    via k-means clustering + within-cluster cosine threshold + centroid-
+    distance keeper election — the embedding-space analogue of keep-best over
+    MinHash clusters, and the published recipe for pruning web-scale
+    image/text corpora (LAION) by semantic redundancy.
+
+    Steps, all on the existing IVF machinery so the approximation surface is
+    shared and already measured:
+      1. spherical k-means cells (`ivf_train_centroids`, driver-side sample);
+      2. every vector → (cell, cosine-to-centroid) in ONE Arrow projection;
+      3. exact within-cell pairs at `threshold` (`neardup_pairs_blocked`);
+      4. connected components over the pair edges (pointer jumping);
+      5. per component keep the member LEAST similar to its centroid — the
+         paper's choice (keeps the cluster's most "marginal" exemplar, which
+         they measured as slightly better than random/nearest) — ties broken
+         by id ascending on the 4-dp-rounded cosine.
+
+    Output: one row per DUP-GROUP MEMBER (singletons are implicitly kept and
+    not emitted): (component, {id_col}, cell, centroid_cosine, keep).
+
+    Scale: stages 1-4 are the measured IVF near-dup path (Σ|cell|²/2 bounded
+    by the largest cell, never n²); the election adds one map-side-combinable
+    min-struct aggregate over group members plus a K-row (K = #groups) join
+    that carries no broadcast hint — AQE picks broadcast vs shuffle from the
+    actual group count. Like neardup_pairs_ivf, a pair split across two cells
+    is missed BY DESIGN (that is SemDeDup's own approximation)."""
+    from data_quality_check_spark.operators.dedup import _clusters_from_pairs, _pin
+
+    cents = ivf_train_centroids(
+        df, n_centroids, sample_size, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    # pinned: feeds BOTH the pair stage and the member join below — without
+    # the pin the assignment UDF lineage is re-executed per consumer
+    assigned = _pin(
+        df.select(id_col, vec_col)
+        .withColumn("_asg", ivf_assign_sim_udf(cents)(F.col(vec_col)))
+        .select(
+            id_col,
+            vec_col,
+            F.col("_asg.cell").alias("cell"),
+            F.round(F.col("_asg.csim"), 4).alias("centroid_cosine"),
+        )
+        .filter(F.col("cell").isNotNull())
+    )
+    pairs = neardup_pairs_blocked(
+        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="cell",
+    )
+    comps = _clusters_from_pairs(pairs, id_col, max_iter)
+    members = assigned.select(id_col, "cell", "centroid_cosine").join(
+        comps.select(id_col, "component"), id_col, "inner"
+    )
+    winners = members.groupBy("component").agg(
+        F.min(F.struct("centroid_cosine", id_col)).alias("_w")
+    )
+    return (
+        members.join(winners, "component")
+        .select(
+            "component",
+            id_col,
+            "cell",
+            "centroid_cosine",
+            (F.col(id_col) == F.col(f"_w.{id_col}")).alias("keep"),
+        )
+    )

@@ -404,6 +404,64 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """
 
 
+def semdedup_sql(sf_dir: str, threshold: float, n_centroids: int) -> str:
+    """SQL twin of similarity.semdedup (SemDeDup, arXiv:2303.09540): the
+    embedding_neardup_ivf assignment/pair stages (identical twin-trained
+    centroid literals, identical rounded-cosine pair threshold) feeding a
+    recursive min-label reachability and the paper's keeper election — per
+    component, rank by (4-dp centroid cosine ASC, id ASC); rank 1 keeps.
+
+    Float caveats are exactly the IVF twin's (argmax near-tie between
+    ENGINES at ~1e-15) plus the election's: two members whose centroid
+    cosines agree to 4 dp order by id in both engines, so only a cross-engine
+    disagreement in the 4th decimal itself could flip a keeper — the same
+    accepted class as the pair threshold's boundary."""
+    cents = ivf_centroids_twin(sf_dir, n_centroids)
+    values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
+    return f"""
+WITH RECURSIVE cents AS (SELECT * FROM (VALUES {values}) AS t(cell, cv)),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      WHERE embedding IS NOT NULL),
+assign AS (
+  SELECT vec_id, ev, cell,
+         round(list_cosine_similarity(ev, cv), 4) AS centroid_cosine
+  FROM (
+    SELECT v.vec_id, v.ev, c.cell, c.cv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cell
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.ev, b.ev), 4) >= {threshold!r}
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+ranked AS (
+  SELECT l.comp AS component, a.vec_id, a.cell, a.centroid_cosine,
+         row_number() OVER (
+           PARTITION BY l.comp ORDER BY a.centroid_cosine ASC, a.vec_id ASC
+         ) AS rn
+  FROM labels l JOIN assign a ON a.vec_id = l.id
+)
+SELECT component, vec_id, cell, centroid_cosine, (rn = 1) AS keep FROM ranked
+"""
+
+
 # ───────────────────────── cross-modal alignment ─────────────────────────
 
 

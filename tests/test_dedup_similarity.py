@@ -810,3 +810,32 @@ def test_duplicate_span_rewrite_matches_python_twin(spark, sf_dir):
         for r in DD.duplicate_span_rewrite(df, "doc_id", "text").collect()
     }
     assert got == want
+
+
+def test_semdedup_election_and_components(vectors):
+    """SemDeDup: one keeper per component; the keeper is the member LEAST
+    similar to its centroid (ties by id); centroid cosines match a driver
+    numpy recomputation through the same kernels."""
+    pdf, df = vectors
+    out = SIM.semdedup(
+        df.select("vec_id", "embedding"), threshold=0.9, n_centroids=4
+    ).collect()
+    DD.release_pins()
+    assert out, "clustered fixture must produce dup groups at τ=0.9"
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert len(members) >= 2  # singletons are not emitted
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        want = min((r.centroid_cosine, r.vec_id) for r in members)
+        assert (keepers[0].centroid_cosine, keepers[0].vec_id) == want
+        assert comp == min(r.vec_id for r in members)  # min-label components
+    # centroid cosines = the shared kernels run driver-side
+    cents = SIM.ivf_train_centroids(df, n_centroids=4)
+    x, mask = SIM._unit_rows(pdf["embedding"], dim=cents.shape[1])
+    sims = SIM._centroid_sims(x, cents).max(axis=1)
+    expect = dict(zip(pdf["vec_id"][mask], np.round(sims, 4)))
+    for r in out:
+        assert r.centroid_cosine == pytest.approx(expect[r.vec_id], abs=1e-9)
