@@ -645,6 +645,36 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stage-survival funnel over the same rule chain: which rule costs the corpus
+# most, in ONE fused aggregate pass (curation.filter_funnel). Stages are the
+# heuristics flags in drop-priority order, so the funnel is the cumulative
+# audit of exactly the keep decision quality_flags_documents emits per row.
+_FUNNEL_STAGES = [
+    ("present", "NOT ({flag_caption_missing} OR {flag_fake_null})"),
+    ("length", "NOT ({flag_too_short} OR {flag_too_long})"),
+    ("alpha", "NOT {flag_low_alpha}"),
+    ("nonrepetitive", "NOT {flag_repetitive}"),
+]
+
+
+@register(
+    "filter_funnel_documents",
+    lambda: CU.filter_funnel_sql(
+        "documents",
+        [(nm, e.format(**_QFLAG_EXPRS)) for nm, e in _FUNNEL_STAGES],
+    ),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fl = H.caption_flags(F.col("text"))
+    stages = [
+        ("present", ~(fl["flag_caption_missing"] | fl["flag_fake_null"])),
+        ("length", ~(fl["flag_too_short"] | fl["flag_too_long"])),
+        ("alpha", ~fl["flag_low_alpha"]),
+        ("nonrepetitive", ~fl["flag_repetitive"]),
+    ]
+    return CU.filter_funnel(t(spark, sf_dir, "documents"), stages)
+
+
 # ROLLUP metric roll-up reporting (SURVEY.md §2.4 closing note: grouping
 # sets/rollup for metric reporting). One scan produces (source, lang) cells,
 # per-source subtotals, and the grand total; `grouping_id` (same bitmask

@@ -857,3 +857,79 @@ SELECT kept._g AS {group_col},
        END AS frac_kept
 FROM kept JOIN tot ON kept._g IS NOT DISTINCT FROM tot._g
 """
+
+
+def filter_funnel(
+    df: DataFrame, stages: "list[tuple[str, F.Column]]"
+) -> DataFrame:
+    """Stage-survival funnel for a filter rule chain: how many rows survive
+    each successive predicate — the audit a pipeline runs before committing a
+    quality-filter config, answering "which rule costs the corpus most" in
+    ONE pass instead of len(stages) filter jobs (the same
+    one-aggregate-answers-the-sweep idea as `score_threshold_sweep`).
+
+    `stages` is the ordered rule chain [(name, keep_predicate), ...]; stage k
+    counts rows passing predicates 1..k (cumulative conjunction — funnel, not
+    marginal). NULL predicates count as drops (COALESCE false), matching the
+    heuristics flags' own NULL policy.
+
+    Output (len(stages)+1 rows): (stage, stage_name, surviving, dropped_here,
+    frac_of_total) with stage 0 = 'total'.
+
+    Scale: ONE fused aggregate over the corpus — every stage is a conditional
+    count in the same partial/final hash agg (map-side combined, K+1 counters
+    per task), then a driver-sized explode of the single result row. No
+    shuffle wider than one row; no second scan no matter how many stages."""
+    aggs = [F.count(F.lit(1)).alias("s0")]
+    acc = F.lit(True)
+    for i, (_, pred) in enumerate(stages, start=1):
+        acc = acc & F.coalesce(pred, F.lit(False))
+        # COALESCE: sum over an EMPTY corpus is NULL in both engines — the
+        # funnel should read 0 survivors, not null
+        aggs.append(
+            F.coalesce(F.sum(F.when(acc, 1).otherwise(0)), F.lit(0)).alias(f"s{i}")
+        )
+    agg = df.agg(*aggs)
+
+    def row(i: int, name: str) -> F.Column:
+        surv = F.col(f"s{i}")
+        return F.struct(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            surv.alias("surviving"),
+            (F.col(f"s{i-1}") - surv if i else F.lit(0)).cast("long").alias(
+                "dropped_here"
+            ),
+            F.when(F.col("s0") == 0, F.lit(0.0))
+            .otherwise(F.round(surv.cast("double") / F.col("s0"), 6))
+            .alias("frac_of_total"),
+        )
+
+    rows = [row(0, "total")] + [row(i, nm) for i, (nm, _) in enumerate(stages, 1)]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def filter_funnel_sql(table: str, stages: "list[tuple[str, str]]") -> str:
+    """DuckDB twin of `filter_funnel` — same cumulative conjunction, same
+    COALESCE-false NULL policy, same zero-corpus guard."""
+    aggs = ["count(*) AS s0"]
+    acc = "TRUE"
+    for i, (_, pred) in enumerate(stages, start=1):
+        acc = f"{acc} AND COALESCE({pred}, FALSE)"
+        aggs.append(
+            f"CAST(COALESCE(sum(CASE WHEN {acc} THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS s{i}"
+        )
+    selects = []
+    names = [(0, "total")] + [(i, nm) for i, (nm, _) in enumerate(stages, 1)]
+    for i, nm in names:
+        dropped = f"CAST(s{i-1} - s{i} AS BIGINT)" if i else "CAST(0 AS BIGINT)"
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS stage, '{nm}' AS stage_name,\n"
+            f"       CAST(s{i} AS BIGINT) AS surviving, {dropped} AS dropped_here,\n"
+            f"       CASE WHEN s0 = 0 THEN 0.0"
+            f" ELSE round(CAST(s{i} AS DOUBLE) / s0, 6) END AS frac_of_total\n"
+            f"FROM agg"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n{union}"

@@ -494,3 +494,32 @@ def test_score_threshold_sweep_grouped_matches_global_per_group(spark):
         }
         for th, v in want.items():
             assert got[(gval, th)] == v, (gval, th, got[(gval, th)], v)
+
+
+def test_filter_funnel_exact_counts_and_null_policy(spark):
+    """Cumulative (not marginal) semantics: a row failing stage 1 never counts
+    at stage 2 even if it passes stage 2's predicate; NULL predicate = drop;
+    dropped_here telescopes back to total."""
+    df = spark.createDataFrame(
+        [  # (id, a, b): a fails for 2&3, b fails for 3&4, b NULL for 5
+            (1, True, True),
+            (2, False, True),   # drops at stage a (but passes b)
+            (3, False, False),
+            (4, True, False),   # drops at stage b
+            (5, True, None),    # NULL b — drops at stage b by COALESCE policy
+        ],
+        "id long, a boolean, b boolean",
+    )
+    out = {r.stage_name: r for r in CU.filter_funnel(
+        df, [("a", F.col("a")), ("b", F.col("b"))]
+    ).collect()}
+    assert (out["total"].surviving, out["a"].surviving, out["b"].surviving) == (5, 3, 1)
+    assert (out["a"].dropped_here, out["b"].dropped_here) == (2, 2)
+    assert out["b"].frac_of_total == 0.2
+    assert [out[k].stage for k in ("total", "a", "b")] == [0, 1, 2]
+
+
+def test_filter_funnel_empty_input_zero_guard(spark):
+    df = spark.createDataFrame([], "id long, a boolean")
+    rows = CU.filter_funnel(df, [("a", F.col("a"))]).collect()
+    assert [(r.surviving, r.frac_of_total) for r in rows] == [(0, 0.0), (0, 0.0)]
