@@ -596,6 +596,19 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adjacent-pair heavy hitters: the boilerplate/template-phrase detector —
+# repeated spans surface as heavy bigrams before their unigrams stand out.
+# Same tokenizer subset, same two-phase agg + TakeOrderedAndProject shape.
+@register(
+    "top_bigrams_documents",
+    VB.top_bigrams_sql("documents", "doc_id", "text", _TOPK_TOKENS, _TOKEN_MIN_LEN),
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return VB.top_bigrams(
+        t(spark, sf_dir, "documents"), "doc_id", "text", _TOPK_TOKENS, _TOKEN_MIN_LEN
+    )
+
+
 # The MERGEABLE path to the same answer (VERDICT r3 task 7): per-bucket
 # heavy-hitter summaries (truncated exact counts + a dropped-count cap) merged
 # into the global top-k — the no-rescan maintenance shape. Oracle = the exact

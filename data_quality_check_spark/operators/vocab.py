@@ -359,3 +359,69 @@ GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
 LIMIT {k}
 """
+
+
+def top_bigrams(
+    df: DataFrame, id_col: str, text_col: str, k: int = 25, min_len: int = 1
+) -> DataFrame:
+    """Top-k adjacent token PAIRS by occurrence count — the boilerplate
+    detector `top_tokens` can't be: repeated template phrases ("all rights
+    reserved", "click here to") surface as heavy bigrams long before their
+    constituent unigrams stand out against the Zipf head.
+
+    Tokens shorter than `min_len` are removed BEFORE pairing (pairs are
+    adjacent in the FILTERED sequence, so stopword-length noise doesn't split
+    phrases). Ties break by bigram asc — deterministic k-boundary.
+
+    Output: (bigram, n_occurrences, n_docs).
+
+    Scale: the whole pairing is ONE JVM projection (regexp tokenize →
+    length-filter → zip of the two shifted slices) — no Python, no window, no
+    per-doc shuffle; then the identical two-phase partial-distinct aggregate
+    and TakeOrderedAndProject top-k as `top_tokens` (same skew absorption,
+    same never-a-global-sort)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    if min_len > 1:
+        toks = F.filter(toks, lambda t: F.length(t) >= min_len)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(pairs).alias("bigram")
+    )
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("_doc").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def top_bigrams_sql(
+    table: str, id_col: str, text_col: str, k: int = 25, min_len: int = 1
+) -> str:
+    """DuckDB twin of `top_bigrams` (same tokenizer subset, same filter-before-
+    pair semantics, same tie-break). DuckDB lists are 1-indexed; range(1, n)
+    is end-exclusive, so i pairs toks[i] with toks[i+1] exactly like the
+    shifted-slice zip."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}')"
+    if min_len > 1:
+        toks = f"list_filter({toks}, t -> length(t) >= {min_len})"
+    return f"""
+SELECT bigram, count(*) AS n_occurrences, count(DISTINCT _doc) AS n_docs
+FROM (
+  SELECT {id_col} AS _doc,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+)
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT {k}
+"""

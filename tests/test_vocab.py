@@ -235,3 +235,44 @@ def test_vocab_certificate_refuses_boundary_ties(spark):
     ).withColumn("_b", F.lit(0))
     parts = vocab_partial(df, "_b", "doc_id", "text", m=1)
     assert not vocab_topk_certified(parts, k=1)
+
+
+def test_top_bigrams_adjacency_and_filter_before_pair(spark):
+    """Bigrams pair adjacent tokens of the FILTERED sequence (min_len drops
+    rejoin neighbours); counts and doc frequencies are exact."""
+    from data_quality_check_spark.operators.vocab import top_bigrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here to win, click here to play"),
+            (2, "Click HERE now"),
+            (3, "a b a b"),   # single-char tokens: gone at min_len=2
+            (4, None),
+            (5, "one"),       # one token -> no bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_bigrams(df, "doc_id", "text", k=10, min_len=2).collect()
+    got = {r.bigram: (r.n_occurrences, r.n_docs) for r in rows}
+    assert got["click here"] == (3, 2)
+    assert got["here to"] == (2, 1)
+    # min_len filtering happens BEFORE pairing: "a b a b" yields nothing,
+    # and doc 2's "HERE now" lowercases + pairs across the filtered stream
+    assert "a b" not in got
+    assert got["here now"] == (1, 1)
+    # ties break bigram-asc at the k boundary
+    ordered = [(r.n_occurrences, r.bigram) for r in rows]
+    assert ordered == sorted(ordered, key=lambda x: (-x[0], x[1]))
+
+
+def test_top_bigrams_plan_is_bounded_topk_no_python(spark):
+    from data_quality_check_spark.operators.vocab import top_bigrams
+
+    plan = (
+        top_bigrams(_docs(spark), "doc_id", "text", k=5, min_len=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "Python" not in plan  # pairing is one JVM projection
