@@ -658,6 +658,46 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PII/toxicity scrub pass as a driver-checked query: Spark's JVM
+# regexp_replace chain (functions/scrub.scrub_col — the codegen path the
+# north-star job runs) value-hash-compared against the pure-python
+# compiled-re golden (`scrub_text`), i.e. the north rule's exact-caption-
+# equality invariant enforced by the driver gate itself. The fixture text
+# carries no PII, so a deterministic doc_id-keyed derivation PLANTS an email /
+# phone / toxic-word span on ~1/4 of rows (same gate_fixtures idea as the
+# synthetic image table) — identically in both engines — so the hash check
+# exercises every pattern family, not the no-op path.
+def _planted_caption_col() -> F.Column:
+    did, base = F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))
+    return (
+        F.when(
+            did % 7 == 0,
+            F.concat(base, F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com now")),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(base, F.lit(" call 555-867-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        )
+        .when(did % 13 == 0, F.concat(base, F.lit(" you absolute loser")))
+        .otherwise(base)
+    )
+
+
+@register("scrub_documents", lambda: _OR.scrub_sql(ORACLE_SF_DIR))
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions.scrub import scrub_col
+
+    cap = _planted_caption_col()
+    sc = scrub_col(cap)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        sc.alias("scrubbed"),
+        (~cap.eqNullSafe(sc)).alias("changed"),
+    )
+
+
 # Stage-survival funnel over the same rule chain: which rule costs the corpus
 # most, in ONE fused aggregate pass (curation.filter_funnel). Stages are the
 # heuristics flags in drop-priority order, so the funnel is the cumulative

@@ -157,6 +157,46 @@ def model_scores_sql(sf_dir: str) -> str:
     return f"SELECT doc_id, lang, lang_conf, ppl FROM '{path}'"
 
 
+def scrub_sql(sf_dir: str) -> str:
+    """Driver-process twin of the PII/toxicity scrub (functions/scrub.py):
+    the pure-python compiled-`re` golden path (`scrub_text`) over every
+    document, materialized to scratch parquet. The value-hash therefore
+    checks the north rule's OWN invariant — Java-regexp_replace output ==
+    python-re golden output, byte-for-byte — on the driver gate, not just in
+    pytest property tests."""
+    from data_quality_check_spark.functions.scrub import scrub_text
+
+    docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(i, s):  # twin of entry_queries._planted_caption_col
+        base = "" if pd.isna(s) else s
+        if pd.isna(i):
+            return base
+        i = int(i)
+        if i % 7 == 0:
+            return f"{base} contact user{i}@example.com now"
+        if i % 11 == 0:
+            return f"{base} call 555-867-{i % 10000:04d}"
+        if i % 13 == 0:
+            return f"{base} you absolute loser"
+        return base
+
+    texts = [plant(i, s) for i, s in zip(docs["doc_id"], docs["text"])]
+    scrubbed = [scrub_text(s) for s in texts]
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "scrubbed": scrubbed,
+            "changed": [
+                (a is not None or b is not None) and a != b
+                for a, b in zip(texts, scrubbed)
+            ],
+        }
+    )
+    path = _write_parquet(out, _scratch(sf_dir, "scrub_golden.parquet"))
+    return f"SELECT doc_id, scrubbed, changed FROM '{path}'"
+
+
 # ───────────────────────── ANN: SRP-LSH ─────────────────────────
 
 
