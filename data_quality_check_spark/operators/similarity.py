@@ -553,6 +553,7 @@ def ivf_build_index(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Persist an IVF index as TWO tables under `io` (a `TableIO`), making the
     docstring promise of `ann_ivf_topk` real: the assigned table is written
@@ -571,10 +572,18 @@ def ivf_build_index(
     At 10^12 rows this is the index-build job of an embedding-search pipeline:
     one UDF assignment pass + one partitioned write; queries are then
     `ann_ivf_topk_indexed`, which scans nprobe/n_centroids of the data
-    (pinned by a PartitionFilters plan test). Returns the trained centroids."""
-    cents = ivf_train_centroids(
-        df, n_centroids, sample_size, iters=iters, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+    (pinned by a PartitionFilters plan test). Returns the trained centroids.
+
+    Pass `centroids=` to build under FROZEN cells instead of training — the
+    rebuild path after compaction, and the equivalence baseline
+    `ivf_append_index` is tested against."""
+    cents = (
+        np.ascontiguousarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train_centroids(
+            df, n_centroids, sample_size, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
@@ -594,6 +603,40 @@ def ivf_build_index(
     )
     io.overwrite(assigned, f"{name}.vectors", partition_by=["cell"])
     return cents
+
+
+def ivf_append_index(
+    io,
+    new_df: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an increment to a persisted IVF index — the daily-crawl shape
+    (the ANN counterpart of `SeenCorpusArtifacts.append`): new vectors are
+    assigned under the index's FROZEN centroids and appended into
+    `{name}.vectors` under the same cell partitioning, so each run costs
+    O(increment) — never a corpus re-assignment, and never a centroid retrain
+    (retraining would shift cell boundaries and silently invalidate every
+    stored assignment; when drift makes the cells stale, rebuild with
+    `ivf_build_index` — `drift.categorical_drift` on the cell column is the
+    monitor that says when).
+
+    Equivalence contract (pinned by test): build(A) + append(B) produces the
+    same vectors table and the same `ann_ivf_topk_indexed` answers as
+    build(A∪B, centroids=frozen)."""
+    cents = ivf_load_centroids(io, name)
+    assigned = (
+        new_df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
+        .filter(F.col("cell").isNotNull())
+    )
+    io.append(assigned, f"{name}.vectors", partition_by=["cell"])
 
 
 def ivf_load_centroids(io, name: str) -> np.ndarray:

@@ -95,16 +95,26 @@ class TableIO:
         name: str,
         bucket_col: str | None = None,
         num_buckets: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Append rows. On Iceberg the table's partition spec applies to
         appends automatically (hidden partitioning). The parquet fallback has
         no spec to consult, so appending into a bucketed layout REQUIRES
-        (bucket_col, num_buckets): without them the new files would land
-        unpartitioned in the table root — partition discovery then either
-        fails or reads the rows with NULL _bucket, and every `read_buckets`
-        filter would silently exclude them."""
+        (bucket_col, num_buckets), and appending into a column-partitioned
+        layout (written via `overwrite(partition_by=...)`) requires the same
+        `partition_by`: without them the new files would land unpartitioned in
+        the table root — partition discovery then either fails or reads the
+        rows with NULL keys, and every pruned read would silently exclude
+        them."""
+        if partition_by and (bucket_col or num_buckets):
+            raise ValueError("pass either partition_by or bucket args, not both")
         if self.use_iceberg:
             df.writeTo(self._ident(name)).append()
+            return
+        if partition_by:
+            df.write.mode("append").partitionBy(*partition_by).parquet(
+                self._path(name)
+            )
             return
         path = self._path(name)
         bucketed_layout = os.path.isdir(path) and any(

@@ -839,3 +839,35 @@ def test_semdedup_election_and_components(vectors):
     expect = dict(zip(pdf["vec_id"][mask], np.round(sims, 4)))
     for r in out:
         assert r.centroid_cosine == pytest.approx(expect[r.vec_id], abs=1e-9)
+
+
+def test_ivf_append_equals_frozen_rebuild(spark, vectors, tmp_path):
+    """Daily-crawl index maintenance: build(A) + append(B) must equal
+    build(A∪B, centroids=frozen) — same vectors table (row set AND cell
+    assignment), same indexed query answers, centroids untouched."""
+    from data_quality_check_spark.sources.tables import TableIO
+
+    _, df = vectors
+    base = df.select("vec_id", "embedding")
+    half_a = base.filter(F.col("vec_id") % 2 == 0)
+    half_b = base.filter(F.col("vec_id") % 2 == 1)
+
+    io = TableIO(spark, warehouse=str(tmp_path / "wh_inc"))
+    cents = SIM.ivf_build_index(io, half_a, "ann", n_centroids=8)
+    SIM.ivf_append_index(io, half_b, "ann")
+    assert np.array_equal(SIM.ivf_load_centroids(io, "ann"), cents)
+
+    io2 = TableIO(spark, warehouse=str(tmp_path / "wh_full"))
+    SIM.ivf_build_index(io2, base, "ann", centroids=cents)
+
+    rows = lambda io_: sorted(
+        (r.id, r.cell, round(r.nrm, 9)) for r in io_.read("ann.vectors").collect()
+    )
+    assert rows(io) == rows(io2)
+
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = SIM.ann_ivf_topk_indexed(io, "ann", queries, k=5, nprobe=3).collect()
+    want = SIM.ann_ivf_topk_indexed(io2, "ann", queries, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
