@@ -36,6 +36,24 @@ def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     # category present on both sides must merge into one row, not two
     ca = df_a.groupBy(F.col(col).alias("_ka")).agg(F.count(F.lit(1)).alias("n_a"))
     cb = df_b.groupBy(F.col(col).alias("_kb")).agg(F.count(F.lit(1)).alias("n_b"))
+    return _psi_rows(ca, cb, col)
+
+
+def categorical_drift_vs_counts(
+    ref_counts: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """`categorical_drift` where side A is ALREADY a (col, n_a) count table —
+    the frozen-reference shape a recurring monitor should persist once, so
+    side A is never rescanned (the same O(increment)-not-O(corpus) contract
+    as `SeenCorpusArtifacts`). Output is identical to
+    `categorical_drift(ref, df_b, col)` whenever
+    `ref_counts = ref.groupBy(col).agg(count(*) as n_a)` (pinned by test)."""
+    ca = ref_counts.select(F.col(col).alias("_ka"), F.col("n_a").cast("long"))
+    cb = df_b.groupBy(F.col(col).alias("_kb")).agg(F.count(F.lit(1)).alias("n_b"))
+    return _psi_rows(ca, cb, col)
+
+
+def _psi_rows(ca: DataFrame, cb: DataFrame, col: str) -> DataFrame:
     j = ca.join(cb, F.col("_ka").eqNullSafe(F.col("_kb")), "full_outer").select(
         F.coalesce("_ka", "_kb").alias(col),
         F.coalesce("n_a", F.lit(0)).alias("n_a"),

@@ -56,6 +56,24 @@ def test_laplace_probabilities_sum_to_one(spark):
     assert abs(sum(r.p_b for r in rows) - 1.0) < 1e-4
 
 
+def test_categorical_drift_vs_counts_matches_recompute(spark):
+    """The frozen-counts overload is output-identical to the recompute path
+    whenever ref_counts = ref.groupBy(col).count() — the contract its
+    docstring pins. Includes a NULL category and an appearing/vanishing
+    category so the full_outer merge path is exercised on both sides."""
+    from data_quality_check_spark.operators.drift import categorical_drift_vs_counts
+
+    a = _df(spark, ["x"] * 4 + ["gone"] * 2 + [None])
+    b = _df(spark, ["x"] * 3 + ["new"] * 2 + [None, None])
+    ref_counts = a.groupBy("cat").agg(F.count(F.lit(1)).alias("n_a"))
+    key = lambda t: (t[0] is None, t)  # noqa: E731 — None sorts last
+    want = sorted(map(tuple, categorical_drift(a, b, "cat").collect()), key=key)
+    got = sorted(
+        map(tuple, categorical_drift_vs_counts(ref_counts, b, "cat").collect()), key=key
+    )
+    assert got == want
+
+
 def _num_df(spark, vals):
     return spark.createDataFrame([(v,) for v in vals], "x double")
 
