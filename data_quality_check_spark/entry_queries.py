@@ -2153,3 +2153,59 @@ def q_quality_threshold_sweep_by_lang(spark: SparkSession, sf_dir: str) -> DataF
     return CU.score_threshold_sweep_grouped(
         docs, TX.quality_score_col(F.col("text")), "lang"
     )
+
+
+# ───────────── embedding-corpus health audit (broken-shard detection) ─────────────
+# The pre-flight a pipeline runs between "encoder wrote parquet" and "ANN index
+# build": corpus health row (null / wrong-width / non-finite / zero-norm counts
+# + norm moments, ONE row-local projection into a single no-key-shuffle
+# aggregate) and the per-dimension variance-collapse audit (posexplode widened
+# inside codegen, partial agg to ≤D rows per task before the one D-key
+# exchange). Per-dimension analogue of the reference's per-column numeric
+# profiling (engine.py:439-470) on the array axis pandas can't see.
+from data_quality_check_spark.operators import embaudit as EA  # noqa: E402
+
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_health_embeddings",
+    EA.embedding_health_sql("embeddings", "embedding", _EMB_DIM),
+)
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EA.embedding_health(
+        t(spark, sf_dir, "embeddings").select("embedding"), "embedding", _EMB_DIM
+    )
+
+
+@register(
+    "dimension_stats_embeddings",
+    EA.dimension_stats_sql("embeddings", "embedding", _EMB_DIM),
+)
+def q_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EA.dimension_stats(
+        t(spark, sf_dir, "embeddings").select("embedding"), "embedding", _EMB_DIM
+    )
+
+
+# Frozen-reference-counts drift: the same early→late PSI as drift_psi_events,
+# but side A enters as a persisted (col, n_a) count table — the recurring-
+# monitor shape where the reference corpus is NEVER rescanned (O(increment)
+# per run, the SeenCorpusArtifacts contract applied to monitoring). Oracle is
+# the identical recompute SQL: the overload changes the PLAN, never the answer.
+@register("drift_psi_frozen_events", _DRIFT_SQL)
+def q_drift_psi_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
+    # the "persisted" reference counts: in production this is a table written
+    # once by the first run; here derived from the early split deterministically
+    ref_counts = (
+        tagged.filter(F.col("_us") <= F.col("_mid"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    return DR.categorical_drift_vs_counts(
+        ref_counts, tagged.filter(F.col("_us") > F.col("_mid")), "event_type"
+    )
