@@ -2209,3 +2209,20 @@ def q_drift_psi_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.categorical_drift_vs_counts(
         ref_counts, tagged.filter(F.col("_us") > F.col("_mid")), "event_type"
     )
+
+
+# CCNet-style per-language perplexity terciles (Wenzek et al. 2019,
+# arXiv:1911.00359): head/middle/tail buckets per language over the SAME
+# langid+ppl UDF chain as model_scores_documents, bucketed by exact ntile with
+# a (ppl, doc_id) total order — deterministic in both engines, no quantile
+# interpolation to drift. The 10^12-row path is curation.bucket_thresholds +
+# apply_bucket_thresholds (frozen per-group cuts, row-local labeling, zero
+# sort); the ntile form is the calibration-time / rewrite-time shape.
+@register("ppl_buckets_documents", lambda: _OR.ppl_buckets_sql(ORACLE_SF_DIR))
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions import langid as LID
+
+    df = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = LID.with_perplexity(LID.with_langid(df, "text"), "text", "lang")
+    scored = scored.select("doc_id", "lang", F.round("ppl", 4).alias("ppl"))
+    return CU.score_ntile_buckets(scored, F.col("ppl"), "lang", "doc_id", n=3)

@@ -933,3 +933,136 @@ def filter_funnel_sql(table: str, stages: "list[tuple[str, str]]") -> str:
         )
     union = "\nUNION ALL\n".join(selects)
     return f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n{union}"
+
+
+# ───────────── CCNet-style per-group score buckets (head / middle / tail) ─────────────
+# CCNet (Wenzek et al. 2019, arXiv:1911.00359) splits each language's documents
+# into perplexity TERCILES — head (lowest ppl) is highest-quality, tail is
+# dropped or down-weighted. The split is per-language because a single global
+# ppl cut over-drops low-resource languages whose LM is weaker (the same
+# rationale as `score_threshold_sweep_grouped`). Two paths:
+#  * `score_ntile_buckets` — EXACT equal-count buckets via a per-group window
+#    sort with a total-order tie-break. Deterministic in both engines (ntile is
+#    standard SQL; no quantile interpolation to drift), so it is the
+#    driver-checked path. Cost: one per-group sort shuffle — the documented
+#    CCNet shape, acceptable where the corpus is already being rewritten.
+#  * `bucket_thresholds` + `apply_bucket_thresholds` — the 10^12-row shape:
+#    ONE agg computes per-group cut scores (exact or approx percentile), the
+#    K-row threshold table broadcasts, and labeling is a row-local CASE — no
+#    global sort, no window, reusable as a FROZEN artifact so tomorrow's
+#    increment is labeled under today's cuts (the SeenCorpusArtifacts contract
+#    applied to calibration). Bucket sizes are then equal only up to score
+#    ties at the cut — the documented trade.
+
+
+def score_ntile_buckets(
+    df: DataFrame,
+    score: F.Column,
+    group_col: str,
+    id_col: str,
+    n: int = 3,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Append `bucket` (label string, or 1-based int when labels=None) by
+    exact per-group ntile over (score, id) — id breaks score ties so the
+    assignment is a pure function of the data, never of partitioning."""
+    from pyspark.sql import Window
+
+    if labels is not None and len(labels) != n:
+        raise ValueError(f"labels must have exactly n={n} entries, got {labels}")
+    w = Window.partitionBy(group_col).orderBy(score.asc(), F.col(id_col).asc())
+    tile = F.ntile(n).over(w)
+    bucket = (
+        F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+        if labels is not None
+        else tile
+    )
+    return df.withColumn("bucket", bucket)
+
+
+def score_ntile_buckets_sql(
+    table_sql: str,
+    score_sql: str,
+    group_col: str,
+    id_col: str,
+    n: int = 3,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+) -> str:
+    """DuckDB twin of `score_ntile_buckets`: identical ntile semantics and
+    (score, id) total order. `table_sql` is a table name or parenthesized
+    subquery exposing `id_col`, `group_col`, and the score's inputs."""
+    if labels is not None and len(labels) != n:
+        raise ValueError(f"labels must have exactly n={n} entries, got {labels}")
+    tile = (
+        f"ntile({n}) OVER (PARTITION BY {group_col} "
+        f"ORDER BY ({score_sql}) ASC, {id_col} ASC)"
+    )
+    label_expr = (
+        "CASE _tile "
+        + " ".join(f"WHEN {i + 1} THEN {_sql_quote(x)}" for i, x in enumerate(labels))
+        + " END"
+        if labels is not None
+        else "_tile"
+    )
+    return f"""
+SELECT * EXCLUDE (_tile), {label_expr} AS bucket
+FROM (SELECT *, {tile} AS _tile FROM {table_sql} t)
+"""
+
+
+def bucket_thresholds(
+    df: DataFrame,
+    score: F.Column,
+    group_col: str,
+    n: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group cut scores: ({group_col}, cuts array<double> of length n-1).
+    ONE map-side-combined aggregate over the corpus; output is K rows. With
+    exact=False the Catalyst-native KLL-free `approx_percentile` replaces the
+    exact sort-based percentile — the 10^12-row default, where cut accuracy
+    within sketch error is the product requirement, not equal counts."""
+    ps = [float(i) / n for i in range(1, n)]
+    fn = "percentile" if exact else "approx_percentile"
+    cuts = F.expr(
+        f"{fn}(_s, array({', '.join(repr(p) for p in ps)}))"
+    ).alias("cuts")
+    return (
+        df.select(F.col(group_col).alias(group_col), score.cast("double").alias("_s"))
+        .groupBy(group_col)
+        .agg(cuts)
+    )
+
+
+def apply_bucket_thresholds(
+    df: DataFrame,
+    score: F.Column,
+    group_col: str,
+    thresholds: DataFrame,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Label rows under a (possibly FROZEN) `bucket_thresholds` table:
+    bucket i ⇔ score ≤ cuts[i] (first match; past the last cut = last bucket).
+    Broadcast join on the K-row threshold table + a row-local CASE — zero
+    shuffle on the corpus side, so labeling rides any existing scan. Rows in
+    groups absent from `thresholds` get bucket NULL (a new language needs
+    calibration before it can be split — surfaced, not guessed)."""
+    tile = F.aggregate(
+        F.col("_cuts"),
+        F.lit(1),
+        lambda acc, c: acc + (score.cast("double") > c).cast("int"),
+    )
+    bucket = (
+        F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+        if labels is not None
+        else tile
+    )
+    th = thresholds.select(
+        F.col(group_col).alias("_tg"), F.col("cuts").alias("_cuts")
+    )
+    joined = df.join(
+        F.broadcast(th), F.col(group_col).eqNullSafe(F.col("_tg")), "left"
+    )
+    return joined.withColumn(
+        "bucket", F.when(F.col("_cuts").isNotNull(), bucket)
+    ).drop("_tg", "_cuts")

@@ -606,3 +606,17 @@ p AS (
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold!r}
 """
+
+
+def ppl_buckets_sql(sf_dir: str, n: int = 3) -> str:
+    """CCNet-style per-language perplexity terciles over the model_scores
+    golden: the langid+ppl kernels are reproduced driver-side (same
+    CharTrigramLM as the Spark UDFs — see `model_scores_sql`), the bucketing
+    stays genuine DuckDB window SQL, so the value-hash cross-checks BOTH the
+    UDF plumbing and the exact-ntile assignment against an independent engine.
+    ntile with a (ppl, doc_id) total order has no interpolation to drift."""
+    from data_quality_check_spark.operators.curation import score_ntile_buckets_sql
+
+    # materializes (or reuses) the golden scratch parquet and returns a SELECT
+    inner = f"(SELECT doc_id, lang, ppl FROM ({model_scores_sql(sf_dir)}))"
+    return score_ntile_buckets_sql(inner, "ppl", "lang", "doc_id", n=n)

@@ -523,3 +523,118 @@ def test_filter_funnel_empty_input_zero_guard(spark):
     df = spark.createDataFrame([], "id long, a boolean")
     rows = CU.filter_funnel(df, [("a", F.col("a"))]).collect()
     assert [(r.surviving, r.frac_of_total) for r in rows] == [(0, 0.0), (0, 0.0)]
+
+
+# ───────────── CCNet-style per-group score buckets ─────────────
+
+
+def _bucket_df(spark):
+    rows = [
+        # lang en: scores 1..6 → head {1,2}, middle {3,4}, tail {5,6}
+        *[("en", f"d{i}", float(i)) for i in range(1, 7)],
+        # lang fr: 4 rows → ntile(3) gives sizes 2,1,1
+        *[("fr", f"f{i}", float(10 + i)) for i in range(1, 5)],
+        # NULL lang is its own group
+        (None, "n1", 0.5),
+        (None, "n2", 0.7),
+        (None, "n3", 0.9),
+    ]
+    return spark.createDataFrame(rows, "lang string, doc_id string, s double")
+
+
+def test_ntile_buckets_exact_terciles(spark):
+    from data_quality_check_spark.operators.curation import score_ntile_buckets
+
+    got = {
+        (r.lang, r.doc_id): r.bucket
+        for r in score_ntile_buckets(
+            _bucket_df(spark), F.col("s"), "lang", "doc_id"
+        ).collect()
+    }
+    assert [got[("en", f"d{i}")] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    # 4 rows into 3 tiles: standard ntile gives 2,1,1
+    assert [got[("fr", f"f{i}")] for i in range(1, 5)] == [
+        "head", "head", "middle", "tail",
+    ]
+    assert [got[(None, d)] for d in ("n1", "n2", "n3")] == ["head", "middle", "tail"]
+
+
+def test_ntile_buckets_tie_break_is_id_not_partitioning(spark):
+    from data_quality_check_spark.operators.curation import score_ntile_buckets
+
+    rows = [("en", f"d{i}", 1.0) for i in range(9)]  # all scores tie
+    df = spark.createDataFrame(rows, "lang string, doc_id string, s double")
+    a = score_ntile_buckets(df.repartition(1), F.col("s"), "lang", "doc_id").collect()
+    b = score_ntile_buckets(df.repartition(7), F.col("s"), "lang", "doc_id").collect()
+    assert {(r.doc_id, r.bucket) for r in a} == {(r.doc_id, r.bucket) for r in b}
+    # d0..d2 head, d3..d5 middle, d6..d8 tail by the doc_id tie-break
+    got = {r.doc_id: r.bucket for r in a}
+    assert got["d0"] == "head" and got["d4"] == "middle" and got["d8"] == "tail"
+
+
+def test_ntile_buckets_label_arity_checked(spark):
+    import pytest
+
+    from data_quality_check_spark.operators.curation import (
+        score_ntile_buckets,
+        score_ntile_buckets_sql,
+    )
+
+    with pytest.raises(ValueError):
+        score_ntile_buckets(_bucket_df(spark), F.col("s"), "lang", "doc_id", n=4)
+    with pytest.raises(ValueError):
+        score_ntile_buckets_sql("t", "s", "lang", "doc_id", n=2)
+
+
+def test_bucket_thresholds_apply_matches_ntile_off_ties(spark):
+    """The frozen-thresholds row-local path agrees with exact ntile everywhere
+    score ties don't straddle a cut (here scores are distinct → exact match),
+    and unknown groups surface as NULL buckets instead of a guess."""
+    from data_quality_check_spark.operators.curation import (
+        apply_bucket_thresholds,
+        bucket_thresholds,
+        score_ntile_buckets,
+    )
+
+    df = _bucket_df(spark)
+    th = bucket_thresholds(df, F.col("s"), "lang")
+    labeled = apply_bucket_thresholds(df, F.col("s"), "lang", th)
+    want = {
+        (r.lang, r.doc_id): r.bucket
+        for r in score_ntile_buckets(df, F.col("s"), "lang", "doc_id").collect()
+    }
+    got = {(r.lang, r.doc_id): r.bucket for r in labeled.collect()}
+    assert got == want
+
+    # a group absent from the frozen table → NULL bucket, row preserved
+    th_en_only = th.filter(F.col("lang") == "en")
+    out = {
+        (r.lang, r.doc_id): r.bucket
+        for r in apply_bucket_thresholds(df, F.col("s"), "lang", th_en_only).collect()
+    }
+    assert out[("en", "d1")] == "head" and out[("fr", "f1")] is None
+    assert len(out) == 13
+
+
+def test_apply_bucket_thresholds_plan_is_broadcast_no_sort(spark):
+    from data_quality_check_spark.operators.curation import (
+        apply_bucket_thresholds,
+        bucket_thresholds,
+    )
+
+    df = _bucket_df(spark)
+    # the production shape: thresholds are a FROZEN K-row artifact read back
+    # from a table, not a live aggregation subtree
+    live = bucket_thresholds(df, F.col("s"), "lang")
+    th = spark.createDataFrame(live.collect(), live.schema)
+    plan = (
+        apply_bucket_thresholds(df, F.col("s"), "lang", th)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort" not in plan.replace("SortMergeJoin", "")
+    assert "hashpartitioning" not in plan  # corpus side never shuffles
