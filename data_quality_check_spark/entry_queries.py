@@ -2226,3 +2226,45 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = LID.with_perplexity(LID.with_langid(df, "text"), "text", "lang")
     scored = scored.select("doc_id", "lang", F.round("ppl", 4).alias("ppl"))
     return CU.score_ntile_buckets(scored, F.col("ppl"), "lang", "doc_id", n=3)
+
+
+# Boilerplate-caption detector (pipeline/heuristics.boilerplate_captions —
+# LAION-style stock captions attached to many distinct images). The driver
+# fixture's 500 texts are all distinct, so the gate PLANTS template captions
+# on 1/17 of images (3 templates, ~10 images each — identically in both
+# engines, same idea as the scrub query's planted PII) so the hash check
+# exercises the detection path, never the trivially-empty one. The re-crawl
+# exclusion (same caption AND same phash must NOT fire) is pinned by unit
+# test — the fixture's phashes are all distinct by construction.
+_BP_TEMPLATE = "Image may contain: template #"
+
+
+def _boilerplate_captions_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+
+    return f"""
+WITH m0 AS ({synthetic_image_meta_sql("documents")}),
+m AS (
+  SELECT *, CASE WHEN image_id % 17 = 0
+    THEN '{_BP_TEMPLATE}' || CAST((image_id // 17) % 3 AS VARCHAR)
+    ELSE caption END AS caption2
+  FROM m0
+)
+SELECT {TX.fingerprint_sql("caption2")} AS caption_fp,
+       count(*) AS n_images,
+       CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_images,
+       min(image_id) AS exemplar_image_id
+FROM m WHERE caption2 IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 2 AND count(DISTINCT phash) >= 2
+"""
+
+
+@register("boilerplate_captions_images", _boilerplate_captions_oracle)
+def q_boilerplate_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    iid = F.col("image_id")
+    planted = F.when(
+        iid % 17 == 0,
+        F.concat(F.lit(_BP_TEMPLATE), F.expr("(image_id DIV 17) % 3").cast("string")),
+    ).otherwise(F.col("caption"))
+    return H.boilerplate_captions(img.withColumn("caption", planted))

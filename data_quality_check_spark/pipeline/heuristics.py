@@ -204,3 +204,39 @@ def heuristic_ok() -> Column:
     for c in dropping[1:]:
         cond = cond & ~F.col(c)
     return cond
+
+
+def boilerplate_captions(
+    img: DataFrame,
+    caption_col: str = "caption",
+    image_key: str = "image_id",
+    content_key: str = "phash",
+    min_images: int = 2,
+) -> DataFrame:
+    """LAION-style boilerplate-caption detector: one stock caption ("image may
+    contain…", alt-text templates) attached to MANY distinct images poisons
+    caption-supervised training and cross-modal alignment stats. A caption
+    fingerprint is boilerplate when it covers ≥ `min_images` rows AND ≥ 2
+    distinct `content_key`s — same TEXT across different PICTURES. Same-phash
+    repeats are re-crawls of one image (a dedup problem, not a caption
+    problem) and deliberately do NOT fire this.
+
+    100 TB shape: ONE map-side-combined group agg on the fingerprint; the
+    exact count_distinct rides the same agg (Catalyst EXPAND — swap to
+    approx_count_distinct at production scale exactly as the profiler's HLL
+    flag does). Bytes never read: caption + metadata only.
+    """
+    from data_quality_check_spark.functions.text import fingerprint_col
+
+    return (
+        img.filter(F.col(caption_col).isNotNull())
+        .groupBy(fingerprint_col(F.col(caption_col)).alias("caption_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct(F.col(content_key)).alias("n_distinct_images"),
+            F.min(image_key).alias(f"exemplar_{image_key}"),
+        )
+        .filter(
+            (F.col("n_images") >= min_images) & (F.col("n_distinct_images") >= 2)
+        )
+    )

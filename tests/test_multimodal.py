@@ -305,3 +305,54 @@ def test_image_payload_kernel_properties(spark):
         assert row.image_id == w["image_id"]
         assert bytes(row.bytes) == w["bytes"]
         assert row.fmt == w["fmt"]
+
+
+# ───────────── boilerplate-caption detector ─────────────
+
+
+def test_boilerplate_captions_fires_on_distinct_images_only(spark):
+    """Same caption on DIFFERENT phashes = boilerplate; same caption on the
+    SAME phash = a re-crawl (dedup's problem) and must NOT fire; NULL captions
+    and singletons never fire."""
+    from pyspark.sql import functions as F
+
+    from data_quality_check_spark.pipeline.heuristics import boilerplate_captions
+
+    rows = [
+        # boilerplate: one template, 3 distinct images
+        (1, "image may contain stuff", 111),
+        (2, "image may contain stuff", 222),
+        (3, "image may contain stuff", 333),
+        # re-crawl: same caption AND same phash twice → excluded
+        (4, "a genuine caption", 444),
+        (5, "a genuine caption", 444),
+        # singleton + NULL caption: never fire
+        (6, "unique caption", 555),
+        (7, None, 666),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, caption string, phash long")
+    got = boilerplate_captions(df).collect()
+    assert len(got) == 1
+    [r] = got
+    assert (r.n_images, r.n_distinct_images, r.exemplar_image_id) == (3, 3, 1)
+
+    # whitespace-collapse normalization: "a  b" and "a b" share a fingerprint
+    df2 = spark.createDataFrame(
+        [(1, "tpl  x", 1), (2, "tpl x", 2)], "image_id long, caption string, phash long"
+    )
+    assert boilerplate_captions(df2).count() == 1
+
+
+def test_boilerplate_captions_plan_single_agg_no_python(spark):
+    from data_quality_check_spark.pipeline.heuristics import boilerplate_captions
+
+    df = spark.createDataFrame(
+        [(1, "c", 1)], "image_id long, caption string, phash long"
+    )
+    plan = (
+        boilerplate_captions(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    # exactly one keyed exchange (the fingerprint group; EXPAND for the exact
+    # multi-distinct rides it) — the detector is one aggregation, not a join
+    assert plan.count("hashpartitioning") <= 2  # partial-distinct + final
