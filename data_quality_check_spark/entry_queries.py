@@ -2268,3 +2268,35 @@ def q_boilerplate_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(_BP_TEMPLATE), F.expr("(image_id DIV 17) % 3").cast("string")),
     ).otherwise(F.col("caption"))
     return H.boilerplate_captions(img.withColumn("caption", planted))
+
+
+# ───────────── DSIR importance resampling (operators/dsir.py — Xie et al.
+# 2023): select the raw-pool docs whose hashed-unigram distribution is
+# closest to a target subset. Target = sources src0/src1 (10% of the corpus
+# at every SF — the generator's source ids are SF-invariant). Weights are
+# int64 micro-nat sums (order-independent), so the driver can value-hash
+# them exactly; the oracle fits its OWN bucket counts with DuckDB and runs
+# them through the shared quantization kernel, cross-checking Spark's
+# distributed model fit end to end. ─────────────
+from data_quality_check_spark.operators import dsir as DS  # noqa: E402
+
+_DSIR_K = 50
+_DSIR_B = 1024
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1')"
+
+
+@register(
+    "dsir_topk_documents",
+    lambda: _OR.dsir_topk_sql(
+        ORACLE_SF_DIR, k=_DSIR_K, n_buckets=_DSIR_B, target_sql=_DSIR_TARGET_SQL
+    ),
+)
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return DS.dsir_topk(
+        spark,
+        docs,
+        F.col("source").isin("src0", "src1"),
+        k=_DSIR_K,
+        n_buckets=_DSIR_B,
+    )

@@ -620,3 +620,74 @@ def ppl_buckets_sql(sf_dir: str, n: int = 3) -> str:
     # materializes (or reuses) the golden scratch parquet and returns a SELECT
     inner = f"(SELECT doc_id, lang, ppl FROM ({model_scores_sql(sf_dir)}))"
     return score_ntile_buckets_sql(inner, "ppl", "lang", "doc_id", n=n)
+
+
+def dsir_topk_sql(
+    sf_dir: str,
+    k: int,
+    n_buckets: int,
+    target_sql: str = "source IN ('src0', 'src1')",
+) -> str:
+    """SQL twin of dsir.dsir_topk (DSIR hashed-unigram importance weights).
+
+    The bucket hash and tokenizer are cross-engine exact (dsir.bucket_sql /
+    vocab.TOKEN_RE), so the only non-relational step is the log-ratio
+    quantization: this twin aggregates bucket counts WITH DUCKDB, runs them
+    through the SAME shared numpy kernel (dsir.log_ratio_micronats) the Spark
+    path applies to ITS OWN distributed counts, and materializes the int64
+    ratio table to scratch parquet. A wrong Spark-side count therefore
+    produces a different ratio table and a hash mismatch — the kernel being
+    shared does not shortcut the distributed-aggregation check. Weights are
+    pure int64 sums in both engines (order-independent by construction)."""
+    import duckdb
+
+    from data_quality_check_spark.operators.dsir import (
+        MICRO,
+        bucket_sql,
+        log_ratio_micronats,
+    )
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    bucket = bucket_sql("token", n_buckets)
+    counts = duckdb.sql(
+        f"""
+        SELECT {bucket} AS bucket,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
+               sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS r
+        FROM (SELECT ({target_sql}) AS tgt,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM '{docs}')
+        GROUP BY 1
+        """
+    ).df()
+    t = np.zeros(n_buckets, dtype=np.int64)
+    r = np.zeros(n_buckets, dtype=np.int64)
+    b_idx = counts["bucket"].to_numpy(dtype=np.int64)
+    t[b_idx] = counts["t"].to_numpy(dtype=np.int64)
+    r[b_idx] = counts["r"].to_numpy(dtype=np.int64)
+    ratios = log_ratio_micronats(t, r)
+    path = _write_parquet(
+        pd.DataFrame(
+            {
+                "bucket": np.arange(n_buckets, dtype=np.int64),
+                "r_micronats": ratios,
+            }
+        ),
+        _scratch(sf_dir, f"dsir_ratios_b{n_buckets}.parquet"),
+    )
+    return f"""
+WITH raw_docs AS (SELECT doc_id FROM documents WHERE NOT ({target_sql})),
+toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         FROM documents WHERE NOT ({target_sql})),
+bt AS (SELECT doc_id, {bucket} AS bucket FROM toks),
+tw AS (SELECT bt.doc_id, sum(rt.r_micronats) AS w
+       FROM bt JOIN '{path}' rt ON bt.bucket = rt.bucket
+       GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(tw.w, 0) AS BIGINT) AS weight_micronats,
+       CAST(COALESCE(tw.w, 0) AS DOUBLE) / {float(MICRO)!r} AS weight_nats
+FROM raw_docs d LEFT JOIN tw USING (doc_id)
+ORDER BY weight_micronats DESC, doc_id ASC
+LIMIT {k}
+"""
