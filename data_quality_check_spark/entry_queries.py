@@ -2300,3 +2300,17 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_DSIR_K,
         n_buckets=_DSIR_B,
     )
+
+
+# ───────────── SSL-prototypes pruning (similarity.prototype_prune_candidates
+# — Sorscher et al. 2022): per-cluster prototypicality ranking over the same
+# frozen 10-cell centroids the ANN queries use; the twin re-ranks from
+# centroid literals, so assignment, cosine, and the per-cell window are all
+# value-hashed against DuckDB. ─────────────
+@register(
+    "prototypicality_embeddings",
+    lambda: _OR.prototype_prune_sql(ORACLE_SF_DIR, n_centroids=10, m=10),
+)
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return SIM.prototype_prune_candidates(e, n_centroids=10, m=10)

@@ -819,3 +819,53 @@ def semdedup(
             (F.col(id_col) == F.col(f"_w.{id_col}")).alias("keep"),
         )
     )
+
+
+def prototype_prune_candidates(
+    df: DataFrame,
+    n_centroids: int = 16,
+    m: int = 5,
+    sample_size: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022, arXiv:2206.14486): rank
+    every vector by cosine similarity to its cluster centroid and surface the
+    top-m MOST prototypical members per cell — the rows the paper prunes
+    first when data is abundant (redundant examples nearest the cluster
+    core teach the least; marginal examples carry the signal). The
+    complementary easy-data regime (prune the most marginal) is the same
+    ranking read from the other end.
+
+    Output: ({id_col}, cell, centroid_cosine, proto_rank) with proto_rank ≤ m
+    per cell, rank ordered by (4-dp centroid cosine DESC, id ASC) so the
+    m-boundary is deterministic across engines and partitionings.
+
+    Scale (10^12 rows): centroids are the frozen driver-side sample kernel
+    (ivf_train_centroids — bounded at sample_size no matter the table);
+    assignment + cosine is ONE Arrow projection (ivf_assign_sim_udf); the
+    per-cell top-m compiles to WindowGroupLimit (Spark ≥3.5), so each map
+    task forwards at most m rows per cell into the single cell-key shuffle —
+    the same map-side-bounded shape as curation.quota_sample. Ranking on the
+    ROUNDED cosine (not the raw float) is what makes the window order
+    identical in the DuckDB twin."""
+    cents = ivf_train_centroids(
+        df, n_centroids, sample_size, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .withColumn("_asg", ivf_assign_sim_udf(cents)(F.col(vec_col)))
+        .select(
+            id_col,
+            F.col("_asg.cell").alias("cell"),
+            F.round(F.col("_asg.csim"), 4).alias("centroid_cosine"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centroid_cosine").desc(), F.col(id_col).asc()
+    )
+    return assigned.withColumn(
+        "proto_rank", F.row_number().over(w)
+    ).filter(F.col("proto_rank") <= m)

@@ -691,3 +691,39 @@ FROM raw_docs d LEFT JOIN tw USING (doc_id)
 ORDER BY weight_micronats DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def prototype_prune_sql(sf_dir: str, n_centroids: int, m: int) -> str:
+    """SQL twin of similarity.prototype_prune_candidates (SSL prototypes,
+    arXiv:2206.14486): identical twin-trained centroid literals and argmax
+    tie policy as ann_ivf_sql, 4-dp rounded centroid cosine, per-cell
+    row_number over (cosine DESC, id ASC). Float caveats are exactly the IVF
+    twin's: a cross-engine flip needs an argmax near-tie at ~1e-15 or a
+    disagreement in the 4th decimal itself."""
+    cents = ivf_centroids_twin(sf_dir, n_centroids)
+    values = ", ".join(f"({j}, {_float_list_sql(c)})" for j, c in enumerate(cents))
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES {values}) AS t(cell, cv)),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      WHERE embedding IS NOT NULL),
+assign AS (
+  SELECT vec_id, cell,
+         round(list_cosine_similarity(ev, cv), 4) AS centroid_cosine
+  FROM (
+    SELECT v.vec_id, v.ev, c.cell, c.cv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cell
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, cell, centroid_cosine,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY centroid_cosine DESC, vec_id
+         ) AS INT) AS proto_rank
+  FROM assign
+)
+SELECT vec_id, cell, centroid_cosine, proto_rank FROM r WHERE proto_rank <= {m}
+"""

@@ -871,3 +871,46 @@ def test_ivf_append_equals_frozen_rebuild(spark, vectors, tmp_path):
     got = SIM.ann_ivf_topk_indexed(io, "ann", queries, k=5, nprobe=3).collect()
     want = SIM.ann_ivf_topk_indexed(io2, "ann", queries, k=5, nprobe=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_prototype_prune_ranking_matches_numpy(vectors):
+    """SSL-prototypes pruning: per-cell top-m by 4-dp centroid cosine DESC
+    (id ASC ties) must match a driver numpy recomputation through the same
+    kernels; no cell emits more than m rows; ranks are 1..|emitted|."""
+    pdf, df = vectors
+    m = 7
+    out = SIM.prototype_prune_candidates(
+        df.select("vec_id", "embedding"), n_centroids=4, m=m
+    ).collect()
+    cents = SIM.ivf_train_centroids(df, n_centroids=4)
+    x, mask = SIM._unit_rows(pdf["embedding"], dim=cents.shape[1])
+    sims = SIM._centroid_sims(x, cents)
+    cell = sims.argmax(axis=1)
+    best = np.round(sims[np.arange(len(x)), cell], 4)
+    ids = pdf["vec_id"][mask].to_numpy()
+    expect: dict[int, list] = {}
+    for c in sorted(set(cell)):
+        members = sorted(
+            [(float(-best[j]), int(ids[j])) for j in range(len(ids)) if cell[j] == c]
+        )
+        expect[int(c)] = [(i, -s) for s, i in members[:m]]
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.cell, r.proto_rank)):
+        got.setdefault(r.cell, []).append((r.vec_id, r.centroid_cosine))
+    assert got == {c: v for c, v in expect.items() if v}
+    for rows in got.values():
+        assert len(rows) <= m
+
+
+def test_prototype_prune_plan_uses_window_group_limit(vectors):
+    """The per-cell top-m must ship ≤m rows per cell per map task into the
+    cell shuffle (WindowGroupLimit partial+final), and the only Python node
+    is the single Arrow assignment projection."""
+    _, df = vectors
+    out = SIM.prototype_prune_candidates(
+        df.select("vec_id", "embedding"), n_centroids=4, m=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
