@@ -2314,3 +2314,47 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return SIM.prototype_prune_candidates(e, n_centroids=10, m=10)
+
+
+# ───────────── SDXL-style aspect-ratio bucket profile (pipeline/heuristics
+# .aspect_bucket_profile): the post-filter bucketing step of an image-training
+# pipeline, over the same synthetic image-metadata table as the other image
+# queries. Assignment is integer milli-aspect argmin, so every output column
+# is exact int arithmetic in both engines. ─────────────
+def _aspect_profile_oracle() -> str:
+    from data_quality_check_spark.gate_fixtures import synthetic_image_meta_sql
+    from data_quality_check_spark.pipeline.heuristics import (
+        ASPECT_LADDER,
+        _ladder_milli,
+    )
+
+    values = ", ".join(
+        f"({i}, {bw}, {bh}, {m})"
+        for i, ((bw, bh), m) in enumerate(zip(ASPECT_LADDER, _ladder_milli(ASPECT_LADDER)))
+    )
+    return f"""
+WITH m AS ({synthetic_image_meta_sql("documents")}),
+v AS (SELECT image_id, (w * 1000) // h AS ar_milli, CAST(w AS BIGINT) * h AS pixels
+      FROM m WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0),
+ladder AS (SELECT * FROM (VALUES {values}) AS t(bucket_id, bw, bh, b_milli)),
+a AS (
+  SELECT image_id, ar_milli, pixels, bucket_id, bw, bh FROM (
+    SELECT v.*, l.*,
+           row_number() OVER (
+             PARTITION BY image_id ORDER BY abs(ar_milli - b_milli), bucket_id
+           ) AS rn
+    FROM v CROSS JOIN ladder l
+  ) WHERE rn = 1
+)
+SELECT CAST(bucket_id AS INT) AS bucket_id, CAST(bw AS INT) AS bw,
+       CAST(bh AS INT) AS bh,
+       count(*) AS n_images, CAST(sum(pixels) AS BIGINT) AS sum_pixels,
+       min(ar_milli) AS min_ar_milli, max(ar_milli) AS max_ar_milli
+FROM a GROUP BY 1, 2, 3
+"""
+
+
+@register("aspect_bucket_profile_images", _aspect_profile_oracle)
+def q_aspect_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
+    return H.aspect_bucket_profile(img)

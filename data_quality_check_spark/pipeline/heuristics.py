@@ -240,3 +240,101 @@ def boilerplate_captions(
             (F.col("n_images") >= min_images) & (F.col("n_distinct_images") >= 2)
         )
     )
+
+
+# SDXL/NovelAI-style aspect-ratio bucket ladder: 64-multiple (w, h) shapes
+# near a 1024² pixel budget, square in the middle, ±4:1 at the extremes.
+# Training batches are formed per bucket so images batch with like shapes and
+# padding/crop waste stays bounded — the bucketing step every large-scale
+# image-training pipeline runs after the quality filter.
+ASPECT_LADDER: list[tuple[int, int]] = [
+    (512, 2048), (576, 1728), (640, 1536), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1536, 640),
+    (1728, 576), (2048, 512),
+]
+
+
+def _ladder_milli(ladder: list[tuple[int, int]]) -> list[int]:
+    # exact integer milli-aspect per rung: (bw*1000) // bh
+    return [(bw * 1000) // bh for bw, bh in ladder]
+
+
+def aspect_bucket_col(w: Column, h: Column, ladder: list[tuple[int, int]] | None = None) -> Column:
+    """Nearest-aspect bucket id (index into the ladder) as ONE codegen
+    expression: argmin over |ar_milli − rung_milli|, ties to the lower id.
+
+    The aspect ratio is quantized to integer milli-units — `(w*1000) DIV h` —
+    BEFORE the argmin, so assignment is pure int64 arithmetic: exact in
+    Spark, the DuckDB twin, and any future engine, with no log/float distance
+    to disagree by an ulp at a bucket boundary. 1/1000 resolution is far
+    below the ladder's rung spacing (≥ ~60 milli), so the quantization never
+    changes which rung is nearest except at exact midpoints, where the
+    lower-id tie-break is deterministic in both engines. argmin =
+    `array_min` over (distance, id) structs — lexicographic struct ordering,
+    no UDF, no join."""
+    ladder = ladder or ASPECT_LADDER
+    # floor(w*1000/h) through double division matches the DuckDB twin's
+    # integer `//` exactly for every int32 dimension pair: an off-by-one
+    # needs division error ≥ the 1/h boundary gap, i.e. w*1000 ≥ 2^53 —
+    # unreachable for pixel dims (the int64-raw case that bit
+    # flag_bytes_implausible does not arise here; dims are int32 columns)
+    ar = F.floor((w.cast("long") * 1000) / h.cast("long")).cast("long")
+    pairs = [
+        F.struct(
+            F.abs(ar - F.lit(m)).alias("d"), F.lit(i).alias("i")
+        )
+        for i, m in enumerate(_ladder_milli(ladder))
+    ]
+    return F.array_min(F.array(*pairs))["i"]
+
+
+def aspect_bucket_profile(
+    img: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    ladder: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Per-bucket corpus profile for aspect-ratio-bucketed training: how many
+    images land on each ladder rung and how many pixels they carry. Rows with
+    non-positive or NULL dims are excluded (they are `flag_bad_dims` rejects —
+    audited by image_flags, not batched for training).
+
+    Output: (bucket_id, bw, bh, n_images, sum_pixels, min_ar_milli,
+    max_ar_milli) — all integer columns, exactly hashable cross-engine.
+
+    100 TB shape: ONE codegen projection (quantize + argmin over ~17 struct
+    literals) + ONE ≤|ladder|-key map-side-combined aggregate. Bucket shapes
+    resolve via element_at on array literals — no join anywhere."""
+    ladder = ladder or ASPECT_LADDER
+    w, h = F.col(w_col), F.col(h_col)
+    rows = (
+        img.filter(w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0))
+        .select(
+            aspect_bucket_col(w, h, ladder).alias("bucket_id"),
+            F.floor((w.cast("long") * 1000) / h.cast("long"))
+            .cast("long")
+            .alias("ar_milli"),
+            (w.cast("long") * h.cast("long")).alias("pixels"),
+        )
+    )
+    bw_arr = F.array(*[F.lit(bw) for bw, _ in ladder])
+    bh_arr = F.array(*[F.lit(bh) for _, bh in ladder])
+    return (
+        rows.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("pixels").alias("sum_pixels"),
+            F.min("ar_milli").alias("min_ar_milli"),
+            F.max("ar_milli").alias("max_ar_milli"),
+        )
+        .select(
+            "bucket_id",
+            F.element_at(bw_arr, F.col("bucket_id") + 1).alias("bw"),
+            F.element_at(bh_arr, F.col("bucket_id") + 1).alias("bh"),
+            "n_images",
+            "sum_pixels",
+            "min_ar_milli",
+            "max_ar_milli",
+        )
+    )

@@ -356,3 +356,65 @@ def test_boilerplate_captions_plan_single_agg_no_python(spark):
     # exactly one keyed exchange (the fingerprint group; EXPAND for the exact
     # multi-distinct rides it) — the detector is one aggregation, not a join
     assert plan.count("hashpartitioning") <= 2  # partial-distinct + final
+
+
+def test_aspect_bucket_assignment_hand_cases(spark):
+    """Exact rungs land exactly; off-ladder ratios go to the nearest rung in
+    milli-aspect space; midpoint ties take the lower bucket id; bad dims are
+    excluded from the profile."""
+    from data_quality_check_spark.pipeline import heuristics as H
+
+    rows = [
+        (1, 1024, 1024),   # exact square → rung (1024,1024)
+        (2, 512, 2048),    # exact extreme → rung 0
+        (3, 2000, 1000),   # ar 2.0 → nearest of 1728/576 (3000) vs 1536/640 (2400)? no: 2000 milli → nearest rung by milli
+        (4, 0, 100),       # bad dims: excluded
+        (5, 100, 0),       # bad dims: excluded
+        (6, None, 100),    # null: excluded
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w int, h int")
+    out = {
+        r["bucket_id"]: r
+        for r in H.aspect_bucket_profile(df).collect()
+    }
+    ladder = H.ASPECT_LADDER
+    milli = H._ladder_milli(ladder)
+
+    def expect_bucket(w, h):
+        ar = (w * 1000) // h
+        return min(range(len(milli)), key=lambda i: (abs(ar - milli[i]), i))
+
+    got_rows = sum(r["n_images"] for r in out.values())
+    assert got_rows == 3  # only the three valid-dim images
+    for iid, w, h in [(1, 1024, 1024), (2, 512, 2048), (3, 2000, 1000)]:
+        b = expect_bucket(w, h)
+        assert b in out, (iid, b)
+        bw, bh = ladder[b]
+        assert (out[b]["bw"], out[b]["bh"]) == (bw, bh)
+    sq = expect_bucket(1024, 1024)
+    assert ladder[sq] == (1024, 1024)
+    assert out[sq]["sum_pixels"] == 1024 * 1024
+    assert out[sq]["min_ar_milli"] == out[sq]["max_ar_milli"] == 1000
+
+
+def test_aspect_bucket_plan_is_joinless_single_agg(spark):
+    """Assignment is an array_min over struct literals and shapes resolve via
+    element_at — the whole profile must be one projection + one hash agg:
+    no join node, no Python, no window."""
+    from data_quality_check_spark.pipeline import heuristics as H
+
+    df = spark.range(100).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") % 50 * 40 + 16).cast("int").alias("w"),
+        (F.col("id") % 37 * 55 + 16).cast("int").alias("h"),
+    )
+    plan = (
+        H.aspect_bucket_profile(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") <= 2  # partial + final, nothing else
