@@ -2358,3 +2358,41 @@ FROM a GROUP BY 1, 2, 3
 def q_aspect_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synthetic_image_meta_df(t(spark, sf_dir, "documents"))
     return H.aspect_bucket_profile(img)
+
+
+# ───────────── tokenizer-fertility audit (vocab.token_fertility): per-language
+# token/char/byte volumes + fertility ratios. Integer sums are exact in both
+# engines; each ratio is one double division + 6-dp round of those identical
+# sums. ─────────────
+_FERTILITY_SQL = """
+WITH base AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS BIGINT) AS toks,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS chars,
+         CAST(strlen(COALESCE(text, '')) AS BIGINT) AS bytes
+  FROM documents
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS n_tokens,
+         CAST(sum(chars) AS BIGINT) AS n_chars,
+         CAST(sum(bytes) AS BIGINT) AS n_bytes
+  FROM base GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END
+         AS chars_per_token,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END
+         AS bytes_per_token,
+       CASE WHEN n_docs > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) END
+         AS tokens_per_doc
+FROM g
+"""
+
+
+@register("token_fertility_documents", _FERTILITY_SQL)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return VB.token_fertility(t(spark, sf_dir, "documents"))

@@ -425,3 +425,56 @@ GROUP BY bigram
 ORDER BY n_occurrences DESC, bigram ASC
 LIMIT {k}
 """
+
+
+def token_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """Per-language tokenizer-fertility audit: token / char / byte volumes and
+    the chars-per-token + bytes-per-token + tokens-per-doc ratios — the
+    tokenizer-fit check a multilingual pipeline runs before committing a
+    vocabulary (high bytes-per-token on a language = the tokenizer shatters
+    it; cf. the fertility metrics in the BLOOM/XLM-R tokenizer analyses).
+
+    Output: (lang, n_docs, n_tokens, n_chars, n_bytes, chars_per_token,
+    bytes_per_token, tokens_per_doc). NULL lang is a group; NULL text counts
+    as zero tokens/chars/bytes (COALESCE, matching the SQL twin). Ratios are
+    ONE double division of exact integer sums, rounded to 6 dp — identical
+    cross-engine; zero-token languages report NULL ratios rather than a
+    division error.
+
+    100 TB shape: one JVM projection (regexp token count — the token STREAM
+    is never materialized, only its length) + one map-side-combined agg on
+    ≤|langs| keys. No explode, no shuffle wider than the language count."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(
+            F.regexp_extract_all(F.lower(txt), F.lit(token_re), 0)
+        ).cast("long").alias("_toks"),
+        F.length(txt).cast("long").alias("_chars"),
+        F.octet_length(txt).cast("long").alias("_bytes"),
+    )
+    g = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_bytes").alias("n_bytes"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        ratio("n_chars", "n_tokens").alias("chars_per_token"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+        ratio("n_tokens", "n_docs").alias("tokens_per_doc"),
+    )

@@ -2,6 +2,7 @@
 
 from pyspark.sql import functions as F
 
+from data_quality_check_spark.operators import vocab as VB
 from data_quality_check_spark.operators.vocab import top_tokens
 
 
@@ -276,3 +277,47 @@ def test_top_bigrams_plan_is_bounded_topk_no_python(spark):
     )
     assert "TakeOrderedAndProject" in plan  # never a global sort
     assert "Python" not in plan  # pairing is one JVM projection
+
+
+def test_token_fertility_hand_computed(spark):
+    """Multibyte chars count once but several bytes; null text is zero-volume;
+    NULL lang is a group; a language with zero tokens reports NULL ratios."""
+    rows = [
+        (1, "ab cd", "en"),        # 2 tokens, 5 chars, 5 bytes
+        (2, "xyz", "en"),          # 1 token, 3 chars, 3 bytes
+        (3, "héé", "fr"),          # 1 token ('h'; é not in [a-z0-9]), 3 chars, 5 bytes
+        (4, None, "fr"),           # zero volume
+        (5, "!!!", "zz"),          # 0 tokens → NULL ratios
+        (6, "ok", None),           # NULL lang group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in VB.token_fertility(df).collect()}
+    assert set(out) == {"en", "fr", "zz", None}
+
+    en = out["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"], en["n_bytes"]) == (2, 3, 8, 8)
+    assert en["chars_per_token"] == round(8 / 3, 6)
+    assert en["tokens_per_doc"] == 1.5
+
+    fr = out["fr"]
+    assert (fr["n_docs"], fr["n_tokens"], fr["n_chars"], fr["n_bytes"]) == (2, 1, 3, 5)
+    assert fr["bytes_per_token"] == 5.0
+
+    zz = out["zz"]
+    assert zz["n_tokens"] == 0
+    assert zz["chars_per_token"] is None and zz["bytes_per_token"] is None
+
+    assert out[None]["n_tokens"] == 1
+
+
+def test_token_fertility_plan_never_explodes(spark):
+    """The token stream must never materialize: size() over the extracted
+    array in one projection, then a ≤|langs|-key agg — no Generate/explode
+    node, no Python, no join."""
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    plan = (
+        VB.token_fertility(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan, plan  # explode would show as Generate
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
