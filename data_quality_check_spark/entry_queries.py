@@ -2396,3 +2396,52 @@ FROM g
 @register("token_fertility_documents", _FERTILITY_SQL)
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VB.token_fertility(t(spark, sf_dir, "documents"))
+
+
+# ───────────── URL-domain blocklist audit (curation.domain_profile — C4 §2.1
+# / RefinedWeb URL filtering). The driver fixture's texts carry no URLs, so
+# the gate PLANTS one on 1/7 of docs — 4 hosts cycling by doc_id, with mixed
+# case, a :port, and a www. prefix so every normalization rule fires, and 2
+# of 4 on the blocklist — identically in both engines (same pattern as the
+# scrub/boilerplate planted gates). ─────────────
+_DOMAIN_HOSTS = [
+    "Ads.Tracker.example",
+    "www.Mirror-Host.example:8080",
+    "blog.example",
+    "news.example",
+]
+_DOMAIN_BLOCKLIST = ["ads.tracker.example", "mirror-host.example"]
+
+
+def _domain_profile_oracle() -> str:
+    hosts = ", ".join(f"'{h}'" for h in _DOMAIN_HOSTS)
+    planted = (
+        "CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '') || ' see http://' || "
+        f"([{hosts}])[CAST((doc_id // 7) % 4 + 1 AS INT)] || '/p/' || "
+        "CAST(doc_id AS VARCHAR) ELSE text END"
+    )
+    return CU.domain_profile_sql(
+        "documents", planted, _DOMAIN_BLOCKLIST, "doc_id"
+    )
+
+
+@register("domain_blocklist_documents", _domain_profile_oracle)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dom = F.element_at(
+        F.array(*[F.lit(h) for h in _DOMAIN_HOSTS]),
+        (F.expr("(doc_id DIV 7) % 4") + 1).cast("int"),
+    )
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" see http://"),
+            dom,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return CU.domain_profile(
+        docs.withColumn("text", planted), "text", _DOMAIN_BLOCKLIST, "doc_id"
+    )

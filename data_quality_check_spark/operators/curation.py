@@ -1066,3 +1066,73 @@ def apply_bucket_thresholds(
     return joined.withColumn(
         "bucket", F.when(F.col("_cuts").isNotNull(), bucket)
     ).drop("_tg", "_cuts")
+
+
+# URL/domain extraction constrained to the Java∩RE2 subset (functions/
+# text.py:30-36): explicit whitespace set instead of \s, no lookarounds, so
+# Spark regexp_extract and the DuckDB twin capture byte-identically.
+URL_DOMAIN_RE = r"https?://([^/ \t\n\r\x0B\f?#]+)"
+
+
+def domain_profile(
+    df: DataFrame,
+    text_col: str,
+    blocklist: list[str],
+    id_col: str,
+) -> DataFrame:
+    """C4/RefinedWeb-style URL-domain audit: extract the FIRST URL's host from
+    each document, normalize (lowercase, strip port and one leading 'www.'),
+    and profile per-domain document counts with a blocklist verdict — the
+    decision table for URL-level filtering (C4 §2.1's "bad words" domain
+    blocklist; RefinedWeb's URL filtering stage).
+
+    Output: (domain, n_docs, example_{id_col}, blocked) for documents that
+    contain a URL. Docs without a URL don't appear (URL-less docs are not a
+    domain-filter concern). `blocked` = membership in the lowercase
+    blocklist, evaluated as a literal IN — no join, the blocklist rides the
+    plan like C4's (it is a config artifact of ~10^4 entries; at blocklist
+    sizes beyond expression reach, swap to a broadcast anti-join — same
+    output contract).
+
+    100 TB shape: ONE codegen projection (regexp capture + normalize) + ONE
+    map-side-combined agg keyed by domain. Web corpora are Zipf-heavy on
+    domains, which partial aggregation absorbs map-side (same argument as
+    vocab.top_tokens)."""
+    blocked_set = sorted({b.lower() for b in blocklist})
+    host = F.lower(
+        F.regexp_extract(F.coalesce(F.col(text_col), F.lit("")), URL_DOMAIN_RE, 1)
+    )
+    # strip :port, then one leading www.
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rows = df.select(F.col(id_col), host.alias("domain")).filter(
+        F.col("domain") != ""
+    )
+    return rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias(f"example_{id_col}"),
+        F.max(F.col("domain").isin(*blocked_set)).alias("blocked"),
+    )
+
+
+def domain_profile_sql(
+    docs_rel: str, text_expr: str, blocklist: list[str], id_col: str
+) -> str:
+    """DuckDB twin of domain_profile over the same regex and normalization."""
+    blocked = ", ".join(f"'{b.lower()}'" for b in sorted({b.lower() for b in blocklist}))
+    return f"""
+WITH hosts AS (
+  SELECT {id_col},
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(COALESCE({text_expr}, ''),
+                                  'https?://([^/ \\t\\n\\r\\x0B\\f?#]+)', 1)),
+             ':[0-9]+$', ''),
+           '^www\\.', '') AS domain
+  FROM {docs_rel}
+)
+SELECT domain, count(*) AS n_docs, min({id_col}) AS example_{id_col},
+       max(domain IN ({blocked})) AS blocked
+FROM hosts WHERE domain <> ''
+GROUP BY domain
+"""

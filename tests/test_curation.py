@@ -638,3 +638,42 @@ def test_apply_bucket_thresholds_plan_is_broadcast_no_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan and "Sort" not in plan.replace("SortMergeJoin", "")
     assert "hashpartitioning" not in plan  # corpus side never shuffles
+
+
+def test_domain_profile_normalization_and_blocklist(spark):
+    """Host normalization (lowercase, :port strip, one leading www. strip),
+    first-URL-only capture, URL-less docs absent, blocklist verdict."""
+    rows = [
+        (1, "x http://Ads.Example/a http://other.example/b"),  # first URL wins
+        (2, "y https://www.Ads.Example:8080/path?q=1"),        # www+port → same domain
+        (3, "z http://clean.example/ok"),
+        (4, "no url here"),
+        (5, None),
+        (6, "tricky http://www.www.example/x"),                # strips ONE www.
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["domain"]: r
+        for r in CU.domain_profile(df, "text", ["ads.example"], "doc_id").collect()
+    }
+    assert set(out) == {"ads.example", "clean.example", "www.example"}
+    assert out["ads.example"]["n_docs"] == 2
+    assert out["ads.example"]["example_doc_id"] == 1
+    assert out["ads.example"]["blocked"] is True
+    assert out["clean.example"]["blocked"] is False
+    assert out["www.example"]["blocked"] is False
+
+
+def test_domain_profile_plan_is_joinless_single_agg(spark):
+    """Blocklist membership is a literal IN riding the agg — no join, no
+    Python, one partial+final agg pair."""
+    df = spark.createDataFrame([(1, "http://a.example/x")], "doc_id long, text string")
+    plan = (
+        CU.domain_profile(df, "text", ["a.example"], "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") <= 2
