@@ -2445,3 +2445,43 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.domain_profile(
         docs.withColumn("text", planted), "text", _DOMAIN_BLOCKLIST, "doc_id"
     )
+
+
+# ───────────── corpus snapshot diff (drift.snapshot_diff): v1 = documents,
+# v2 derived deterministically in BOTH engines — 1/13 removed, 1/11 edited
+# (removal wins on overlap), 1/17 re-keyed as additions — so all four change
+# classes fire and the full-outer reconciliation is value-hashed. ─────────────
+_DIFF_COLS = ["text", "lang", "source", "n_chars"]
+
+
+def _snapshot_v2_sql() -> str:
+    return """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN COALESCE(text, '') || ' [edited]'
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0
+)"""
+
+
+@register(
+    "snapshot_diff_documents",
+    lambda: DR.snapshot_diff_sql(
+        "documents", _snapshot_v2_sql(), "doc_id", _DIFF_COLS
+    ),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", *_DIFF_COLS)
+    did = F.col("doc_id")
+    edited = F.when(
+        did % 11 == 0,
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [edited]")),
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(did % 13 != 0).withColumn("text", edited)
+    adds = docs.filter(did % 17 == 0).withColumn("doc_id", did + 1000000)
+    return DR.snapshot_diff(
+        docs, v2.unionByName(adds), "doc_id", _DIFF_COLS
+    )

@@ -1099,6 +1099,10 @@ def domain_profile(
     domains, which partial aggregation absorbs map-side (same argument as
     vocab.top_tokens)."""
     blocked_set = sorted({b.lower() for b in blocklist})
+    # empty blocklist → audit-only profile; isin() with zero args would throw
+    blocked_col = (
+        F.max(F.col("domain").isin(*blocked_set)) if blocked_set else F.max(F.lit(False))
+    )
     host = F.lower(
         F.regexp_extract(F.coalesce(F.col(text_col), F.lit("")), URL_DOMAIN_RE, 1)
     )
@@ -1111,7 +1115,7 @@ def domain_profile(
     return rows.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(id_col).alias(f"example_{id_col}"),
-        F.max(F.col("domain").isin(*blocked_set)).alias("blocked"),
+        blocked_col.alias("blocked"),
     )
 
 
@@ -1119,7 +1123,8 @@ def domain_profile_sql(
     docs_rel: str, text_expr: str, blocklist: list[str], id_col: str
 ) -> str:
     """DuckDB twin of domain_profile over the same regex and normalization."""
-    blocked = ", ".join(f"'{b.lower()}'" for b in sorted({b.lower() for b in blocklist}))
+    bset = sorted({b.lower() for b in blocklist})
+    blocked = ", ".join(f"'{b}'" for b in bset) if bset else "''"  # '' never matches a non-empty domain
     return f"""
 WITH hosts AS (
   SELECT {id_col},

@@ -414,3 +414,85 @@ FROM counts, tot
 ORDER BY cnt DESC, {key_col} ASC NULLS FIRST
 LIMIT {top_n}
 """
+
+
+def snapshot_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    content_cols: "list[str]",
+) -> DataFrame:
+    """Corpus reconciliation between two snapshots (yesterday's published
+    corpus vs today's): classify every id as added / removed / changed /
+    unchanged and report counts with an example id per class — the diff a
+    write-audit-publish pipeline reviews before promoting v(n+1), and the
+    parquet-side analogue of an Iceberg changelog scan.
+
+    `content_cols` must be string/integer columns: the row fingerprint is
+    md5 over a unit-separator concat with a NUL-ish null sentinel, and
+    int→string casts render identically in Spark and DuckDB (float casts do
+    NOT — fingerprint a pre-rounded string column instead).
+
+    Output: (change, n_rows, example_{id_col}) — change ∈ added/removed/
+    changed/unchanged; classes with zero rows are absent.
+
+    100 TB shape: each side is ONE narrow projection (id, fingerprint) —
+    content never shuffles, only 16-byte digests; the full-outer join
+    shuffles both digest tables by id (on bucketed TableIO corpora the join
+    is co-partitioned and shuffle-free); the classification agg is 4 keys
+    with map-side combine. example = min(id) keeps the output driver-sized
+    and deterministic."""
+    sep, nul = "\x1f", "\x00null\x00"
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in content_cols
+        ]
+        return df.select(
+            F.col(id_col), F.md5(F.concat_ws(sep, *parts)).alias(name)
+        )
+
+    j = fp(df_a, "_fa").join(fp(df_b, "_fb"), on=id_col, how="full_outer")
+    change = (
+        F.when(F.col("_fa").isNull(), F.lit("added"))
+        .when(F.col("_fb").isNull(), F.lit("removed"))
+        .when(F.col("_fa") == F.col("_fb"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(F.col(id_col), change.alias("change"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias(f"example_{id_col}"),
+        )
+    )
+
+
+def snapshot_diff_sql(
+    rel_a: str, rel_b: str, id_col: str, content_cols: "list[str]"
+) -> str:
+    """DuckDB twin of snapshot_diff (identical separator/sentinel/md5)."""
+
+    def fp(rel: str) -> str:
+        parts = ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null' || chr(0))"
+            for c in content_cols
+        )
+        return (
+            f"SELECT {id_col}, md5(concat_ws(chr(31), {parts})) AS f FROM {rel}"
+        )
+
+    return f"""
+WITH a AS ({fp(rel_a)}), b AS ({fp(rel_b)}),
+j AS (
+  SELECT COALESCE(a.{id_col}, b.{id_col}) AS {id_col},
+         CASE WHEN a.f IS NULL THEN 'added'
+              WHEN b.f IS NULL THEN 'removed'
+              WHEN a.f = b.f THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM a FULL OUTER JOIN b ON a.{id_col} = b.{id_col}
+)
+SELECT change, count(*) AS n_rows, min({id_col}) AS example_{id_col}
+FROM j GROUP BY change
+"""

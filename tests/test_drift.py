@@ -4,6 +4,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from data_quality_check_spark.operators import drift as DR
+
 from data_quality_check_spark.operators.drift import (
     categorical_drift,
     numeric_drift,
@@ -225,3 +227,52 @@ def test_key_skew_top_n_bounds(spark, sf_dir):
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert sum(r.frac_rows for r in rows) <= 1.0 + 1e-9
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    """added / removed / changed / unchanged each classified exactly; null
+    content hits the sentinel (null ≠ '' ≠ 'null'); integer content col
+    participates in the fingerprint."""
+    a = spark.createDataFrame(
+        [
+            (1, "same", 10),
+            (2, "gone", 20),
+            (3, "old", 30),
+            (4, None, 40),
+            (5, "null", 50),
+            (6, "intchange", 60),
+        ],
+        "id long, text string, n long",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "same", 10),       # unchanged
+            (3, "new", 30),        # changed (text)
+            (4, "", 40),           # changed: null → '' must NOT collide
+            (5, "null", 50),       # unchanged: literal 'null' ≠ sentinel
+            (6, "intchange", 61),  # changed (int col only)
+            (7, "fresh", 70),      # added
+        ],
+        "id long, text string, n long",
+    )
+    out = {
+        r["change"]: r for r in DR.snapshot_diff(a, b, "id", ["text", "n"]).collect()
+    }
+    assert out["unchanged"]["n_rows"] == 2
+    assert out["removed"]["n_rows"] == 1 and out["removed"]["example_id"] == 2
+    assert out["changed"]["n_rows"] == 3 and out["changed"]["example_id"] == 3
+    assert out["added"]["n_rows"] == 1 and out["added"]["example_id"] == 7
+
+
+def test_snapshot_diff_content_never_shuffles(spark):
+    """Only (id, 16-byte digest) rides the reconciliation join — the content
+    columns must be absent from every Exchange's carried schema."""
+    from tests.test_plan_quality import _exchange_output_columns
+
+    a = spark.createDataFrame([(1, "x" * 100, 1)], "id long, text string, n long")
+    b = spark.createDataFrame([(1, "x" * 100, 1)], "id long, text string, n long")
+    df = DR.snapshot_diff(a, b, "id", ["text", "n"])
+    exchanges = _exchange_output_columns(df)
+    assert exchanges, "expected the full-outer join to shuffle digests"
+    for cols in exchanges:
+        assert "text" not in cols and "n" not in cols, cols
