@@ -2485,3 +2485,64 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.snapshot_diff(
         docs, v2.unionByName(adds), "doc_id", _DIFF_COLS
     )
+
+
+# ───────────── Gopher document-quality rules (heuristics.gopher_flags — Rae
+# et al. 2021 §A1.1) on the gate's documents table: all seven flags + the
+# combined keep, one codegen projection. Every ratio rule is cross-multiplied
+# integer arithmetic, so the booleans hash identically cross-engine. The
+# fixture's word-salad texts fire only word_count/few_stopwords, so the gate
+# PLANTS one violating (or deliberately CLEAN) text on 1/9 of docs — five
+# shapes cycling by doc_id, identically in both engines (same convention as
+# the scrub/boilerplate/domain planted gates) — so every rule's true AND
+# false branches are exercised by the value hash. ─────────────
+_GOPHER_PLANTS = [
+    "- alpha\n- beta\n- gamma",                  # bullet_lines (3/3)
+    "first...\nsecond...\nthird",                # ellipsis_lines (2/3)
+    "## ## ## ## few words here",                 # symbol_ratio (4 hashes / 7 words)
+    ("the quick brown fox jumps over that lazy dog have with be of " * 4),
+    #   ^ 52 words, mean len 3.69, ≥2 stopwords, all-alpha → every flag FALSE
+    ":: !! ?? ;; ~~",                             # low_alpha_words + mean_word_len
+]
+
+
+def _sqlq(s: str) -> str:
+    """Render a Python literal for DuckDB: standard '' quoting, newlines via
+    chr(10) so the twin never depends on escape processing."""
+    parts = [p.replace("'", "''") for p in s.split("\n")]
+    return " || chr(10) || ".join(f"'{p}'" for p in parts)
+
+
+def _gopher_oracle() -> str:
+    plants = ", ".join(_sqlq(p) for p in _GOPHER_PLANTS)
+    planted = (
+        f"CASE WHEN doc_id % 9 = 0 THEN ([{plants}])[CAST((doc_id // 9) % 5 + 1 AS INT)] "
+        "ELSE text END"
+    )
+    exprs = H.gopher_flags_sql(planted)
+    return (
+        "SELECT doc_id,\n"
+        + ",\n".join(f"       {e} AS {k}" for k, e in exprs.items())
+        + ",\n       NOT ("
+        + " OR ".join(exprs.values())
+        + ") AS keep\nFROM documents"
+    )
+
+
+@register("gopher_quality_documents", _gopher_oracle)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.element_at(
+            F.array(*[F.lit(p) for p in _GOPHER_PLANTS]),
+            (F.expr("(doc_id DIV 9) % 5") + 1).cast("int"),
+        ),
+    ).otherwise(F.col("text"))
+    flags = H.gopher_flags(planted)
+    keep = F.lit(True)
+    for v in flags.values():
+        keep = keep & ~v
+    return df.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
+    )

@@ -338,3 +338,111 @@ def aspect_bucket_profile(
             "max_ar_milli",
         )
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) not
+# already covered by caption_flags/repetition_stats. Thresholds are the
+# paper's. Every ratio test is CROSS-MULTIPLIED into integer arithmetic
+# (e.g. ratio > 0.1 becomes 10·num > den) so the flags are exact in both
+# engines — no float division anywhere.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_ALPHA_RE = "[A-Za-zÀ-ÿ]"
+_WS_RE = "[ \\t\\n\\r\\x0B\\f]+"
+
+
+def gopher_flags(caption: Column) -> dict[str, Column]:
+    """Gopher §A1.1 rules as pure Spark expressions (ONE codegen projection,
+    no UDF, no shuffle):
+
+      * flag_word_count      — word count outside [50, 100000]
+      * flag_mean_word_len   — mean word length outside [3, 10]
+                               (3·n_words ≤ word_chars ≤ 10·n_words, exact)
+      * flag_symbol_ratio    — ('#' + '…'-as-'...') to word ratio > 0.1
+      * flag_bullet_lines    — > 90% of lines start with a bullet
+      * flag_ellipsis_lines  — > 30% of lines end with an ellipsis
+      * flag_few_stopwords   — fewer than 2 distinct Gopher stopwords
+      * flag_low_alpha_words — < 80% of words contain an alphabetic char
+
+    NULL/empty captions flag word_count only (0 words), everything else
+    false — the missing-caption case is caption_flags' business."""
+    c = F.coalesce(caption, F.lit(""))
+    trimmed = trim_col(c)
+    words = F.split(trimmed, _WS_RE)
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words)).cast("long")
+    word_chars = F.length(F.regexp_replace(trimmed, _WS_RE, "")).cast("long")
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("long")
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    low = F.lower(c)
+    n_stop = sum(
+        F.when(low.rlike(f"\\b{w}\\b"), 1).otherwise(0) for w in GOPHER_STOPWORDS
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda t: t.rlike(_ALPHA_RE))
+    ).cast("long")
+    n_alpha_words = F.when(trimmed == "", F.lit(0)).otherwise(n_alpha_words).cast("long")
+    return {
+        "flag_word_count": (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS),
+        "flag_mean_word_len": (n_words > 0)
+        & ~((3 * n_words <= word_chars) & (word_chars <= 10 * n_words)),
+        "flag_symbol_ratio": (n_words > 0) & (10 * (n_hash + n_ell) > n_words),
+        "flag_bullet_lines": 10 * n_bullet > 9 * n_lines,
+        "flag_ellipsis_lines": 10 * n_ell_line > 3 * n_lines,
+        "flag_few_stopwords": n_stop < 2,
+        "flag_low_alpha_words": (n_words > 0) & (5 * n_alpha_words < 4 * n_words),
+    }
+
+
+def gopher_flags_sql(c: str) -> dict[str, str]:
+    """DuckDB twins of gopher_flags, same integer arithmetic, RE2-safe."""
+    cc = f"COALESCE({c}, '')"
+    tr = f"trim({cc}, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    ws = "'[ \\t\\n\\r\\x0B\\f]+'"
+    n_words = f"(CASE WHEN {tr} = '' THEN 0 ELSE len(regexp_split_to_array({tr}, {ws})) END)"
+    word_chars = f"length(regexp_replace({tr}, {ws}, '', 'g'))"
+    n_hash = f"(length({cc}) - length(replace({cc}, '#', '')))"
+    n_ell = f"((length({cc}) - length(replace({cc}, '...', ''))) // 3)"
+    lines = f"string_split({cc}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (
+        f"len(list_filter({lines}, l -> starts_with(ltrim(l), '-')"
+        f" OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), chr(8226))))"
+    )
+    n_ell_line = f"len(list_filter({lines}, l -> rtrim(l) LIKE '%...'))"
+    n_stop = "(" + " + ".join(
+        f"CASE WHEN regexp_matches(lower({cc}), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    ) + ")"
+    n_alpha = (
+        f"(CASE WHEN {tr} = '' THEN 0 ELSE "
+        f"len(list_filter(regexp_split_to_array({tr}, {ws}),"
+        f" t -> regexp_matches(t, '[A-Za-zÀ-ÿ]'))) END)"
+    )
+    return {
+        "flag_word_count": f"({n_words} < {GOPHER_MIN_WORDS} OR {n_words} > {GOPHER_MAX_WORDS})",
+        "flag_mean_word_len": (
+            f"({n_words} > 0 AND NOT (3 * {n_words} <= {word_chars}"
+            f" AND {word_chars} <= 10 * {n_words}))"
+        ),
+        "flag_symbol_ratio": f"({n_words} > 0 AND 10 * ({n_hash} + {n_ell}) > {n_words})",
+        "flag_bullet_lines": f"(10 * {n_bullet} > 9 * {n_lines})",
+        "flag_ellipsis_lines": f"(10 * {n_ell_line} > 3 * {n_lines})",
+        "flag_few_stopwords": f"({n_stop} < 2)",
+        "flag_low_alpha_words": f"({n_words} > 0 AND 5 * {n_alpha} < 4 * {n_words})",
+    }

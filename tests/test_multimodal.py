@@ -418,3 +418,55 @@ def test_aspect_bucket_plan_is_joinless_single_agg(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") <= 2  # partial + final, nothing else
+
+
+def test_gopher_flags_hand_cases(spark):
+    """Each Gopher §A1.1 rule fires on its planted shape and stays quiet on a
+    compliant text; NULL flags word_count only."""
+    from data_quality_check_spark.pipeline import heuristics as H
+
+    clean = "the quick brown fox jumps over that lazy dog have with be of " * 4
+    rows = [
+        (0, clean),                             # no flag
+        (1, "- a\n- b\n- c"),                   # bullets (+ word_count, stopwords...)
+        (2, "one...\ntwo...\nthree\nfour"),     # ellipsis 2/4 > 30%
+        (3, "## ## ## ## few words here"),      # symbols 4/7 > 0.1
+        (4, ":: !! ?? ;; ~~"),                  # low alpha + mean word len (2 < 3)
+        (5, "extraordinarily incomprehensible " * 30),  # mean len > 10, ≥50 words
+        (6, None),                              # 0 words
+        (7, "the of " * 30),                    # stopwords ok, mean len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in H.gopher_flags(F.col("text")).items()],
+        ).collect()
+    }
+    c = out[0]
+    assert not any(
+        c[k] for k in c.asDict() if k.startswith("flag_")
+    ), c.asDict()
+    assert out[1]["flag_bullet_lines"] and not out[0]["flag_bullet_lines"]
+    assert out[2]["flag_ellipsis_lines"] and not out[3]["flag_ellipsis_lines"]
+    assert out[3]["flag_symbol_ratio"] and not out[0]["flag_symbol_ratio"]
+    assert out[4]["flag_low_alpha_words"] and out[4]["flag_mean_word_len"]
+    assert out[5]["flag_mean_word_len"] and not out[5]["flag_word_count"]
+    assert out[6]["flag_word_count"] and not out[6]["flag_mean_word_len"]
+    assert out[7]["flag_mean_word_len"] and not out[7]["flag_few_stopwords"]
+
+
+def test_gopher_flags_plan_is_single_projection(spark):
+    """All seven rules are one codegen projection — no shuffle, no Python."""
+    from data_quality_check_spark.pipeline import heuristics as H
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        df.select(*[v.alias(k) for k, v in H.gopher_flags(F.col("text")).items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
