@@ -2546,3 +2546,41 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
     )
+
+
+# ───────────── SoftDeDup frequency downweighting (dedup.soft_dedup_weights —
+# He et al. 2024): keep duplicates, downweight by 1/commonness. The fixture's
+# 500 texts are all distinct (weights trivially 1.0), so the gate plants 3
+# shared payloads on 1/10 of docs — identically in both engines — so the
+# count-join and the 1/n division are exercised by the value hash. ─────────────
+_SOFTDUP_TEMPLATE = "duplicate payload #"
+
+
+def _soft_dedup_oracle() -> str:
+    planted = (
+        "CASE WHEN doc_id % 10 = 1 THEN "
+        f"'{_SOFTDUP_TEMPLATE}' || CAST((doc_id // 10) % 3 AS VARCHAR) "
+        "ELSE text END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {planted} AS text FROM documents),
+fp AS (SELECT doc_id, COALESCE({TX.fingerprint_sql('text')}, chr(0) || 'null') AS f FROM d),
+c AS (SELECT f, count(*) AS dup_count FROM fp GROUP BY 1)
+SELECT fp.doc_id, c.dup_count, 1.0 / c.dup_count AS weight
+FROM fp JOIN c USING (f)
+"""
+
+
+@register("soft_dedup_weights_documents", _soft_dedup_oracle)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 10 == 1,
+        F.concat(
+            F.lit(_SOFTDUP_TEMPLATE),
+            F.expr("(doc_id DIV 10) % 3").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return DD.soft_dedup_weights(
+        docs.withColumn("text", planted), "doc_id", "text"
+    )

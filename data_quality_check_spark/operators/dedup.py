@@ -1648,3 +1648,39 @@ sizes AS (SELECT comp, count(*) AS csize FROM labels GROUP BY comp)
 SELECT l.id AS {id_col}, l.comp AS component, s.csize AS csize
 FROM labels l JOIN sizes s USING (comp)
 """
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SoftDeDup-style frequency downweighting (He et al. 2024,
+    arXiv:2407.06654): instead of DROPPING duplicates, keep every row and
+    assign a sampling weight inversely proportional to its exact-content
+    commonness — w = 1/n for a fingerprint shared by n rows, so each distinct
+    CONTENT contributes one unit of expected training mass however many times
+    it was crawled.
+
+    Output: ({id_col}, dup_count, weight) for EVERY row. `weight` is ONE
+    double division of the exact integer count (1.0/n) — identical
+    cross-engine; uniques get exactly 1.0.
+
+    100 TB shape: fingerprint counting is a map-side-combined agg on the
+    16-byte digest; the count rejoins the (id, fingerprint) table on the
+    digest key — one shuffle each side, never the text (only digests move,
+    same argument as snapshot_diff). The reference counts whole-table
+    duplicates eagerly in pandas (engine.py:407-415); the weighting recast
+    is the training-pipeline extension."""
+    # NULL text → NULL fingerprint, which an equi-join would silently DROP
+    # (null keys never match) — violating the every-row contract. Null rows
+    # are one commonness group under a sentinel no real md5 hex can collide
+    # with; the SQL twin applies the same COALESCE.
+    fp = df.select(
+        F.col(id_col),
+        F.coalesce(
+            fingerprint_col(F.col(text_col)), F.lit("\x00null")
+        ).alias("_fp"),
+    )
+    counts = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("dup_count"))
+    return fp.join(counts, "_fp").select(
+        F.col(id_col),
+        F.col("dup_count"),
+        (F.lit(1.0) / F.col("dup_count")).alias("weight"),
+    )

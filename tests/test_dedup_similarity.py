@@ -914,3 +914,25 @@ def test_prototype_prune_plan_uses_window_group_limit(vectors):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_soft_dedup_weights_every_row_weighted(spark):
+    """Every row appears exactly once; duplicated content shares one unit of
+    mass (Σ weight over a dup group = 1); whitespace-normalized equality
+    drives the fingerprint; uniques weigh exactly 1.0."""
+    rows = [
+        (1, "same  text"),
+        (2, "same text"),     # ws-normalized dup of 1
+        (3, " same text "),   # and of 2
+        (4, "unique here"),
+        (5, None),
+        (6, None),            # null texts share a fingerprint group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.soft_dedup_weights(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert all(out[i]["dup_count"] == 3 and out[i]["weight"] == 1 / 3 for i in (1, 2, 3))
+    assert out[4]["dup_count"] == 1 and out[4]["weight"] == 1.0
+    assert out[5]["dup_count"] == 2 == out[6]["dup_count"]
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 3.0) < 1e-12  # 3 distinct contents → 3 units of mass
