@@ -104,6 +104,9 @@ DROP_REASONS = [
     "duplicate",
     "contamination",
     "mixture",
+    # opt-in Gopher §A1.1 caption rules (FilterConfig.gopher_rules); zero
+    # selected rules → the flag is constant false and default parity holds
+    "gopher",
     # streaming-only (run_stream_filter seen_artifacts=): caption content
     # already in the persisted seen corpus or an earlier micro-batch — never
     # fires in the batch job, so batch metrics rows just carry a zero column
@@ -177,6 +180,11 @@ class FilterConfig:
     contamination_text_col: str = "caption"
     contamination_ngram: int = 3
     contamination_threshold_pct: int = 50
+    # Gopher §A1.1 caption rules (heuristics.gopher_flags keys) applied as
+    # EXTRA drop conditions — default None keeps the reference keep/scrub
+    # parity contract untouched; selected rules ride the same finalize
+    # projection (pure expressions, no extra pass, no shuffle)
+    gopher_rules: "list[str] | None" = None
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
     def split_labels(self) -> list[str]:
@@ -502,6 +510,22 @@ def finalize(
         df = df.withColumn("flag_contamination", F.lit(False))
     mix_ok = _mixture_ok_col(cfg) if cfg.mixture_weights is not None else F.lit(True)
 
+    if cfg.gopher_rules:
+        from data_quality_check_spark.pipeline.heuristics import gopher_flags
+
+        gf = gopher_flags(F.col("caption"))
+        unknown = sorted(set(cfg.gopher_rules) - set(gf))
+        if unknown:
+            raise ValueError(
+                f"unknown gopher_rules {unknown}; valid: {sorted(gf)}"
+            )
+        gopher_col = F.lit(False)
+        for r in cfg.gopher_rules:
+            gopher_col = gopher_col | gf[r]
+    else:
+        gopher_col = F.lit(False)
+    df = df.withColumn("flag_gopher", gopher_col)
+
     lang_ok = F.col("lang").isin(list(target)) & (F.col("lang_conf") >= cfg.min_lang_conf)
     ppl_ok = F.col("ppl") <= cfg.max_ppl
     keep = (
@@ -512,6 +536,7 @@ def finalize(
         & ~F.col("flag_duplicate")
         & ~F.col("flag_contamination")
         & mix_ok
+        & ~F.col("flag_gopher")
     )
     df = df.withColumn("keep", keep)
 
@@ -522,6 +547,7 @@ def finalize(
         "duplicate": F.col("flag_duplicate"),
         "contamination": F.col("flag_contamination"),
         "mixture": ~mix_ok,
+        "gopher": F.col("flag_gopher"),
         # streaming-only: run_stream_filter overlays this verdict AFTER
         # finalize (it needs the persisted seen-corpus tables); here it is
         # never the reason, it just must not look for a flag_ column

@@ -889,3 +889,46 @@ def test_decide_gate_zero_matches_broadcast_path(spark, fixture_paths):
         )
     )
     assert a == b
+
+
+def test_decide_honors_gopher_rules_config(spark, fixture_paths, pipeline_out):
+    """Opt-in Gopher rules ride finalize: rows flagged by a selected rule and
+    kept by everything higher-priority flip to drop_reason 'gopher'; rows the
+    default config keeps and the rule does not flag are untouched; unknown
+    rule names are rejected; default config emits a constant-false
+    flag_gopher (bit-identical keep set)."""
+    import pytest as _pt
+
+    from data_quality_check_spark.pipeline.heuristics import gopher_flags
+    from data_quality_check_spark.pipeline.run import FilterConfig, decide
+
+    _, path = fixture_paths
+    default_out, _, _ = pipeline_out
+    default_kept = set(
+        spark.read.parquet(os.path.join(default_out, "filtered"))
+        .select("image_id")
+        .toPandas()["image_id"]
+    )
+
+    df = spark.read.parquet(path)
+    cfg = FilterConfig(gopher_rules=["flag_word_count"])
+    rows = decide(df, cfg).select(
+        "image_id", "keep", "drop_reason", "flag_gopher", "caption"
+    ).collect()
+    flagged_ids = {
+        r["image_id"]
+        for r in df.select(
+            "image_id", list(gopher_flags(F.col("caption")).values())[0].alias("f")
+        ).collect()
+        if r["f"]
+    }  # first key is flag_word_count (dict preserves insertion order)
+    kept_now = {r.image_id for r in rows if r.keep}
+    assert kept_now == default_kept - flagged_ids
+    gopher_drops = {r.image_id for r in rows if r.drop_reason == "gopher"}
+    assert gopher_drops and gopher_drops == (default_kept & flagged_ids)
+    for r in rows:
+        if r.keep:
+            assert not r.flag_gopher
+
+    with _pt.raises(ValueError, match="unknown gopher_rules"):
+        decide(df, FilterConfig(gopher_rules=["flag_nope"])).collect()
