@@ -2584,3 +2584,21 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.soft_dedup_weights(
         docs.withColumn("text", planted), "doc_id", "text"
     )
+
+
+# ───────────── corpus layout audit (sources/layout.py): rows-per-file
+# distribution summary — the small-files / straggler-file detector. The
+# fixture is one file, so the summary is its degenerate (and still
+# value-hashed) case; the multi-file behavior is pinned by unit test. ─────────────
+from data_quality_check_spark.sources.layout import (  # noqa: E402
+    layout_audit,
+    layout_audit_sql,
+)
+
+
+@register(
+    "layout_audit_documents",
+    lambda: layout_audit_sql(os.path.join(ORACLE_SF_DIR, "documents.parquet")),
+)
+def q_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout_audit(spark, os.path.join(sf_dir, "documents.parquet"))

@@ -73,3 +73,20 @@ def test_plan_is_jvm_only_with_broadcast_ratio_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_kernel_antisymmetry_property():
+    """Swapping target and raw must exactly negate every quantized ratio —
+    the kernel computes lp−lq from the same two log vectors, so antisymmetry
+    is exact even at int64 quantization (np.rint(−x) = −np.rint(x) away from
+    .5 ties, and ties land on even multiples identically)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n = rng.randint(2, 64)
+        t = rng.randint(0, 1000, size=n).astype(np.int64)
+        r = rng.randint(0, 1000, size=n).astype(np.int64)
+        a = dsir.log_ratio_micronats(t, r)
+        b = dsir.log_ratio_micronats(r, t)
+        assert (a == -b).all()

@@ -245,3 +245,27 @@ def test_xlsx_minimal_parser_handles_refless_cells(tmp_path):
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     rows = _read_xlsx_minimal(str(p))
     assert rows == [["h1", "h2"], [1, 2]]
+
+
+def test_layout_audit_multi_file_distribution(spark, tmp_path):
+    """A 4-file dataset with skewed per-file rows: counts, min/max, small-file
+    flags, and the skew multiple all reflect the real file layout."""
+    from data_quality_check_spark.sources.layout import layout_audit
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sizes = [10, 20, 30, 140]
+    start = 0
+    for i, n in enumerate(sizes):
+        pq.write_table(
+            pa.table({"x": list(range(start, start + n))}),
+            str(tmp_path / f"part-{i}.parquet"),
+        )
+        start += n
+    out = layout_audit(spark, str(tmp_path), small_file_rows=25).collect()[0]
+    assert out["n_files"] == 4 and out["total_rows"] == 200
+    assert out["min_rows_per_file"] == 10 and out["max_rows_per_file"] == 140
+    assert out["avg_rows_per_file"] == 50.0
+    assert out["n_small_files"] == 2  # 10 and 20 < 25
+    assert out["skew_x_mean"] == 2.8  # 140 / 50
