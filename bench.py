@@ -117,6 +117,8 @@ def bench_queries(spark) -> "tuple[dict[str, float], float, dict[str, dict], flo
         "model_scores_documents",
         "simhash_near_pairs_documents",
         "ann_ivf_topk_embeddings",
+        "prototypicality_embeddings",  # Arrow assign UDF — registered late,
+        # but must run while the fleet is hot like the other UDF stages
     ]
     ordered = [n for n in py_first if n in qs] + [n for n in qs if n not in py_first]
 

@@ -1662,25 +1662,29 @@ def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     double division of the exact integer count (1.0/n) — identical
     cross-engine; uniques get exactly 1.0.
 
-    100 TB shape: fingerprint counting is a map-side-combined agg on the
-    16-byte digest; the count rejoins the (id, fingerprint) table on the
-    digest key — one shuffle each side, never the text (only digests move,
-    same argument as snapshot_diff). The reference counts whole-table
-    duplicates eagerly in pandas (engine.py:407-415); the weighting recast
-    is the training-pipeline extension."""
-    # NULL text → NULL fingerprint, which an equi-join would silently DROP
-    # (null keys never match) — violating the every-row contract. Null rows
-    # are one commonness group under a sentinel no real md5 hex can collide
-    # with; the SQL twin applies the same COALESCE.
+    100 TB shape: ONE scan and ONE shuffle — the commonness count is a
+    window count over the fingerprint partition (count-only: no ordering,
+    no sort within the partition), so the text is read and hashed once and
+    only (id, 32-char hex digest) rows ride the exchange (unhex to 16-byte
+    binary halves that if the digest column ever dominates). The earlier
+    groupBy+rejoin shape scanned and hashed the corpus twice. The reference
+    counts whole-table duplicates eagerly in pandas (engine.py:407-415);
+    the weighting recast is the training-pipeline extension."""
+    from pyspark.sql import Window
+
+    # NULL text → NULL fingerprint: Window.partitionBy groups NULLs together
+    # (an equi-join would silently DROP null keys — the original rejoin
+    # shape lost null-text rows), but keep the explicit sentinel so the
+    # semantics are engine-independent and the SQL twin stays identical.
     fp = df.select(
         F.col(id_col),
         F.coalesce(
             fingerprint_col(F.col(text_col)), F.lit("\x00null")
         ).alias("_fp"),
     )
-    counts = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("dup_count"))
-    return fp.join(counts, "_fp").select(
+    n = F.count(F.lit(1)).over(Window.partitionBy("_fp"))
+    return fp.select(
         F.col(id_col),
-        F.col("dup_count"),
-        (F.lit(1.0) / F.col("dup_count")).alias("weight"),
+        n.alias("dup_count"),
+        (F.lit(1.0) / n).alias("weight"),
     )

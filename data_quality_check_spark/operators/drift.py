@@ -437,7 +437,8 @@ def snapshot_diff(
     changed/unchanged; classes with zero rows are absent.
 
     100 TB shape: each side is ONE narrow projection (id, fingerprint) —
-    content never shuffles, only 16-byte digests; the full-outer join
+    content never shuffles, only 32-char hex digests (unhex to 16-byte
+    binary halves that if it ever matters); the full-outer join
     shuffles both digest tables by id (on bucketed TableIO corpora the join
     is co-partitioned and shuffle-free); the classification agg is 4 keys
     with map-side combine. example = min(id) keeps the output driver-sized

@@ -97,6 +97,12 @@ def hashed_token_buckets(
     Tokenization matches vocab.top_tokens (`[a-z0-9]+` over lowercased text)
     so the DuckDB `regexp_extract_all` twin splits byte-identically; null
     text yields zero tokens in both engines.
+
+    `id_col` is any per-row label carried alongside the token stream — the
+    scoring path passes the document id, the model-fit path passes the
+    boolean target flag. Both paths MUST share this projection: it is the
+    single definition of the tokenize+bucket pipeline, so a TOKEN_RE or
+    bucket-hash change cannot skew the fitted model against the scorer.
     """
     return df.select(
         F.col(id_col).alias("_id"),
@@ -122,22 +128,15 @@ def fit_bucket_ratios(
     bounded-driver-state exception the repo's anti-pattern budget allows
     (cf. IVF centroid training).
     """
-    flagged = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        target_pred.alias("_tgt"),
-    )
-    toks = flagged.select(
-        F.col("_tgt"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("_text")), F.lit(TOKEN_RE), 0)
-        ).alias("_token"),
-    ).select("_tgt", bucket_col(F.col("_token"), n_buckets).alias("_bucket"))
+    flagged = df.select(target_pred.alias("_tgt"), F.col(text_col))
+    # the shared tokenize+bucket projection, keyed by the target flag
+    # (hashed_token_buckets returns it as "_id")
+    toks = hashed_token_buckets(flagged, "_tgt", text_col, n_buckets)
     rows = (
         toks.groupBy("_bucket")
         .agg(
-            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("t"),
-            F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("r"),
+            F.sum(F.when(F.col("_id"), 1).otherwise(0)).alias("t"),
+            F.sum(F.when(~F.col("_id"), 1).otherwise(0)).alias("r"),
         )
         .collect()
     )

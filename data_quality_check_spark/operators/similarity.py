@@ -853,9 +853,19 @@ def prototype_prune_candidates(
     cents = ivf_train_centroids(
         df, n_centroids, sample_size, seed=seed, id_col=id_col, vec_col=vec_col
     )
+    # Dimension-mismatched vectors must not surface as "prototype
+    # candidates": the UDF would mask them to a NULL cell whose window
+    # partition ranks garbage rows. Its validity mask is EXACTLY
+    # `size(vec) == centroid width` (_unit_rows), so enforce it as a JVM
+    # pre-filter — filtering on the UDF's own output instead makes Catalyst
+    # evaluate the Arrow projection twice (filter predicate + project),
+    # which the plan test pins against.
     assigned = (
         df.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        .filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == cents.shape[1])
+        )
         .withColumn("_asg", ivf_assign_sim_udf(cents)(F.col(vec_col)))
         .select(
             id_col,

@@ -286,7 +286,14 @@ def aspect_bucket_col(w: Column, h: Column, ladder: list[tuple[int, int]] | None
         )
         for i, m in enumerate(_ladder_milli(ladder))
     ]
-    return F.array_min(F.array(*pairs))["i"]
+    # non-positive/NULL dims must yield NULL, not bucket 0: a NULL ar makes
+    # every struct's d NULL and array_min would deterministically pick index
+    # 0, silently batching flag_bad_dims rejects as extreme-portrait images
+    # (and ANSI mode would throw on h=0)
+    return F.when(
+        w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0),
+        F.array_min(F.array(*pairs))["i"],
+    )
 
 
 def aspect_bucket_profile(
@@ -404,7 +411,9 @@ def gopher_flags(caption: Column) -> dict[str, Column]:
         "flag_symbol_ratio": (n_words > 0) & (10 * (n_hash + n_ell) > n_words),
         "flag_bullet_lines": 10 * n_bullet > 9 * n_lines,
         "flag_ellipsis_lines": 10 * n_ell_line > 3 * n_lines,
-        "flag_few_stopwords": n_stop < 2,
+        # (n_words > 0): empty/NULL captions flag word_count ONLY, per the
+        # contract above — an empty doc is not a stopword violation
+        "flag_few_stopwords": (n_words > 0) & (n_stop < 2),
         "flag_low_alpha_words": (n_words > 0) & (5 * n_alpha_words < 4 * n_words),
     }
 
@@ -443,6 +452,6 @@ def gopher_flags_sql(c: str) -> dict[str, str]:
         "flag_symbol_ratio": f"({n_words} > 0 AND 10 * ({n_hash} + {n_ell}) > {n_words})",
         "flag_bullet_lines": f"(10 * {n_bullet} > 9 * {n_lines})",
         "flag_ellipsis_lines": f"(10 * {n_ell_line} > 3 * {n_lines})",
-        "flag_few_stopwords": f"({n_stop} < 2)",
+        "flag_few_stopwords": f"({n_words} > 0 AND {n_stop} < 2)",
         "flag_low_alpha_words": f"({n_words} > 0 AND 5 * {n_alpha} < 4 * {n_words})",
     }

@@ -936,3 +936,14 @@ def test_soft_dedup_weights_every_row_weighted(spark):
     assert out[5]["dup_count"] == 2 == out[6]["dup_count"]
     total = sum(r["weight"] for r in out.values())
     assert abs(total - 3.0) < 1e-12  # 3 distinct contents → 3 units of mass
+
+
+def test_prototype_prune_excludes_dim_mismatched_vectors(spark):
+    """A vector whose width differs from the centroids' must be excluded
+    (review fix: the NULL-cell partition used to rank garbage rows)."""
+    rows = [(i, [float(i), 1.0, 0.5, 0.2]) for i in range(20)]
+    rows.append((100, [1.0, 2.0]))  # wrong width
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.prototype_prune_candidates(df, n_centroids=2, m=50).collect()
+    assert 100 not in {r.vec_id for r in out}
+    assert all(r.cell is not None and r.centroid_cosine is not None for r in out)

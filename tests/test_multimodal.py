@@ -386,6 +386,11 @@ def test_aspect_bucket_assignment_hand_cases(spark):
 
     got_rows = sum(r["n_images"] for r in out.values())
     assert got_rows == 3  # only the three valid-dim images
+    # the bare column helper must yield NULL (not rung 0) on bad/NULL dims
+    raw = df.select("image_id", H.aspect_bucket_col(F.col("w"), F.col("h")).alias("b")).collect()
+    by_id = {r["image_id"]: r["b"] for r in raw}
+    assert by_id[4] is None and by_id[5] is None and by_id[6] is None
+    assert by_id[1] is not None
     for iid, w, h in [(1, 1024, 1024), (2, 512, 2048), (3, 2000, 1000)]:
         b = expect_bucket(w, h)
         assert b in out, (iid, b)
@@ -454,6 +459,9 @@ def test_gopher_flags_hand_cases(spark):
     assert out[4]["flag_low_alpha_words"] and out[4]["flag_mean_word_len"]
     assert out[5]["flag_mean_word_len"] and not out[5]["flag_word_count"]
     assert out[6]["flag_word_count"] and not out[6]["flag_mean_word_len"]
+    # empty/NULL captions flag word_count ONLY (review fix: few_stopwords
+    # must not fire on a doc with no words)
+    assert not out[6]["flag_few_stopwords"] and not out[6]["flag_low_alpha_words"]
     assert out[7]["flag_mean_word_len"] and not out[7]["flag_few_stopwords"]
 
 
