@@ -170,19 +170,44 @@ def dsir_topk(
     value-hash it.
     """
     ratios = fit_bucket_ratios(df, target_pred, id_col, text_col, n_buckets)
+    raw = df.filter(~target_pred)
+    return (
+        dsir_scores(spark, raw, ratios, id_col=id_col, text_col=text_col)
+        .orderBy(F.col("weight_micronats").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def dsir_scores(
+    spark: SparkSession,
+    df: DataFrame,
+    ratios: np.ndarray,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a FROZEN ratio vector — the recurring-run shape
+    (same contract as drift.categorical_drift_vs_counts and the seen-corpus
+    artifacts): fit once with `fit_bucket_ratios`, persist the n_buckets
+    int64 values wherever configs live, and score each day's increment
+    without touching the reference corpus again. O(increment) per run; the
+    model is a ≤4 KB array for the default 1024 buckets.
+
+    Output: ({id_col}, weight_micronats, weight_nats) for EVERY input row
+    (token-less docs weigh 0), unranked — callers keep their own top-k or
+    threshold. `dsir_topk(...)` is exactly fit + this + rank."""
+    n_buckets = len(ratios)
     ratio_df = spark.createDataFrame(
-        [(int(b), int(v)) for b, v in enumerate(ratios)],
+        [(int(b), int(v)) for b, v in enumerate(np.asarray(ratios))],
         schema="_bucket BIGINT, _r BIGINT",
     )
-    raw = df.filter(~target_pred)
     tok_w = (
-        hashed_token_buckets(raw, id_col, text_col, n_buckets)
+        hashed_token_buckets(df, id_col, text_col, n_buckets)
         .join(F.broadcast(ratio_df), "_bucket")
         .groupBy("_id")
         .agg(F.sum("_r").alias("_w"))
     )
     return (
-        raw.select(F.col(id_col))
+        df.select(F.col(id_col))
         .join(tok_w, F.col(id_col) == F.col("_id"), "left")
         .select(
             F.col(id_col),
@@ -191,6 +216,4 @@ def dsir_topk(
                 "weight_nats"
             ),
         )
-        .orderBy(F.col("weight_micronats").desc(), F.col(id_col).asc())
-        .limit(k)
     )

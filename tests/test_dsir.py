@@ -90,3 +90,30 @@ def test_kernel_antisymmetry_property():
         a = dsir.log_ratio_micronats(t, r)
         b = dsir.log_ratio_micronats(r, t)
         assert (a == -b).all()
+
+
+def test_frozen_ratio_scoring_equals_fit_and_score(spark):
+    """The recurring-run shape: fit once, persist the int64 vector, score the
+    increment under the FROZEN ratios — must reproduce dsir_topk exactly on
+    the same corpus (the artifact changes the JOB SHAPE, never the answer),
+    and score a never-fitted increment without refitting."""
+    df = _corpus(spark)
+    pred = F.col("pool") == "target"
+    ratios = dsir.fit_bucket_ratios(df, pred, "doc_id", "text", 64)
+    frozen = (
+        dsir.dsir_scores(spark, df.filter(~pred), ratios)
+        .orderBy(F.col("weight_micronats").desc(), F.col("doc_id").asc())
+        .limit(41)
+        .toPandas()
+    )
+    fitted = dsir.dsir_topk(spark, df, pred, k=41, n_buckets=64).toPandas()
+    assert frozen.equals(fitted)
+
+    inc = spark.createDataFrame(
+        [(1000, "alpha beta gamma"), (1001, "zork quux"), (1002, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir.dsir_scores(spark, inc, ratios).collect()}
+    assert len(out) == 3
+    assert out[1000]["weight_micronats"] > 0 > out[1001]["weight_micronats"]
+    assert out[1002]["weight_micronats"] == 0
