@@ -185,6 +185,11 @@ class FilterConfig:
     # parity contract untouched; selected rules ride the same finalize
     # projection (pure expressions, no extra pass, no shuffle)
     gopher_rules: "list[str] | None" = None
+    # add the SDXL-ladder aspect_bucket column to kept rows (the bucketed-
+    # batch dataloader key, heuristics.aspect_bucket_col) — one more pure
+    # projection riding the same pass; NULL never appears on kept rows
+    # (flag_bad_dims already drops non-positive dims)
+    assign_aspect_buckets: bool = False
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
     def split_labels(self) -> list[str]:
@@ -912,6 +917,13 @@ def _process_group(
 
         scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
         out_cols.append("split")
+    if cfg.assign_aspect_buckets:
+        from data_quality_check_spark.pipeline.heuristics import aspect_bucket_col
+
+        scored = scored.withColumn(
+            "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
+        )
+        out_cols.append("aspect_bucket")
 
     obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
     scored = scored.observe(

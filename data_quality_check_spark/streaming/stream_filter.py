@@ -292,6 +292,16 @@ def run_stream_filter(
 
             scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
             out_cols.append("split")
+        if cfg.assign_aspect_buckets:
+            # same pure projection as the batch job's
+            from data_quality_check_spark.pipeline.heuristics import (
+                aspect_bucket_col,
+            )
+
+            scored = scored.withColumn(
+                "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
+            )
+            out_cols.append("aspect_bucket")
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
         # the batch job's metric aggs with no per-bucket terms — SAME code
         # object (run._bucket_metric_aggs), so the two jobs' metric schemas

@@ -932,3 +932,39 @@ def test_decide_honors_gopher_rules_config(spark, fixture_paths, pipeline_out):
 
     with _pt.raises(ValueError, match="unknown gopher_rules"):
         decide(df, FilterConfig(gopher_rules=["flag_nope"])).collect()
+
+
+def test_assign_aspect_buckets_rides_the_pass(
+    spark, fixture_paths, pipeline_out, tmp_path_factory
+):
+    """Opt-in aspect_bucket output column: present iff configured, never NULL
+    on kept rows (bad dims are already dropped), values equal an independent
+    recomputation from the ladder, and the kept id set is bit-identical to
+    the default run (the column is a projection, not a filter)."""
+    from data_quality_check_spark.pipeline.heuristics import (
+        ASPECT_LADDER,
+        _ladder_milli,
+    )
+    from data_quality_check_spark.pipeline.run import FilterConfig, run_filter
+
+    _, path = fixture_paths
+    default_out, _, _ = pipeline_out
+    out = str(tmp_path_factory.mktemp("out_ab"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ab"))
+    run_filter(spark, path, out, ckpt, FilterConfig(assign_aspect_buckets=True))
+    kept = spark.read.parquet(os.path.join(out, "filtered")).toPandas()
+    assert "aspect_bucket" in kept.columns
+    assert kept["aspect_bucket"].notna().all()
+
+    base = spark.read.parquet(os.path.join(default_out, "filtered")).toPandas()
+    assert "aspect_bucket" not in base.columns
+    assert set(kept["image_id"]) == set(base["image_id"])
+
+    milli = _ladder_milli(ASPECT_LADDER)
+
+    def expect(w, h):
+        ar = (int(w) * 1000) // int(h)
+        return min(range(len(milli)), key=lambda i: (abs(ar - milli[i]), i))
+
+    recomputed = kept.apply(lambda r: expect(r["w"], r["h"]), axis=1)
+    assert (kept["aspect_bucket"] == recomputed).all()
