@@ -615,6 +615,72 @@ def contamination_decisions(
     )
 
 
+def optional_out_cols(scored: DataFrame, cfg: FilterConfig, out_cols: "list[int]"):
+    """Config-driven OPTIONAL output projections, shared by the batch job
+    (_process_group) and the streaming twin (stream_filter) so their output
+    schemas cannot drift — the same share-the-code-object contract as
+    _bucket_metric_aggs. Mutates out_cols in place, returns the projected
+    frame.
+
+      * cfg.splits → `split` (curation.hash_split: pure function of
+        (salt, image_id), append-safe, identical on resume)
+      * cfg.assign_aspect_buckets → `aspect_bucket` (SDXL-ladder id; never
+        NULL on kept rows because flag_bad_dims drops non-positive dims)
+    """
+    if cfg.splits:
+        from data_quality_check_spark.operators.curation import hash_split
+
+        scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
+        out_cols.append("split")
+    if cfg.assign_aspect_buckets:
+        from data_quality_check_spark.pipeline.heuristics import aspect_bucket_col
+
+        scored = scored.withColumn(
+            "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
+        )
+        out_cols.append("aspect_bucket")
+    return scored
+
+
+def output_schema_fingerprint(cfg: FilterConfig) -> dict:
+    """The config facets that change the OUTPUT SCHEMA (not just row
+    verdicts). Persisted into the checkpoint on first commit and enforced on
+    resume: toggling them mid-checkpoint would leave earlier _bucket
+    partitions with one schema and later ones with another under dynamic
+    partition overwrite — readers would silently lose or NULL-fill columns
+    depending on which file Spark samples for inference."""
+    return {
+        "split_labels": sorted(cfg.splits) if cfg.splits else [],
+        "assign_aspect_buckets": bool(cfg.assign_aspect_buckets),
+    }
+
+
+def _check_output_schema_fingerprint(checkpoint_dir: str, cfg: FilterConfig) -> None:
+    """Write the fingerprint on first run; refuse a resume whose config would
+    change the output schema mid-corpus. Atomic single-file JSON (tmp +
+    replace) — same idempotency shape as _append_parquet's slot writes."""
+    import json
+
+    path = os.path.join(checkpoint_dir, "output_schema.json")
+    fp = output_schema_fingerprint(cfg)
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != fp:
+            raise ValueError(
+                "output-schema config changed mid-checkpoint: committed "
+                f"buckets were written with {prev}, this run requests {fp}. "
+                "Resume with the original config, or start a fresh "
+                "checkpoint+output for the new schema."
+            )
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, path)
+
+
 def _bucket_metric_aggs(
     pending: list[int],
     split_labels: list[str] | None = None,
@@ -740,6 +806,7 @@ def run_filter(
     cfg = cfg or FilterConfig()
     if cfg.mixture_weights is not None:
         _mixture_ok_col(cfg)  # validate counts/output_rows BEFORE any Spark work
+    _check_output_schema_fingerprint(checkpoint_dir, cfg)
     STEP_TIMINGS.clear()  # one job's stages only — see the declaration
     # dynamic partition overwrite is a JOB-scoped need (per-group bucket
     # patches); restore the caller's setting on exit or their own later
@@ -908,22 +975,7 @@ def _process_group(
         F.col("row_selected") & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
     )
     out_cols = list(OUT_COLS)
-    if cfg.splits:
-        # deterministic md5-threshold split assignment — ONE more projection
-        # riding the same pass (curation.hash_split semantics; append-safe,
-        # salt-rotatable, identical on resume because it is a pure function
-        # of (salt, image_id))
-        from data_quality_check_spark.operators.curation import hash_split
-
-        scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
-        out_cols.append("split")
-    if cfg.assign_aspect_buckets:
-        from data_quality_check_spark.pipeline.heuristics import aspect_bucket_col
-
-        scored = scored.withColumn(
-            "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
-        )
-        out_cols.append("aspect_bucket")
+    scored = optional_out_cols(scored, cfg, out_cols)
 
     obs = Observation(f"metrics-{cfg.run_id}-g{group_idx}")
     scored = scored.observe(

@@ -285,23 +285,11 @@ def run_stream_filter(
             & ~F.col("scrubbed_caption").eqNullSafe(trim_col(F.col("caption"))),
         )
         out_cols = list(OUT_COLS)
-        if cfg.splits:
-            # same pure-function split assignment the batch job rides on its
-            # pass (run._process_group) — identical column, identical hashes
-            from data_quality_check_spark.operators.curation import hash_split
+        # SAME code object as the batch job's optional projections
+        # (run.optional_out_cols) — the two jobs' output schemas cannot drift
+        from data_quality_check_spark.pipeline.run import optional_out_cols
 
-            scored = hash_split(scored, "image_id", cfg.splits, cfg.split_salt)
-            out_cols.append("split")
-        if cfg.assign_aspect_buckets:
-            # same pure projection as the batch job's
-            from data_quality_check_spark.pipeline.heuristics import (
-                aspect_bucket_col,
-            )
-
-            scored = scored.withColumn(
-                "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
-            )
-            out_cols.append("aspect_bucket")
+        scored = optional_out_cols(scored, cfg, out_cols)
         obs = Observation(f"stream-metrics-{cfg.run_id}-{batch_id}")
         # the batch job's metric aggs with no per-bucket terms — SAME code
         # object (run._bucket_metric_aggs), so the two jobs' metric schemas

@@ -537,3 +537,53 @@ def test_stream_corpus_dedup_competes_only_among_published_rows(spark, tmp_path)
     assert summary2["rows_kept"] == 0  # clone not published (totals are per call)
     m2 = spark.read.parquet(str(tmp_path / "ckpt" / "stream_run_metrics")).toPandas()
     assert int(m2["n_corpus_duplicate"].sum()) == 1
+
+
+def test_stream_assign_aspect_buckets_matches_batch(spark, fixture_files, tmp_path):
+    """The opt-in aspect_bucket column rides the streaming twin through the
+    SAME shared projection as the batch job (run.optional_out_cols): both
+    outputs carry it, never NULL on kept rows, with identical per-id values."""
+    files, staging = fixture_files
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in files:
+        shutil.copy(staging / f, landing / f)
+
+    cfg = FilterConfig(num_buckets=8, assign_aspect_buckets=True)
+    run_stream_filter(
+        spark, str(landing), str(tmp_path / "s_out"), str(tmp_path / "s_ckpt"), cfg
+    )
+    run_filter(spark, str(staging), str(tmp_path / "b_out"), str(tmp_path / "b_ckpt"), cfg)
+
+    def buckets(out):
+        df = spark.read.parquet(os.path.join(str(out), "filtered"))
+        rows = df.select("image_id", "aspect_bucket").collect()
+        assert all(r["aspect_bucket"] is not None for r in rows)
+        return {r["image_id"]: r["aspect_bucket"] for r in rows}
+
+    assert buckets(tmp_path / "s_out") == buckets(tmp_path / "b_out")
+
+
+def test_resume_refuses_output_schema_config_change(spark, fixture_files, tmp_path):
+    """Toggling a schema-affecting option against an existing checkpoint must
+    be refused (mixed-schema partitions under dynamic overwrite), while
+    resuming with the SAME config stays a clean no-op."""
+    import pytest as _pt
+
+    _, staging = fixture_files
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg = FilterConfig(num_buckets=8)
+    run_filter(spark, str(staging), out, ckpt, cfg)
+    # same schema config (fresh run_id) → allowed, no pending work
+    again = run_filter(spark, str(staging), out, ckpt, FilterConfig(num_buckets=8))
+    assert again["processed_buckets"] == []
+    with _pt.raises(ValueError, match="output-schema config changed"):
+        run_filter(
+            spark, str(staging), out, ckpt,
+            FilterConfig(num_buckets=8, assign_aspect_buckets=True),
+        )
+    with _pt.raises(ValueError, match="output-schema config changed"):
+        run_filter(
+            spark, str(staging), out, ckpt,
+            FilterConfig(num_buckets=8, splits={"train": 0.9, "val": 0.1}),
+        )
