@@ -677,3 +677,20 @@ def test_domain_profile_plan_is_joinless_single_agg(spark):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") <= 2
+
+
+def test_domain_profile_empty_blocklist_audit_only(spark):
+    """Audit-only mode: empty blocklist yields blocked=False everywhere in
+    BOTH engines (the Spark isin() zero-arg crash and the SQL IN () syntax
+    error are each guarded)."""
+    import duckdb
+
+    df = spark.createDataFrame([(1, "http://a.example/x")], "doc_id long, text string")
+    out = CU.domain_profile(df, "text", [], "doc_id").collect()
+    assert len(out) == 1 and out[0]["blocked"] is False
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW docs AS SELECT 1 AS doc_id, 'http://a.example/x' AS text")
+    sql = CU.domain_profile_sql("docs", "text", [], "doc_id")
+    row = con.execute(sql).fetchall()
+    assert len(row) == 1 and row[0][3] is False
