@@ -2602,3 +2602,31 @@ from data_quality_check_spark.sources.layout import (  # noqa: E402
 )
 def q_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_audit(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+# ───────────── LAION-style alignment-threshold calibration (composition:
+# functions/alignment × curation.score_threshold_sweep — LAION-400M §3.1
+# keeps pairs above CLIP similarity 0.28; this is the sweep that PICKS such a
+# cutoff). The cosine is rescaled to [0,1] as (s+1)/2 — one identical IEEE
+# op in both engines over the identically-rounded 6-dp scores the alignment
+# gate already value-hashes — and swept with the shared one-agg histogram. ─────────────
+def _alignment_sweep_oracle() -> str:
+    from data_quality_check_spark.operators.curation import (
+        score_threshold_sweep_sql,
+    )
+
+    inner = f"({_OR.alignment_sql(ORACLE_SF_DIR, _ALIGN_TAU)})"
+    return score_threshold_sweep_sql(inner, "(align_score + 1) / 2")
+
+
+@register("alignment_threshold_sweep_images", _alignment_sweep_oracle)
+def q_alignment_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions.alignment import with_alignment
+
+    img = synthetic_image_meta_df(t(spark, sf_dir, "documents")).select(
+        "image_id", "caption", "phash"
+    )
+    out = with_alignment(img, "caption", "phash", _ALIGN_TAU).select(
+        ((F.round("align_score", 6) + F.lit(1.0)) / F.lit(2.0)).alias("_s01")
+    )
+    return CU.score_threshold_sweep(out, F.col("_s01"))
