@@ -2630,3 +2630,24 @@ def q_alignment_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.round("align_score", 6) + F.lit(1.0)) / F.lit(2.0)).alias("_s01")
     )
     return CU.score_threshold_sweep(out, F.col("_s01"))
+
+
+# ───────────── concat-and-chunk sequence construction (operators/sequences —
+# the GPT-2/Pile recipe: seeded-order concat with EOS separators, cut into
+# fixed-length windows). The Spark side computes global offsets with the
+# two-phase range-bucket prefix sum; the twin uses one global window — same
+# offsets, different plan — so the value hash pins order, slicing, and
+# reassembly token-for-token. ─────────────
+from data_quality_check_spark.operators import sequences as SQ  # noqa: E402
+
+_SEQ_LEN = 128
+
+
+@register(
+    "pack_sequences_documents",
+    SQ.pack_sequences_sql("documents", "doc_id", "text", _SEQ_LEN),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SQ.pack_sequences(
+        t(spark, sf_dir, "documents"), "doc_id", "text", seq_len=_SEQ_LEN
+    )
