@@ -13,12 +13,16 @@ Spark-first shape (no global sort, no driver stream):
      reproduces every id bit-for-bit; EOS = vocab_size (one id past the hash
      range);
   2. the global token offset of each document is an EXACT TWO-PHASE PREFIX
-     SUM: documents range-bucket by their LCG order key (the key IS the
-     range partitioner — curation._sample_key is uniform on [0, 2^31)), a
-     per-bucket window computes local running totals in parallel, and the
+     SUM: documents range-bucket by their LCG order key (shifted by 2^31 so
+     the bucket top-bits cover the FULL signed key domain — Java/DuckDB `%`
+     keep the dividend's sign, so negative 64-bit ids yield negative keys),
+     a per-bucket window computes local running totals in parallel, and the
      ≤n_buckets bucket totals are cumulated driver-side and broadcast back.
      Equivalent to one global ordered window, without ever sorting the
-     corpus on a single partition;
+     corpus on a single partition. The bucket exchange carries each document
+     once (id, key, length, text — the corpus-order pass any packer pays);
+     the totals side-plan stays (bucket, length)-narrow and never hashes a
+     token;
   3. each document explodes to the ≤⌈len/L⌉+1 sequences it overlaps
      (`sequence()` + `slice()` — pure JVM array ops on its own token array);
   4. one shuffle keyed by seq_id reassembles windows: sort_array over
@@ -34,12 +38,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from data_quality_check_spark.operators.curation import _sample_key
+from data_quality_check_spark.operators.curation import _LCG_M, _sample_key
 from data_quality_check_spark.operators.dsir import bucket_col, bucket_sql
 from data_quality_check_spark.operators.vocab import TOKEN_RE
 
 VOCAB_SIZE = 32_768  # hashed-token id range; EOS = VOCAB_SIZE
-_LCG_M = 2_147_483_648  # curation._LCG_M — the order key's range
 
 
 def token_ids_col(text: Column, vocab_size: int = VOCAB_SIZE) -> Column:
@@ -77,20 +80,49 @@ def pack_sequences(
     be short (complete = false) and padding is left to the consumer.
     `n_docs` counts the documents contributing ≥1 token to the window.
 
+    Rows with a NULL {id_col} are EXCLUDED in both engines: an id-less
+    document has no deterministic place in the stream.
+
     Scale: the only corpus-wide shuffles are (a) the range-bucket exchange
-    for the prefix sum (narrow: id, key, length) and (b) the seq_id
-    reassembly (token parts — the output's own volume). The bucket-total
-    cumulation collects ≤ n_buckets rows. No global sort anywhere; the
+    for the prefix sum (each document once: id, key, length, text) and
+    (b) the seq_id reassembly (token parts — the output's own volume). The
+    bucket-total cumulation collects ≤ n_buckets rows from a narrow
+    count-only side-plan (no md5 hashing); token ids materialize exactly
+    once per document, after placement. No global sort anywhere; the
     documented-scalable shape of pack_token_budget_scalable applied to the
     whole-corpus "one group" case."""
+    import math
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    # Rows with NULL id are excluded IN BOTH ENGINES (the twin filters too):
+    # an id-less document has no deterministic place in the stream — silently
+    # keeping it would order it by engine whim and break parity.
     key = _sample_key(id_col)
-    width = _LCG_M // n_buckets + 1
-    base = df.select(
+    # Java/DuckDB `%` keep the dividend's sign, so negative 64-bit ids yield
+    # NEGATIVE keys in (-2^31, 0). Shifting by 2^31 maps the full key domain
+    # monotonically onto [0, 2^32), and the bucket is the shifted key's top
+    # bits (F.shiftright — integer-exact, the same range-partitioner shape as
+    # pack_token_budget_scalable; float-division truncation would send small
+    # negative keys to bucket 0 but large ones to bucket -29).
+    shift = 32 - int(math.log2(n_buckets))
+    # _len WITHOUT token ids: the totals pass must not pay per-token md5
+    # hashing — counting matches len(token_ids_col(...)) by construction
+    # (word tokens + one EOS).
+    n_tok = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_RE), 0
+        )
+    )
+    base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
         key.alias("_k"),
-        token_ids_col(F.col(text_col), vocab_size).alias("_ids"),
-    ).withColumn("_len", F.size("_ids").cast("long"))
-    base = base.withColumn("_bkt", (F.col("_k") / F.lit(width)).cast("int"))
+        (n_tok + 1).cast("long").alias("_len"),
+    )
+    base = base.withColumn(
+        "_bkt", F.shiftright(F.col("_k") + F.lit(_LCG_M), shift).cast("int")
+    )
 
     from pyspark.sql import Window
 
@@ -101,6 +133,9 @@ def pack_sequences(
     )
     local = base.withColumn("_cum", F.sum("_len").over(w))
 
+    # bounded driver state: ≤ n_buckets rows, the same collect budget as IVF
+    # centroid training / fit_bucket_ratios; this narrow plan never tokenizes
+    # to ids (no md5), only counts
     totals = {
         r["_bkt"]: r["t"]
         for r in base.groupBy("_bkt").agg(F.sum("_len").alias("t")).collect()
@@ -118,9 +153,16 @@ def pack_sequences(
     )
 
     L = F.lit(int(seq_len))
-    s0 = (F.col("_start") / L).cast("long")
-    s1 = ((F.col("_start") + F.col("_len") - 1) / L).cast("long")
-    parts = placed.select(
+    # integer DIV, not double division: at _start ≈ 2^52 the FP quotient's
+    # ulp exceeds 1/L and floor-via-double can mis-assign a window — the
+    # twin's `//` is exact, so this side must be too
+    s0 = F.expr(f"_start DIV {int(seq_len)}")
+    s1 = F.expr(f"(_start + _len - 1) DIV {int(seq_len)}")
+    # token ids materialize HERE, once per document (the totals pass above
+    # never hashed); the exploded windows carry the same array reference
+    parts = placed.withColumn(
+        "_ids", token_ids_col(F.col("_text"), vocab_size)
+    ).select(
         "_id",
         "_start",
         "_ids",
@@ -178,6 +220,7 @@ def pack_sequences_sql(
     return f"""
 WITH _sq_docs AS (
   SELECT {id_col} AS _id, {key} AS _k, {ids} AS _ids FROM {table}
+  WHERE {id_col} IS NOT NULL
 ),
 placed AS (
   SELECT _id, _ids, CAST(len(_ids) AS BIGINT) AS _len,

@@ -33,7 +33,9 @@ def test_stream_invariants(spark):
     assert [r.seq_id for r in out] == list(range(len(out)))
     for r in out[:-1]:
         assert r.n_tokens == L and r.complete
-    assert out[-1].complete == (out[-1].n_tokens == L)
+    tail = n_tok_expected % L or L
+    assert out[-1].n_tokens == tail
+    assert out[-1].complete == (tail == L)
 
     # flattening the windows reproduces the reference concat exactly
     got = [t for r in out for t in r.input_ids]
@@ -72,7 +74,7 @@ def test_long_doc_straddles_many_windows(spark):
     assert [t for r in out for t in r.input_ids] == _reference_stream([long_text])
 
 
-@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
 def test_invariant_to_bucket_count_and_partitioning(spark, n_buckets):
     """The two-phase prefix sum must produce identical sequences for ANY
     bucket count and input partitioning — the decomposition changes the
@@ -107,3 +109,41 @@ def test_plan_has_no_global_sort(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_negative_and_null_ids(spark):
+    """Negative 64-bit ids (negative LCG keys — review fix: they used to
+    vanish through the unmapped-bucket path) pack exactly like the DuckDB
+    twin; NULL-id rows are excluded in BOTH engines by contract."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([-9_000_000_001, -3, 0, 7, None], dtype="Int64"),
+            "text": ["neg one two", "neg2 a", "zero b c", "pos d", "dropped e"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = sorted(
+        SQ.pack_sequences(df, "doc_id", "text", seq_len=8, n_buckets=4).collect(),
+        key=lambda r: r.seq_id,
+    )
+    # 4 non-null docs: 3+2+3+2 tokens + 4 EOS = 14 tokens — none dropped
+    assert sum(r.n_tokens for r in out) == 14
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck = (
+        con.execute(SQ.pack_sequences_sql("docs", "doc_id", "text", seq_len=8))
+        .df()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    assert [list(r.input_ids) for r in out] == [list(x) for x in duck["input_ids"]]
+
+
+def test_non_power_of_two_buckets_rejected(spark):
+    df = _df(spark, ["a b"])
+    with pytest.raises(ValueError, match="power of two"):
+        SQ.pack_sequences(df, "doc_id", "text", 8, n_buckets=48)
