@@ -2651,3 +2651,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.pack_sequences(
         t(spark, sf_dir, "documents"), "doc_id", "text", seq_len=_SEQ_LEN
     )
+
+
+# ───────────── KS drift statistic (drift.ks_statistic): the two-sample
+# Kolmogorov–Smirnov distance over the SAME binned early/late split the PSI
+# query monitors — the classic test statistic next to PSI's divergence. Twin
+# = the generated numeric_drift twin piped through the KS twin. ─────────────
+@register("ks_drift_events_value", DR.ks_statistic_sql(_NDRIFT_SQL))
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
+    binned = DR.numeric_drift(
+        tagged.filter(F.col("_us") <= F.col("_mid")),
+        tagged.filter(F.col("_us") > F.col("_mid")),
+        "value",
+    )
+    return DR.ks_statistic(binned)

@@ -497,3 +497,58 @@ j AS (
 SELECT change, count(*) AS n_rows, min({id_col}) AS example_{id_col}
 FROM j GROUP BY change
 """
+
+
+def ks_statistic(binned: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance from a `numeric_drift` binned
+    output — the classic drift TEST STATISTIC next to PSI's divergence score
+    (binned-ECDF KS: exact for the given binning; finer bins → closer to the
+    exact-sample KS). NULL bins (NULL values) are excluded — KS is a statement
+    about observed value distributions.
+
+    Output 1 row: (n_a, n_b, ks) with ks = round(max_bin |cumA/nA − cumB/nB|,
+    6); an empty side yields ks NULL. Cross-engine determinism: each bin's
+    term is the SAME three IEEE ops (two divisions of exact int64 counts, one
+    subtraction) in both engines, so the max and the 6-dp round agree
+    bit-for-bit.
+
+    Scale shape: runs on the K-row binned frame (K = bins) — cumulative
+    window, 1-row totals, max aggregate; cost is O(bins) regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    rows = binned.filter(F.col("bin").isNotNull()).select("bin", "n_a", "n_b")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = rows.withColumn("_ca", F.sum("n_a").over(w)).withColumn(
+        "_cb", F.sum("n_b").over(w)
+    )
+    tot = rows.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    j = c.crossJoin(F.broadcast(tot))
+    # try_divide: an empty side (zero total) yields NULL — matching DuckDB,
+    # whose division by zero is NULL — instead of ANSI-mode throwing
+    term = F.abs(
+        F.try_divide(F.col("_ca").cast("double"), F.col("_ta"))
+        - F.try_divide(F.col("_cb").cast("double"), F.col("_tb"))
+    )
+    return j.groupBy("_ta", "_tb").agg(
+        F.round(F.max(term), 6).alias("ks")
+    ).select(
+        F.col("_ta").alias("n_a"), F.col("_tb").alias("n_b"), "ks"
+    )
+
+
+def ks_statistic_sql(binned_sql: str) -> str:
+    """DuckDB twin of ks_statistic over any query emitting (bin, n_a, n_b) —
+    e.g. numeric_drift_sql(...)."""
+    return f"""
+WITH _ks_binned AS ({binned_sql}),
+nn AS (SELECT bin, n_a, n_b FROM _ks_binned WHERE bin IS NOT NULL),
+c AS (SELECT bin,
+             sum(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+      FROM nn),
+t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM nn)
+SELECT t.ta AS n_a, t.tb AS n_b,
+       round(max(abs(CAST(c.ca AS DOUBLE) / t.ta - CAST(c.cb AS DOUBLE) / t.tb)), 6) AS ks
+FROM c, t GROUP BY t.ta, t.tb
+"""

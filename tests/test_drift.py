@@ -276,3 +276,27 @@ def test_snapshot_diff_content_never_shuffles(spark):
     assert exchanges, "expected the full-outer join to shuffle digests"
     for cols in exchanges:
         assert "text" not in cols and "n" not in cols, cols
+
+
+def test_ks_statistic_hand_computed(spark):
+    """KS from a hand-built binned frame: max ECDF gap at the known bin;
+    NULL bin excluded; identical distributions give ks 0."""
+    rows = [
+        (None, 7, 9),  # null-value bin: excluded from KS
+        (0, 10, 0),
+        (1, 0, 10),
+        (2, 10, 10),
+    ]
+    b = spark.createDataFrame(rows, "bin long, n_a long, n_b long")
+    out = DR.ks_statistic(b).collect()[0]
+    # ECDFs: A = .5, .5, 1 ; B = 0, .5, 1 → max gap 0.5 at bin 0
+    assert (out["n_a"], out["n_b"]) == (20, 20)
+    assert out["ks"] == 0.5
+
+    same = spark.createDataFrame([(0, 5, 5), (1, 5, 5)], "bin long, n_a long, n_b long")
+    assert DR.ks_statistic(same).collect()[0]["ks"] == 0.0
+
+
+def test_ks_statistic_empty_side_is_null(spark):
+    b = spark.createDataFrame([(0, 5, 0), (1, 5, 0)], "bin long, n_a long, n_b long")
+    assert DR.ks_statistic(b).collect()[0]["ks"] is None
