@@ -2669,3 +2669,60 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return DR.ks_statistic(binned)
+
+
+# ───────────── language↔script consistency audit (functions/text
+# dominant_script_col): declared `lang` vs the script the TEXT is actually
+# written in — the mislabeled-language detector CCNet-style pipelines run
+# before per-language processing (a "zh" doc in pure Latin script is a
+# labeling bug, not Chinese training data; the fixture's word-salad zh docs
+# are exactly that, so the audit fires on real fixture content). The gate
+# additionally PLANTS CJK text on 1/16 of docs and Cyrillic on another 1/16
+# — identically in both engines — so match, mismatch, none, and
+# no-expectation branches all carry rows. ─────────────
+_SCRIPT_PLANT_CJK = "数据质量检查流水线的中文示例文本，覆盖统一表意文字区段。"
+_SCRIPT_PLANT_CYR = "проверка качества данных в конвейере обработки корпуса"
+
+
+def _script_planted_sql() -> str:
+    return (
+        "CASE WHEN doc_id % 16 = 2 THEN '" + _SCRIPT_PLANT_CJK + "' "
+        "WHEN doc_id % 16 = 5 THEN '" + _SCRIPT_PLANT_CYR + "' "
+        "ELSE text END"
+    )
+
+
+def _script_mismatch_oracle() -> str:
+    planted = _script_planted_sql()
+    dom = TX.dominant_script_sql(planted)
+    exp = TX.expected_script_sql("lang")
+    return f"""
+SELECT lang, {dom} AS dominant_script,
+       COALESCE({exp} IS NOT NULL AND {dom} <> 'none'
+                AND {dom} <> {exp}, FALSE) AS mismatch,
+       count(*) AS n_docs, min(doc_id) AS example_doc_id
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
+@register("script_mismatch_documents", _script_mismatch_oracle)
+def q_script_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    did = F.col("doc_id")
+    planted = (
+        F.when(did % 16 == 2, F.lit(_SCRIPT_PLANT_CJK))
+        .when(did % 16 == 5, F.lit(_SCRIPT_PLANT_CYR))
+        .otherwise(F.col("text"))
+    )
+    dom = TX.dominant_script_col(planted)
+    exp = TX.expected_script_col(F.col("lang"))
+    mismatch = F.coalesce(
+        exp.isNotNull() & (dom != "none") & (dom != exp), F.lit(False)
+    )
+    return docs.groupBy(
+        "lang", dom.alias("dominant_script"), mismatch.alias("mismatch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc_id"),
+    )

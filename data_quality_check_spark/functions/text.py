@@ -138,3 +138,73 @@ def lang_guess_sql(c: str) -> str:
     best = "greatest(" + ", ".join(f"({hits[l]})" for l in HEUR_LANGS) + ")"
     whens = " ".join(f"WHEN ({hits[l]}) = ({best}) THEN '{l}'" for l in HEUR_LANGS)
     return f"CASE WHEN ({best}) <= 0 THEN 'und' {whens} END"
+
+
+# ── script detection (language↔script consistency audit) ──
+# Char-class counting per Unicode block, exact integers in both engines: the
+# count is length(c) − length(regexp_replace(c, class, '')) — code points in
+# Java and DuckDB both. Classes are BMP ranges embedded as literal characters
+# so the same Python constant feeds both regex engines byte-identically.
+SCRIPT_CLASSES: "list[tuple[str, str]]" = [
+    ("latin", "[A-Za-zÀ-ÿ]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+]
+# declared language → the script its text should dominate in
+LANG_EXPECTED_SCRIPT = {
+    "en": "latin", "fr": "latin", "de": "latin", "es": "latin",
+    "pt": "latin", "it": "latin",
+    "zh": "cjk", "ja": "cjk",
+    "ru": "cyrillic", "uk": "cyrillic",
+    "ar": "arabic", "fa": "arabic",
+}
+
+
+def _script_count_col(c: Column, cls: str) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+
+
+def dominant_script_col(c: Column) -> Column:
+    """Script with the most code points; ties break to SCRIPT_CLASSES order
+    (first max wins — same chain shape as lang_guess_col); zero letters in
+    every class → 'none'. One projection, |SCRIPT_CLASSES| regex passes —
+    fine for audits; a production hot path would fold the classes into one
+    vectorized pass."""
+    cc = F.coalesce(c, F.lit(""))
+    counts = {name: _script_count_col(cc, cls) for name, cls in SCRIPT_CLASSES}
+    best = F.greatest(*counts.values())
+    expr = F.when(best <= 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        expr = expr.when(counts[name] == best, F.lit(name))
+    return expr
+
+
+def dominant_script_sql(c: str) -> str:
+    """DuckDB twin of dominant_script_col."""
+    cc = f"COALESCE({c}, '')"
+    counts = {
+        name: f"(length({cc}) - length(regexp_replace({cc}, '{cls}', '', 'g')))"
+        for name, cls in SCRIPT_CLASSES
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = "".join(
+        f" WHEN {counts[name]} = {best} THEN '{name}'" for name, _ in SCRIPT_CLASSES
+    )
+    return f"CASE WHEN {best} <= 0 THEN 'none'{whens} END"
+
+
+def expected_script_col(lang: Column) -> Column:
+    """Declared-lang → expected-script lookup as a literal map; unknown or
+    NULL langs map to NULL (no expectation, never a mismatch)."""
+    m = F.create_map(
+        *[x for k, v in sorted(LANG_EXPECTED_SCRIPT.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    return m[F.lower(F.coalesce(lang, F.lit("")))]
+
+
+def expected_script_sql(lang: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(LANG_EXPECTED_SCRIPT.items())
+    )
+    return f"CASE lower(COALESCE({lang}, '')) {whens} END"

@@ -321,3 +321,36 @@ def test_token_fertility_plan_never_explodes(spark):
     assert "Generate" not in plan, plan  # explode would show as Generate
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dominant_script_and_expectation(spark):
+    """Per-block counting: dominant script by code-point majority, 'none' on
+    letterless text, ties to class order; lang→script expectation map is
+    case-insensitive and NULL for unknown langs."""
+    from data_quality_check_spark.functions import text as TX
+
+    rows = [
+        (1, "hello world", "EN"),
+        (2, "数据质量检查", "zh"),
+        (3, "данные и ещё данные", "ru"),
+        (4, "hello 数据质量检查流水线", "zh"),   # cjk majority (7 > 5)
+        (5, "1234 !!!", "en"),                  # none
+        (6, None, None),                        # none, no expectation
+        (7, "مرحبا بالعالم", "ar"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = {
+        r["id"]: (r["dom"], r["exp"])
+        for r in df.select(
+            "id",
+            TX.dominant_script_col(F.col("text")).alias("dom"),
+            TX.expected_script_col(F.col("lang")).alias("exp"),
+        ).collect()
+    }
+    assert out[1] == ("latin", "latin")
+    assert out[2] == ("cjk", "cjk")
+    assert out[3] == ("cyrillic", "cyrillic")
+    assert out[4] == ("cjk", "cjk")
+    assert out[5] == ("none", "latin")
+    assert out[6] == ("none", None)
+    assert out[7] == ("arabic", "arabic")
