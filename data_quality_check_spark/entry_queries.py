@@ -2659,16 +2659,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = the generated numeric_drift twin piped through the KS twin. ─────────────
 @register("ks_drift_events_value", DR.ks_statistic_sql(_NDRIFT_SQL))
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    tagged = ev.select(
-        "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
-    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
-    binned = DR.numeric_drift(
-        tagged.filter(F.col("_us") <= F.col("_mid")),
-        tagged.filter(F.col("_us") > F.col("_mid")),
-        "value",
-    )
-    return DR.ks_statistic(binned)
+    # the SAME binned frame as the PSI monitor — one definition of the split
+    # and binning, exactly like the oracle composes the PSI twin's SQL
+    return DR.ks_statistic(q_numeric_drift(spark, sf_dir))
 
 
 # ───────────── language↔script consistency audit (functions/text

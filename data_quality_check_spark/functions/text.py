@@ -146,8 +146,14 @@ def lang_guess_sql(c: str) -> str:
 # Java and DuckDB both. Classes are BMP ranges embedded as literal characters
 # so the same Python constant feeds both regex engines byte-identically.
 SCRIPT_CLASSES: "list[tuple[str, str]]" = [
-    ("latin", "[A-Za-zÀ-ÿ]"),
-    ("cjk", "[一-鿿]"),
+    # À-Ö/Ø-ö/ø-ÿ: the Latin-1 letter ranges EXCLUDING × (U+00D7) and ÷
+    # (U+00F7) — with them, symbol-only text like '××÷' would classify as
+    # Latin instead of 'none' and raise false mismatch flags
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ÿ]"),
+    # Han ideographs PLUS hiragana/katakana (U+3040–U+30FF): ja maps to cjk,
+    # so kana-heavy Japanese must count — without the kana blocks a genuine
+    # 'これはテスト' doc would score zero and flag as mislabeled
+    ("cjk", "[一-鿿぀-ヿ]"),
     ("cyrillic", "[Ѐ-ӿ]"),
     ("arabic", "[؀-ۿ]"),
 ]

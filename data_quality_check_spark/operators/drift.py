@@ -507,7 +507,9 @@ def ks_statistic(binned: DataFrame) -> DataFrame:
     about observed value distributions.
 
     Output 1 row: (n_a, n_b, ks) with ks = round(max_bin |cumA/nA − cumB/nB|,
-    6); an empty side yields ks NULL. Cross-engine determinism: each bin's
+    6); an empty side yields ks NULL, and ALWAYS exactly one row — both
+    sides all-NULL gives (0, 0, NULL), never zero rows. Cross-engine
+    determinism: each bin's
     term is the SAME three IEEE ops (two divisions of exact int64 counts, one
     subtraction) in both engines, so the max and the 6-dp round agree
     bit-for-bit.
@@ -522,17 +524,22 @@ def ks_statistic(binned: DataFrame) -> DataFrame:
     c = rows.withColumn("_ca", F.sum("n_a").over(w)).withColumn(
         "_cb", F.sum("n_b").over(w)
     )
-    tot = rows.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
-    j = c.crossJoin(F.broadcast(tot))
-    # try_divide: an empty side (zero total) yields NULL — matching DuckDB,
-    # whose division by zero is NULL — instead of ANSI-mode throwing
+    # ALWAYS one output row, even when every value was NULL (no non-null
+    # bins): totals and the max-term are both no-groupBy aggregates — an
+    # empty input still yields one row (counts 0, ks NULL) — rather than a
+    # groupBy over the empty frame vanishing to zero rows
+    tot = rows.agg(
+        F.coalesce(F.sum("n_a"), F.lit(0)).alias("_ta"),
+        F.coalesce(F.sum("n_b"), F.lit(0)).alias("_tb"),
+    )
+    # try_divide: an empty side (zero total) yields NULL — matching DuckDB's
+    # nullif-guarded division — instead of ANSI-mode throwing
     term = F.abs(
         F.try_divide(F.col("_ca").cast("double"), F.col("_ta"))
         - F.try_divide(F.col("_cb").cast("double"), F.col("_tb"))
     )
-    return j.groupBy("_ta", "_tb").agg(
-        F.round(F.max(term), 6).alias("ks")
-    ).select(
+    mx = c.crossJoin(F.broadcast(tot)).agg(F.round(F.max(term), 6).alias("ks"))
+    return tot.crossJoin(F.broadcast(mx)).select(
         F.col("_ta").alias("n_a"), F.col("_tb").alias("n_b"), "ks"
     )
 
@@ -547,8 +554,10 @@ c AS (SELECT bin,
              sum(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
              sum(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
       FROM nn),
-t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM nn)
-SELECT t.ta AS n_a, t.tb AS n_b,
-       round(max(abs(CAST(c.ca AS DOUBLE) / t.ta - CAST(c.cb AS DOUBLE) / t.tb)), 6) AS ks
-FROM c, t GROUP BY t.ta, t.tb
+t AS (SELECT CAST(COALESCE(sum(n_a), 0) AS BIGINT) AS ta,
+             CAST(COALESCE(sum(n_b), 0) AS BIGINT) AS tb FROM nn),
+m AS (SELECT round(max(abs(CAST(c.ca AS DOUBLE) / nullif(t.ta, 0)
+                           - CAST(c.cb AS DOUBLE) / nullif(t.tb, 0))), 6) AS ks
+      FROM c, t)
+SELECT t.ta AS n_a, t.tb AS n_b, m.ks FROM t, m
 """

@@ -300,3 +300,14 @@ def test_ks_statistic_hand_computed(spark):
 def test_ks_statistic_empty_side_is_null(spark):
     b = spark.createDataFrame([(0, 5, 0), (1, 5, 0)], "bin long, n_a long, n_b long")
     assert DR.ks_statistic(b).collect()[0]["ks"] is None
+
+
+def test_ks_statistic_all_null_values_one_row(spark):
+    """Both sides entirely NULL (only the NULL bin): still exactly one row —
+    (0, 0, NULL) — never an empty frame (review fix)."""
+    b = spark.createDataFrame(
+        [(None, 5, 7)], "bin long, n_a long, n_b long"
+    )
+    out = DR.ks_statistic(b).collect()
+    assert len(out) == 1
+    assert (out[0]["n_a"], out[0]["n_b"], out[0]["ks"]) == (0, 0, None)

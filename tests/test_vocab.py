@@ -333,7 +333,7 @@ def test_dominant_script_and_expectation(spark):
         (1, "hello world", "EN"),
         (2, "数据质量检查", "zh"),
         (3, "данные и ещё данные", "ru"),
-        (4, "hello 数据质量检查流水线", "zh"),   # cjk majority (7 > 5)
+        (4, "hello 数据质量检查流水线", "zh"),   # cjk majority (9 > 5)
         (5, "1234 !!!", "en"),                  # none
         (6, None, None),                        # none, no expectation
         (7, "مرحبا بالعالم", "ar"),
@@ -354,3 +354,23 @@ def test_dominant_script_and_expectation(spark):
     assert out[5] == ("none", "latin")
     assert out[6] == ("none", None)
     assert out[7] == ("arabic", "arabic")
+
+
+def test_script_classes_kana_and_symbol_edges(spark):
+    """Review fixes: kana-heavy Japanese counts as cjk (the ja expectation is
+    satisfiable); ×/÷ are NOT Latin letters, so symbol-only text stays
+    'none' and can never raise a mismatch."""
+    from data_quality_check_spark.functions import text as TX
+
+    rows = [(1, "これはテストです", "ja"), (2, "3 × 4 ÷ 2", "zh"), (3, "××÷", "ru")]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = {
+        r["id"]: (r["dom"], r["exp"])
+        for r in df.select(
+            "id",
+            TX.dominant_script_col(F.col("text")).alias("dom"),
+            TX.expected_script_col(F.col("lang")).alias("exp"),
+        ).collect()
+    }
+    assert out[1] == ("cjk", "cjk")
+    assert out[2][0] == "none" and out[3][0] == "none"
