@@ -2719,3 +2719,32 @@ def q_script_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("example_doc_id"),
     )
+
+
+# ───────────── frozen-edges numeric drift (the numeric sibling of
+# drift_psi_frozen_events): bins pinned to a persisted [lo, hi) calibration —
+# the recurring-monitor shape where today's run never rescans to derive a
+# span, and bins stay comparable across runs. Values outside the frozen span
+# clamp into the edge bins by the operator's contract. ─────────────
+_NDRIFT_FROZEN_EDGES = (0.0, 500.0)
+
+_NDRIFT_FROZEN_SQL = DR.numeric_drift_sql(
+    f"(SELECT value FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) <= _mid)",
+    f"(SELECT value FROM events, {_DRIFT_MID_SQL} WHERE epoch_us(ts) > _mid)",
+    "value",
+    edges=_NDRIFT_FROZEN_EDGES,
+)
+
+
+@register("numeric_drift_frozen_events", _NDRIFT_FROZEN_SQL)
+def q_numeric_drift_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("_us")
+    ).crossJoin(F.broadcast(DR.time_split_mid(ev, "ts")))
+    return DR.numeric_drift(
+        tagged.filter(F.col("_us") <= F.col("_mid")),
+        tagged.filter(F.col("_us") > F.col("_mid")),
+        "value",
+        edges=_NDRIFT_FROZEN_EDGES,
+    )

@@ -168,16 +168,27 @@ def numeric_drift(
     )
 
 
-def numeric_drift_sql(rel_a: str, rel_b: str, col: str, bins: int = 16) -> str:
-    """DuckDB twin of `numeric_drift` (edges=None form). The bin expression
-    keeps the exact association of the Spark build — see the operator's
-    float-determinism note."""
+def numeric_drift_sql(
+    rel_a: str,
+    rel_b: str,
+    col: str,
+    bins: int = 16,
+    edges: "tuple[float, float] | None" = None,
+) -> str:
+    """DuckDB twin of `numeric_drift`. The bin expression keeps the exact
+    association of the Spark build — see the operator's float-determinism
+    note. `edges` mirrors the operator's frozen-edges production path: the
+    span becomes two literals instead of the union-scan subquery."""
     b = float(bins)
-    span = (
-        f"(SELECT min(_v) AS _mn, max(_v) AS _mx FROM ("
-        f"SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_a} "
-        f"UNION ALL SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_b}))"
-    )
+    if edges is not None:
+        mn, mx = edges
+        span = f"(SELECT {float(mn)!r} AS _mn, {float(mx)!r} AS _mx)"
+    else:
+        span = (
+            f"(SELECT min(_v) AS _mn, max(_v) AS _mx FROM ("
+            f"SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_a} "
+            f"UNION ALL SELECT CAST({col} AS DOUBLE) AS _v FROM {rel_b}))"
+        )
 
     def binned(rel: str) -> str:
         idx = f"CAST(floor(((CAST({col} AS DOUBLE) - _mn) * {b}) / (_mx - _mn)) AS BIGINT)"

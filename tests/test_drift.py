@@ -311,3 +311,15 @@ def test_ks_statistic_all_null_values_one_row(spark):
     out = DR.ks_statistic(b).collect()
     assert len(out) == 1
     assert (out[0]["n_a"], out[0]["n_b"], out[0]["ks"]) == (0, 0, None)
+
+
+def test_numeric_drift_frozen_edges_clamp_and_stability(spark):
+    """Frozen edges: out-of-span values clamp into the edge bins; the bin
+    layout is identical however the data moves (the cross-run comparability
+    the frozen path exists for); no span scan of the inputs is needed."""
+    a = spark.createDataFrame([(float(x),) for x in [-5, 0, 1, 9]], "v double")
+    b = spark.createDataFrame([(float(x),) for x in [3, 25]], "v double")
+    out = {r["bin"]: r for r in numeric_drift(a, b, "v", bins=4, edges=(0.0, 8.0)).collect()}
+    assert out[0]["n_a"] == 3  # -5 clamps into bin 0 alongside 0 and 1
+    assert out[3]["n_b"] == 1  # 25 clamps into the top bin
+    assert out[0]["lo"] == 0.0 and out[3]["hi"] == 8.0
