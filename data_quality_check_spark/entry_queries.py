@@ -2748,3 +2748,86 @@ def q_numeric_drift_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         edges=_NDRIFT_FROZEN_EDGES,
     )
+
+
+# ───────────── encoding-health (mojibake) audit (operators/encoding): the
+# CCNet-style pre-langid transport-encoding scan. The driver fixture's texts
+# are clean ASCII, so the gate PLANTS each marker family deterministically —
+# mojibake digraphs on 1/19 of docs, a replacement char on 1/23, an NBSP on
+# 1/31, a control byte on 1/37 (cumulative, so overlap cases fire several
+# families at once) — identically in both engines, same pattern as the
+# scrub/domain planted gates. Special chars are spelled chr(n) in the SQL
+# twin so the oracle text stays ASCII. ─────────────
+from data_quality_check_spark.operators import encoding as EN  # noqa: E402
+
+_ENC_PLANTS = [  # (modulus, spark literal, duckdb literal expr)
+    (19, " cafÃ©", "' caf' || chr(195) || chr(169)"),
+    (23, " \ufffd", "' ' || chr(65533)"),
+    (31, "\u00a0x", "chr(160) || 'x'"),
+    (37, "\x07", "chr(7)"),
+]
+
+
+def _enc_planted_sql() -> str:
+    cases = " || ".join(
+        f"CASE WHEN doc_id % {m} = 0 THEN {lit} ELSE '' END"
+        for m, _, lit in _ENC_PLANTS
+    )
+    return EN.encoding_audit_sql(
+        "documents", f"(COALESCE(text, '') || {cases})", "lang"
+    )
+
+
+@register("encoding_audit_documents", _enc_planted_sql)
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        *[
+            F.when(F.col("doc_id") % m == 0, F.lit(s)).otherwise(F.lit(""))
+            for m, s, _ in _ENC_PLANTS
+        ],
+    )
+    return EN.encoding_audit(
+        docs.withColumn("text", planted), "text", "lang"
+    )
+
+
+# ───────────── asymmetric containment dedup (dedup.containment_pairs): the
+# short-doc-quoted-inside-long-doc family a Jaccard threshold misses. The
+# fixture has no engineered containment pairs, so the gate PLANTS them: for
+# 1/29 of docs, a new doc (id + 3000000) whose text is the first
+# ceil(n/2) characters of the host — its shingles are a near-subset of the
+# host's (containment ≈1) while Jaccard sits near 0.5, below the _JACCARD_T
+# pair gate. Prefix derivation is the identical substr/ceil expression in
+# both engines. ─────────────
+_CONTAIN_T = 0.9
+_CONTAIN_V2_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         substr(COALESCE(text, ''), 1,
+                CAST(ceil(length(COALESCE(text, '')) / 2.0) AS INT)) AS text
+  FROM documents WHERE doc_id % 29 = 0
+)"""
+
+
+@register(
+    "containment_neardup_documents",
+    DD.containment_pairs_sql(
+        _CONTAIN_V2_SQL, "doc_id", "text", _CONTAIN_T, _SHINGLE_N
+    ),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = F.expr(
+        "substring(COALESCE(text, ''), 1, "
+        "CAST(ceil(length(COALESCE(text, '')) / 2.0) AS INT))"
+    )
+    planted = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), half.alias("text")
+    )
+    return DD.containment_pairs(
+        docs.unionByName(planted), "doc_id", "text", _CONTAIN_T,
+        ngram=_SHINGLE_N,
+    )

@@ -340,6 +340,91 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold!r}
 """
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_token_df: int | None = None,
+    ngram: int = 1,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set CONTAINMENT ≥ threshold
+    (exact), where containment = |A∩B| / min(|A|, |B|) — Broder's resemblance
+    companion measure. This is the asymmetric dedup family Jaccard misses: a
+    short document fully quoted inside a long one has containment 1.0 but
+    Jaccard |B|/|A| (→0 as the host grows), so a Jaccard-thresholded pass
+    keeps both copies. Output: (id_a, id_b, containment, jaccard) — both
+    measures, since the confirm computes them from the same intersection.
+
+    Same token-join shape as `jaccard_pairs` (one explode, one tok-key join,
+    one pair-key aggregate); `max_token_df` is the identical stop-shingle
+    skew guard. Scale path: banded MinHash tuned for Jaccard under-recalls
+    asymmetric pairs (a contained doc at containment 1.0 can sit at Jaccard
+    0.2 where 42×3 bands recall only ~60%), so at 10^12 rows use ngram≥3
+    shingles + `max_token_df` prefix filtering here, or an asymmetric-LSH
+    candidate stage (Shrivastava & Li 2013-style padding to equalize set
+    sizes) confirmed by this exact measure.
+    """
+    toks = _tokens(df, id_col, text_col, ngram)
+    if max_token_df:
+        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.least("sz_a", "sz_b"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
+def containment_pairs_sql(
+    table: str, id_col: str, text_col: str, threshold: float = 0.8, ngram: int = 1
+) -> str:
+    """DuckDB oracle twin of `containment_pairs` (no max_token_df)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest({shingles_sql(text_col, ngram)}) AS tok
+  FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b USING (tok)
+  WHERE a.id < b.id GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) >= {threshold!r}
+"""
+
+
 # ---------------- duplicated-span (pseudo-line) dedup stats ----------------
 
 

@@ -947,3 +947,42 @@ def test_prototype_prune_excludes_dim_mismatched_vectors(spark):
     out = SIM.prototype_prune_candidates(df, n_centroids=2, m=50).collect()
     assert 100 not in {r.vec_id for r in out}
     assert all(r.cell is not None and r.centroid_cosine is not None for r in out)
+
+
+def test_containment_catches_asymmetric_pair(spark):
+    """A short doc fully contained in a long host: containment 1.0 but
+    Jaccard well under the pair gate — `containment_pairs` must surface it
+    and `jaccard_pairs` (at the same corpus threshold) must not."""
+    host = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(12))  # prefix → shingle subset
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, host), (2, short), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in DD.containment_pairs(df, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    assert (1, 2) in got and len(got) == 1
+    pair = got[(1, 2)]
+    assert pair["containment"] == 1.0
+    # 10 shingles in the short doc, 38 in the host, all 10 shared
+    assert pair["jaccard"] == pytest.approx(10 / 38, abs=1e-6)
+    jac = DD.jaccard_pairs(df, "doc_id", "text", 0.6, ngram=3).collect()
+    assert jac == [], "the asymmetric pair must be invisible to Jaccard@0.6"
+
+
+def test_containment_max_token_df_guard(spark):
+    """The stop-shingle guard drops ubiquitous shingles before the pair join
+    (prefix filtering) without inventing pairs."""
+    boiler = "the same boilerplate header every page carries"
+    rows = [(i, f"{boiler} unique tail {i} {'x'*i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = DD.containment_pairs(df, "doc_id", "text", 0.7, ngram=3).collect()
+    guarded = DD.containment_pairs(
+        df, "doc_id", "text", 0.7, max_token_df=3, ngram=3
+    ).collect()
+    # every doc shares the boilerplate shingles -> full sees high containment;
+    # with shingles of df>3 dropped, only the distinct tails remain -> no pairs
+    assert len(full) > 0
+    assert guarded == []
