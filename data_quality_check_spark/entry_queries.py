@@ -2831,3 +2831,35 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.unionByName(planted), "doc_id", "text", _CONTAIN_T,
         ngram=_SHINGLE_N,
     )
+
+
+# ───────────── keep/drop decision evaluation (curation.decision_eval): the
+# north rule's acceptance measurement — confusion cells + precision/recall/F1
+# vs reference labels — as a first-class distributed operator. The gate
+# derives "pipeline decision" (whitespace tokens ≥ 45) and "reference label"
+# (n_chars ≥ 250) from the same docs so every confusion cell carries rows,
+# and withholds both on 1/41 of docs to exercise the NULL-exclusion
+# (`n_unlabeled`) policy; F1 comes straight from the integer cells, one IEEE
+# division in both engines. ─────────────
+_EVAL_PRED_SQL = (
+    "CASE WHEN doc_id % 41 = 0 OR text IS NULL THEN NULL "
+    f"ELSE ({TX.token_count_sql('text')}) >= 45 END"
+)
+_EVAL_LABEL_SQL = (
+    "CASE WHEN doc_id % 41 = 0 OR text IS NULL THEN NULL "
+    "ELSE n_chars >= 250 END"
+)
+
+
+@register(
+    "keep_eval_documents",
+    CU.decision_eval_sql("documents", _EVAL_PRED_SQL, _EVAL_LABEL_SQL, "lang"),
+)
+def q_keep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    withheld = (F.col("doc_id") % 41 == 0) | F.col("text").isNull()
+    pred = F.when(~withheld, TX.token_count_col(F.col("text")) >= 45)
+    label = F.when(~withheld, F.col("n_chars") >= 250)
+    return CU.decision_eval(
+        docs.withColumn("_p", pred).withColumn("_l", label), "_p", "_l", "lang"
+    )

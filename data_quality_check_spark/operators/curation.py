@@ -348,6 +348,109 @@ SELECT {id_col}, n_words, distinct_words,
 FROM r
 """
 
+def decision_eval(
+    df: DataFrame,
+    pred_col,
+    label_col,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Keep/drop decision evaluation: confusion cells + precision/recall/F1
+    (per `group_col` when given, else one corpus row) — the measurement behind
+    the north rule's "keep/drop F1 ≥ 0.99 vs reference labels" acceptance
+    gate, as a first-class distributed operator rather than a driver-side
+    pandas diff. `pred_col`/`label_col` are boolean Columns (or names);
+    rows where EITHER is NULL are excluded from the cells and surfaced in
+    `n_unlabeled` — an unlabeled row is missing evidence, not a false
+    anything.
+
+    F1 is computed straight from the integer cells (2·tp / (2·tp+fp+fn)):
+    one IEEE division of exact int64 sums, so the 6-dp value is bit-identical
+    cross-engine — never a rounded-composition of already-rounded P and R.
+
+    Scale: ONE fused conditional-sum aggregate over one codegen projection —
+    at 10^12 rows the shuffle is K×|groups|, and the four cells partial-sum
+    map-side like every profiler aggregate.
+    """
+    pred = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    labeled = pred.isNotNull() & label.isNotNull()
+
+    def cell(p: bool, l: bool) -> F.Column:
+        return F.sum(
+            (labeled & (pred == F.lit(p)) & (label == F.lit(l))).cast("bigint")
+        )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~labeled).cast("bigint")).alias("n_unlabeled"),
+        cell(True, True).alias("tp"),
+        cell(True, False).alias("fp"),
+        cell(False, True).alias("fn"),
+        cell(False, False).alias("tn"),
+    ]
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    out = grouped.agg(*aggs).select(
+        *([group_col] if group_col else []),
+        "n_rows", "n_unlabeled", "tp", "fp", "fn", "tn",
+        F.round(F.try_divide("tp", F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.try_divide("tp", F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            F.try_divide(
+                2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.try_divide(
+                F.col("tp") + F.col("tn"),
+                F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"),
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+    return out.orderBy(group_col) if group_col else out
+
+
+def decision_eval_sql(
+    table: str,
+    pred_expr: str,
+    label_expr: str,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB oracle twin of `decision_eval` (same NULL-exclusion policy,
+    same from-the-cells F1)."""
+    p, l = f"({pred_expr})", f"({label_expr})"
+    labeled = f"({p} IS NOT NULL AND {l} IS NOT NULL)"
+
+    def cell(pv: str, lv: str) -> str:
+        return (
+            f"CAST(sum(CASE WHEN {labeled} AND {p} = {pv} AND {l} = {lv} "
+            f"THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+
+    sel = f"{group_col}, " if group_col else ""
+    inner_grp = f"GROUP BY {group_col}" if group_col else ""
+    order = f"ORDER BY {group_col}" if group_col else ""
+    div = "CASE WHEN {d} > 0 THEN round(CAST({n} AS DOUBLE) / ({d}), 6) END"
+    return f"""
+WITH cells AS (
+  SELECT {sel}count(*) AS n_rows,
+         CAST(sum(CASE WHEN NOT {labeled} THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled,
+         {cell('TRUE', 'TRUE')} AS tp,
+         {cell('TRUE', 'FALSE')} AS fp,
+         {cell('FALSE', 'TRUE')} AS fn,
+         {cell('FALSE', 'FALSE')} AS tn
+  FROM {table} {inner_grp}
+)
+SELECT {sel}n_rows, n_unlabeled, tp, fp, fn, tn,
+       {div.format(n='tp', d='tp + fp')} AS precision,
+       {div.format(n='tp', d='tp + fn')} AS recall,
+       {div.format(n='2 * tp', d='2 * tp + fp + fn')} AS f1,
+       {div.format(n='tp + tn', d='tp + fp + fn + tn')} AS accuracy
+FROM cells {order}
+"""
+
+
 def dedup_survivors(
     df: DataFrame,
     clusters: DataFrame,

@@ -694,3 +694,40 @@ def test_domain_profile_empty_blocklist_audit_only(spark):
     sql = CU.domain_profile_sql("docs", "text", [], "doc_id")
     row = con.execute(sql).fetchall()
     assert len(row) == 1 and row[0][3] is False
+
+
+def test_decision_eval_hand_case(spark):
+    """Confusion cells, PRF from the cells, NULL-exclusion policy."""
+    from data_quality_check_spark.operators import curation as CU
+
+    rows = [
+        # (pred, label, grp)
+        (True, True, "a"), (True, True, "a"), (True, False, "a"),
+        (False, True, "a"), (False, False, "a"),
+        (None, True, "a"),  # unlabeled: excluded from the cells
+        (True, None, "b"), (False, False, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["p", "l", "g"])
+    got = {r["g"]: r.asDict() for r in CU.decision_eval(df, "p", "l", "g").collect()}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["tn"]) == (2, 1, 1, 1)
+    assert a["n_rows"] == 6 and a["n_unlabeled"] == 1
+    assert a["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert a["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert a["f1"] == pytest.approx(4 / 6, abs=1e-6)  # 2tp/(2tp+fp+fn)
+    assert a["accuracy"] == pytest.approx(3 / 5, abs=1e-6)
+    b = got["b"]
+    # no positives predicted-and-labeled: precision/recall/f1 are NULL, not 0
+    assert (b["tp"], b["tn"], b["n_unlabeled"]) == (0, 1, 1)
+    assert b["precision"] is None and b["recall"] is None and b["f1"] is None
+    assert b["accuracy"] == 1.0
+
+
+def test_decision_eval_ungrouped_single_row(spark):
+    from data_quality_check_spark.operators import curation as CU
+
+    df = spark.createDataFrame([(True, True), (False, True)], ["p", "l"])
+    out = CU.decision_eval(df, "p", "l").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["tp"], r["fn"]) == (1, 1) and r["recall"] == 0.5
