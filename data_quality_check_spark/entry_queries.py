@@ -2863,3 +2863,19 @@ def q_keep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.decision_eval(
         docs.withColumn("_p", pred).withColumn("_l", label), "_p", "_l", "lang"
     )
+
+
+# ───────────── PII/toxicity density audit (scrub.pii_density): the
+# decide-scrub-vs-drop measurement BEFORE the rewrite pass, per language, over
+# the same planted captions as scrub_documents so every class fires. The
+# oracle is the compiled-re golden per-doc counts (the patterns' ASCII
+# lookarounds exist in Java and python re but not RE2 — scrub_sql's
+# contract), aggregated in genuine DuckDB SQL. ─────────────
+@register("pii_density_documents", lambda: _OR.pii_density_sql(ORACLE_SF_DIR))
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions.scrub import pii_density
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return pii_density(
+        docs.withColumn("text", _planted_caption_col()), "text", "lang"
+    )

@@ -116,3 +116,75 @@ def make_scrub_udf():
             yield out
 
     return scrub_udf
+
+
+# ─────────────────── PII density audit (count, don't rewrite) ───────────────────
+
+# class name per replacement token — the audit reports per-CLASS totals, and
+# deriving the grouping from SCRUB_PATTERNS means a pattern added to the scrub
+# automatically joins the audit (they cannot drift).
+_CLASS_OF = {"[EMAIL]": "email", "[PHONE]": "phone", "[TOXIC]": "toxic"}
+PII_CLASSES: list[tuple[str, list[str]]] = [
+    (cls, [p for p, r in SCRUB_PATTERNS if _CLASS_OF[r] == cls])
+    for cls in ("email", "phone", "toxic")
+]
+
+
+def pii_counts_text(s: str | None) -> dict[str, int]:
+    """Pure-python golden twin of the per-class count columns: non-overlapping
+    match counts of each class's patterns on the RAW text (each pattern scans
+    the original string — counting is diagnostic, unlike the scrub chain where
+    rewrite order matters)."""
+    out = {cls: 0 for cls, _ in PII_CLASSES}
+    if s is None:
+        return out
+    for (rx, repl) in _COMPILED:
+        out[_CLASS_OF[repl]] += sum(1 for _ in rx.finditer(s))
+    return out
+
+
+def pii_density(df, text_col: str = "text", group_col: str = "lang"):
+    """Per-`group_col` PII/toxicity density: for each class (email, phone,
+    toxic) the total match count and the documents-with-≥1 count, plus
+    `pii_docs` / `pii_doc_frac` for any class — the decide-scrub-vs-drop
+    audit a pipeline runs BEFORE committing to the rewrite pass (a corpus
+    where 40% of docs carry PII wants dropping or routing, not a 40%-rewrite
+    scrub). Same patterns as the scrub chain, so the audit measures exactly
+    what the scrub would touch.
+
+    Scale: per-class counts are JVM `regexp_count` sums in ONE codegen
+    projection folded by ONE map-side-combined agg on the group key — the
+    encoding_audit shape; no UDF, K×|groups| shuffle. The oracle is the
+    compiled-`re` golden (the patterns use ASCII lookarounds Java and python
+    share but RE2 lacks — same contract as scrub_sql)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    counts = {
+        cls: sum((F.regexp_count(c, F.lit(p)) for p in pats), F.lit(0))
+        for cls, pats in PII_CLASSES
+    }
+    proj = df.select(
+        F.col(group_col).alias("grp"),
+        *[cnt.alias(f"_{cls}") for cls, cnt in counts.items()],
+    )
+    any_hit = None
+    for cls, _ in PII_CLASSES:
+        cond = F.col(f"_{cls}") > 0
+        any_hit = cond if any_hit is None else (any_hit | cond)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for cls, _ in PII_CLASSES:
+        aggs.append(F.sum(f"_{cls}").cast("bigint").alias(f"{cls}_hits"))
+        aggs.append(F.sum((F.col(f"_{cls}") > 0).cast("bigint")).alias(f"{cls}_docs"))
+    aggs.append(F.sum(any_hit.cast("bigint")).alias("pii_docs"))
+    return (
+        proj.groupBy("grp")
+        .agg(*aggs)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            *[f"{cls}_{k}" for cls, _ in PII_CLASSES for k in ("hits", "docs")],
+            "pii_docs",
+            F.round(F.col("pii_docs") / F.col("n_docs"), 6).alias("pii_doc_frac"),
+        )
+        .orderBy(group_col)
+    )

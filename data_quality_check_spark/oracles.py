@@ -197,6 +197,58 @@ def scrub_sql(sf_dir: str) -> str:
     return f"SELECT doc_id, scrubbed, changed FROM '{path}'"
 
 
+def pii_density_sql(sf_dir: str) -> str:
+    """Driver-process twin of the PII density audit (functions/scrub.py
+    `pii_density`): per-doc per-class match counts from the pure-python
+    compiled-`re` golden (`pii_counts_text`) over the SAME planted captions as
+    the scrub gate, materialized to scratch parquet; the aggregation to
+    per-language density rows then runs as genuine DuckDB SQL. Same
+    python-golden contract as `scrub_sql` — the patterns use ASCII lookarounds
+    RE2 lacks."""
+    from data_quality_check_spark.functions.scrub import pii_counts_text
+
+    docs = _read_cols(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def plant(i, s):  # twin of entry_queries._planted_caption_col
+        base = "" if pd.isna(s) else s
+        if pd.isna(i):
+            return base
+        i = int(i)
+        if i % 7 == 0:
+            return f"{base} contact user{i}@example.com now"
+        if i % 11 == 0:
+            return f"{base} call 555-867-{i % 10000:04d}"
+        if i % 13 == 0:
+            return f"{base} you absolute loser"
+        return base
+
+    counts = [pii_counts_text(plant(i, s)) for i, s in zip(docs["doc_id"], docs["text"])]
+    out = pd.DataFrame(
+        {
+            "lang": docs["lang"],
+            **{
+                f"{cls}_n": [c[cls] for c in counts]
+                for cls in ("email", "phone", "toxic")
+            },
+        }
+    )
+    path = _write_parquet(out, _scratch(sf_dir, "pii_density_golden.parquet"))
+    per_class = ",\n       ".join(
+        f"CAST(sum({cls}_n) AS BIGINT) AS {cls}_hits,\n       "
+        f"CAST(sum(CASE WHEN {cls}_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS {cls}_docs"
+        for cls in ("email", "phone", "toxic")
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       {per_class},
+       CAST(sum(CASE WHEN email_n > 0 OR phone_n > 0 OR toxic_n > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       round(CAST(sum(CASE WHEN email_n > 0 OR phone_n > 0 OR toxic_n > 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_doc_frac
+FROM '{path}' GROUP BY lang ORDER BY lang
+"""
+
+
 # ───────────────────────── ANN: SRP-LSH ─────────────────────────
 
 

@@ -244,6 +244,12 @@ def _validate_bucket_layout(raw: DataFrame, num_buckets: int) -> None:
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
     path = os.path.join(checkpoint_dir, "manifest")
+    # fresh-run fast path: a missing LOCAL manifest dir is the normal first-run
+    # case — skip the doomed read so Spark's ExecutionListenerBus doesn't log a
+    # PATH_NOT_FOUND ERROR per fresh run. Schemed URIs (hdfs://, s3a://) can't
+    # be probed with os.path and still take the try/except path.
+    if "://" not in path and not os.path.exists(path):
+        return []
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
         return sorted(r["bucket"] for r in rows)

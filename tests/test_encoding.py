@@ -66,3 +66,30 @@ def test_sql_twin_matches_spark(spark):
         g = got[w["lang"]]
         for k, v in w.items():
             assert g[k] == pytest.approx(v), (w["lang"], k, g[k], v)
+
+
+def test_pii_density_matches_python_golden(spark):
+    """Java regexp_count per class must agree with the compiled-re golden on
+    shapes covering every pattern family, overlaps, and NULL."""
+    from data_quality_check_spark.functions import scrub as S
+
+    texts = [
+        "mail a@b.com and b@c.org",              # 2 emails
+        "call +1 (555) 867-5309 or 555 867 5309",  # both phone forms
+        "you STUPID Idiot",                       # case-insensitive toxic x2
+        "digits inside user555-867-5309@x.com stay an email",
+        "clean text with no pii at all",
+        None,
+    ]
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = S.pii_density(df, "text", "lang").collect()[0].asDict()
+
+    golden = [S.pii_counts_text(t) for t in texts]
+    for cls in ("email", "phone", "toxic"):
+        assert got[f"{cls}_hits"] == sum(g[cls] for g in golden), cls
+        assert got[f"{cls}_docs"] == sum(g[cls] > 0 for g in golden), cls
+    assert got["n_docs"] == 6
+    assert got["pii_docs"] == sum(any(g.values()) for g in golden)
+    # the embedded-email row must not double-count as a phone
+    assert golden[3] == {"email": 1, "phone": 0, "toxic": 0}
