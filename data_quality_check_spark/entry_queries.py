@@ -2879,3 +2879,25 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_density(
         docs.withColumn("text", _planted_caption_col()), "text", "lang"
     )
+
+
+# ───────────── per-doc novelty vs the seen corpus (dedup.novelty_scores):
+# the scoring companion to dedup_incremental over the SAME increment/seen
+# split — fraction of each new doc's distinct shingles never seen before.
+# Fingerprints are the 60-bit md5-prefix keys both engines compute
+# identically, so collision behavior is shared and the oracle is exact. ─────────────
+@register(
+    "novelty_scores_documents",
+    DD.novelty_scores_sql(
+        _INC_NEW_SQL, _INC_SEEN_SQL, "doc_id", "text", _SHINGLE_N
+    ),
+)
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return DD.novelty_scores(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "doc_id",
+        "text",
+        ngram=_SHINGLE_N,
+    )

@@ -399,6 +399,90 @@ def containment_pairs(
     )
 
 
+_FP60_SPARK = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+_FP60_DUCK = "CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
+
+
+def novelty_scores(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-NEW-document novelty vs an already-curated SEEN corpus: what
+    fraction of each doc's distinct shingles has never been seen before
+    (Lee et al. 2022's n-gram overlap lens, per increment document) — the
+    scoring companion to `dedup_incremental`'s keep/drop verdicts: a doc can
+    clear the near-dup gate yet be 95% recombined seen text, and a memoriz-
+    ation/contamination review wants that number, not just a boolean.
+
+    Output: ({id_col}, n_shingles, n_seen, novelty_frac) for every new doc
+    with ≥1 shingle (shingle-less docs have no measurable novelty and are
+    excluded, `_shingle_base`'s contract). novelty_frac = 1 − n_seen/n_shingles,
+    6-dp.
+
+    Scale: shingles shuffle as 60-bit md5-prefix BIGINT fingerprints (the
+    `duplicate_span_stats` key contract — identical expression in DuckDB, so
+    the oracle shares collision behavior exactly), the seen side is ONE
+    distinct-fingerprint aggregate, and the membership check is a fingerprint
+    hash join + per-doc agg: increment×1 work against a seen table that a
+    recurring pipeline persists once and appends to — the same artifact shape
+    as `SeenCorpusArtifacts` (a distinct-shingle table slots in beside the
+    doc-fingerprint and band tables)."""
+    new_toks = (
+        _tokens(new_df, id_col, text_col, ngram)
+        .select("id", F.expr(_FP60_SPARK).alias("fp"))
+    )
+    seen_fps = (
+        _tokens(seen_df, id_col, text_col, ngram)
+        .select(F.expr(_FP60_SPARK).alias("fp"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    return (
+        new_toks.join(seen_fps, "fp", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_seen"), F.lit(False)).cast("bigint")).alias("n_seen"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_seen",
+            F.round(1 - F.col("n_seen") / F.col("n_shingles"), 6).alias("novelty_frac"),
+        )
+    )
+
+
+def novelty_scores_sql(
+    new_sql: str, seen_sql: str, id_col: str, text_col: str, ngram: int = 3
+) -> str:
+    """DuckDB oracle twin of `novelty_scores` (same 60-bit fingerprints,
+    same shingle-less exclusion)."""
+    sh = shingles_sql(text_col, ngram)
+    return f"""
+WITH new_toks AS (
+  SELECT id, {_FP60_DUCK} AS fp FROM (
+    SELECT {id_col} AS id, unnest({sh}) AS tok FROM ({new_sql})
+  )
+),
+seen_fps AS (
+  SELECT DISTINCT {_FP60_DUCK} AS fp FROM (
+    SELECT unnest({sh}) AS tok FROM ({seen_sql})
+  )
+)
+SELECT n.id AS {id_col},
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       round(1 - CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty_frac
+FROM new_toks n LEFT JOIN seen_fps s USING (fp)
+GROUP BY n.id
+"""
+
+
 def containment_pairs_sql(
     table: str, id_col: str, text_col: str, threshold: float = 0.8, ngram: int = 1
 ) -> str:

@@ -986,3 +986,32 @@ def test_containment_max_token_df_guard(spark):
     # with shingles of df>3 dropped, only the distinct tails remain -> no pairs
     assert len(full) > 0
     assert guarded == []
+
+
+def test_novelty_scores_hand_case(spark):
+    """Novelty fractions on engineered overlap: fully-seen doc -> 0.0,
+    fully-novel doc -> 1.0, half-overlap in between; shingle-less docs
+    are excluded."""
+    seen = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # identical: novelty 0
+            (2, "one two three four five six"),          # disjoint: novelty 1
+            # 4 shingles: 'gamma delta epsilon' + 'delta epsilon zeta' seen,
+            # 'epsilon zeta nine' + 'zeta nine ten' novel
+            (3, "gamma delta epsilon zeta nine ten"),
+            (4, "too short"),                            # <3 words: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in DD.novelty_scores(new, seen, "doc_id", "text", ngram=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["novelty_frac"] == 0.0 and got[1]["n_seen"] == 4
+    assert got[2]["novelty_frac"] == 1.0 and got[2]["n_seen"] == 0
+    assert got[3]["n_shingles"] == 4 and got[3]["n_seen"] == 2
+    assert got[3]["novelty_frac"] == 0.5
