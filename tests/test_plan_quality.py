@@ -364,3 +364,35 @@ def test_exchange_output_walker_detects_wide_shuffle(spark):
     ).repartition(4, "image_id")
     exchanges = _exchange_output_columns(imgs.select("image_id", "bytes"))
     assert any("bytes" in cols for cols in exchanges), exchanges
+
+
+def test_corpus_audit_ops_are_single_agg_jvm_only(spark):
+    """encoding_audit / pii_density / decision_eval compile to one
+    hash-aggregate pair (partial+final) over a codegen projection — no UDF,
+    no join, no window, no extra shuffle."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    for name in (
+        "encoding_audit_documents",
+        "pii_density_documents",
+        "keep_eval_documents",
+    ):
+        plan = _plan(EQ.queries()[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name  # Batch/ArrowEvalPython
+        assert "Join" not in plan and "Window" not in plan, name
+        # one partial+final agg pair on the group key (plus nothing else);
+        # the trailing orderBy is driver-sized (≤|langs| rows)
+        assert plan.count("HashAggregate") == 2, (name, plan.count("HashAggregate"))
+
+
+def test_novelty_seen_side_shuffles_fingerprints_only(spark):
+    """novelty_scores: every exchange carries ids/fingerprints/flags — the
+    raw text and shingle strings never shuffle."""
+    from data_quality_check_spark import entry_queries as EQ
+
+    df = EQ.queries()["novelty_scores_documents"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    for cols in _exchange_output_columns(df):
+        joined = ",".join(c.lower() for c in cols)
+        assert "text" not in joined and "tok" not in joined, cols
