@@ -2894,10 +2894,15 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # artifact path: the seen side reads the SAME scratch-cached warehouse as
+    # dedup_incremental_documents (persisted `toks` rows — the corpus text is
+    # never re-tokenized); the oracle recomputes from raw text, so the gate
+    # also pins artifact-path ≡ recompute equivalence driver-side
     return DD.novelty_scores(
         docs.filter(F.col("doc_id") % 4 == 0),
-        docs.filter(F.col("doc_id") % 4 != 0),
+        None,
         "doc_id",
         "text",
         ngram=_SHINGLE_N,
+        seen_artifacts=_seen_corpus_artifacts(spark, sf_dir),
     )

@@ -405,10 +405,12 @@ _FP60_DUCK = "CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
 
 def novelty_scores(
     new_df: DataFrame,
-    seen_df: DataFrame,
+    seen_df: DataFrame | None,
     id_col: str,
     text_col: str,
     ngram: int = 3,
+    seen_artifacts: "SeenCorpusArtifacts | None" = None,
+    exclude_token: str | None = None,
 ) -> DataFrame:
     """Per-NEW-document novelty vs an already-curated SEEN corpus: what
     fraction of each doc's distinct shingles has never been seen before
@@ -428,15 +430,34 @@ def novelty_scores(
     distinct-fingerprint aggregate, and the membership check is a fingerprint
     hash join + per-doc agg: increment×1 work against a seen table that a
     recurring pipeline persists once and appends to — the same artifact shape
-    as `SeenCorpusArtifacts` (a distinct-shingle table slots in beside the
-    doc-fingerprint and band tables)."""
+    as `SeenCorpusArtifacts` — and passing `seen_artifacts=` does exactly
+    that: the seen side reads the artifacts' persisted `toks` table (the
+    `_shingle_base` rows `dedup_incremental` already maintains), so the raw
+    corpus text is never re-read or re-tokenized; the per-run cost is the
+    increment plus one narrow scan of the persisted shingle rows.
+    `exclude_token` carries the same crashed-attempt semantics as
+    `dedup_incremental`'s."""
     new_toks = (
         _tokens(new_df, id_col, text_col, ngram)
         .select("id", F.expr(_FP60_SPARK).alias("fp"))
     )
+    if seen_artifacts is not None:
+        # ngram must match the artifacts' tokenization or fingerprints are
+        # incomparable; num_hashes/bands are irrelevant here but ride the
+        # same config check (the meta row is the commit marker anyway)
+        seen_artifacts.check_config(
+            seen_artifacts.num_hashes, seen_artifacts.bands, ngram
+        )
+        toks = seen_artifacts.io.read(seen_artifacts._t("toks"))
+        if exclude_token is not None and "_token" in toks.columns:
+            toks = toks.filter(
+                ~F.col("_token").eqNullSafe(F.lit(exclude_token))
+            )
+        seen_tok_rows = toks.select(F.explode("toks").alias("tok"))
+    else:
+        seen_tok_rows = _tokens(seen_df, id_col, text_col, ngram).select("tok")
     seen_fps = (
-        _tokens(seen_df, id_col, text_col, ngram)
-        .select(F.expr(_FP60_SPARK).alias("fp"))
+        seen_tok_rows.select(F.expr(_FP60_SPARK).alias("fp"))
         .distinct()
         .withColumn("_seen", F.lit(True))
     )

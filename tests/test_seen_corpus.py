@@ -334,3 +334,29 @@ def test_compact_absorbs_orphan_only_buckets_under_dynamic_overwrite(spark, corp
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_novelty_artifact_path_matches_recompute(spark, corpus):
+    """novelty_scores(seen_artifacts=) must return exactly the recompute
+    path's rows while never scanning the seen corpus' own files."""
+    seen_df, seen_path, art = corpus
+    new_df = _df(spark, _new_rows())
+    recompute = DD.novelty_scores(new_df, seen_df, "doc_id", "text", ngram=1)
+    via_art = DD.novelty_scores(
+        new_df, None, "doc_id", "text", ngram=1, seen_artifacts=art
+    )
+    assert _decisions(recompute) == _decisions(via_art)
+    files = via_art.inputFiles()
+    assert files and not any(seen_path in f for f in files)
+    # fully-seen doc scores 0, fully-novel docs score 1
+    got = {r["doc_id"]: r["novelty_frac"] for r in via_art.collect()}
+    assert got[200] == 0.0 and got[201] == 1.0
+
+
+def test_novelty_artifact_ngram_mismatch_refused(spark, corpus):
+    _, _, art = corpus  # artifacts built at ngram=1
+    new_df = _df(spark, _new_rows())
+    with pytest.raises(ValueError, match="ngram"):
+        DD.novelty_scores(
+            new_df, None, "doc_id", "text", ngram=3, seen_artifacts=art
+        ).collect()
