@@ -2906,3 +2906,25 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=_SHINGLE_N,
         seen_artifacts=_seen_corpus_artifacts(spark, sf_dir),
     )
+
+
+# ───────────── vocabulary drift between snapshots (drift.vocab_drift):
+# token-distribution PSI over the union top-k + <other> residual — the
+# vocabulary-level shift monitor beside the categorical/numeric/profile
+# drift family, over the same early/late split as the PSI gates (source
+# column stands in for snapshots: src0+src1 vs the rest — a real mix shift,
+# so psi_terms are meaningfully nonzero). ─────────────
+_VOCAB_DRIFT_A_SQL = "(SELECT text FROM documents WHERE source IN ('src0','src1'))"
+_VOCAB_DRIFT_B_SQL = "(SELECT text FROM documents WHERE source NOT IN ('src0','src1') OR source IS NULL)"
+
+
+@register(
+    "vocab_drift_documents",
+    DR.vocab_drift_sql(_VOCAB_DRIFT_A_SQL, _VOCAB_DRIFT_B_SQL, "text", k=40),
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    in_a = F.col("source").isin("src0", "src1")
+    return DR.vocab_drift(
+        docs.filter(in_a), docs.filter(~F.coalesce(in_a, F.lit(False))), "text", k=40
+    )

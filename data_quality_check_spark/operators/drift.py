@@ -59,6 +59,13 @@ def _psi_rows(ca: DataFrame, cb: DataFrame, col: str) -> DataFrame:
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
         F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
+    return _psi_terms(j, col)
+
+
+def _psi_terms(j: DataFrame, col: str) -> DataFrame:
+    """Smoothed PSI contributions from a joined (category, n_a, n_b) frame —
+    the shared tail of every categorical PSI variant (+1/+k Laplace
+    smoothing, 6-dp round, broadcast 1-row totals)."""
     tot = j.agg(
         F.sum("n_a").alias("_ta"),
         F.sum("n_b").alias("_tb"),
@@ -103,6 +110,103 @@ SELECT {col}, n_a, n_b,
              * ln((CAST(n_a + 1 AS DOUBLE) / (ta + k))
                   / (CAST(n_b + 1 AS DOUBLE) / (tb + k))), 6) AS psi_term
 FROM j, tot
+"""
+
+
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: smoothed PSI
+    contributions over the union top-`k` tokens plus an `<other>` residual
+    bucket — the vocabulary-level shift monitor (a topic/source/spam change
+    moves the token mix long before per-column profiles notice). Standard
+    top-k-plus-residual construction so the category space is bounded and
+    comparable run-to-run.
+
+    Output: (token, n_a, n_b, p_a, p_b, psi_term), ≤ k+1 rows; the top-k set
+    is chosen by combined count with (count DESC, token ASC) tie-break, so
+    the k-boundary is deterministic across engines and partitionings.
+    Σ psi_term is the headline PSI.
+
+    Scale: two map-side-combined token-count aggs (Zipf head absorbed by
+    partial aggregation, the `top_tokens` argument), a vocab-sized full-outer
+    count join, TakeOrdered k rows to the driver, then a BROADCAST k-token
+    semi-classification and a ≤k+1-key re-agg — the corpus never shuffles
+    more than its distinct-token counts, and category rows stay K-sized
+    whatever the corpus."""
+    from data_quality_check_spark.operators.vocab import TOKEN_RE
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        toks = df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+            ).alias("token")
+        )
+        return toks.groupBy("token").agg(F.count(F.lit(1)).alias(alias))
+
+    j = (
+        counts(df_a, "n_a")
+        .join(counts(df_b, "n_b"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    topk = (
+        j.orderBy((F.col("n_a") + F.col("n_b")).desc(), F.col("token").asc())
+        .limit(k)
+        .select("token")
+    )
+    classified = j.join(F.broadcast(topk.withColumn("_top", F.lit(True))), "token", "left").select(
+        F.when(F.col("_top"), F.col("token")).otherwise(F.lit("<other>")).alias("token"),
+        "n_a",
+        "n_b",
+    )
+    cats = classified.groupBy("token").agg(
+        F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b")
+    )
+    return _psi_terms(cats, "token")
+
+
+def vocab_drift_sql(rel_a: str, rel_b: str, text_col: str, k: int = 50) -> str:
+    """DuckDB oracle twin of `vocab_drift` (same tokenizer subset, same
+    deterministic top-k tie-break, same smoothing)."""
+    from data_quality_check_spark.operators.vocab import TOKEN_RE
+
+    def counts(rel: str, alias: str) -> str:
+        return f"""(
+  SELECT token, count(*) AS {alias} FROM (
+    SELECT unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}')) AS token
+    FROM {rel}
+  ) GROUP BY token
+)"""
+
+    return f"""
+WITH j AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM {counts(rel_a, 'n_a')} ca FULL JOIN {counts(rel_b, 'n_b')} cb
+       ON ca.token = cb.token
+),
+topk AS (SELECT token FROM j ORDER BY n_a + n_b DESC, token ASC LIMIT {k}),
+cats AS (
+  SELECT CASE WHEN t.token IS NOT NULL THEN j.token ELSE '<other>' END AS token,
+         CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b
+  FROM j LEFT JOIN topk t ON j.token = t.token
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+         count(*) AS kk
+  FROM cats
+)
+SELECT token, n_a, n_b,
+       round(CAST(n_a + 1 AS DOUBLE) / (ta + kk), 6) AS p_a,
+       round(CAST(n_b + 1 AS DOUBLE) / (tb + kk), 6) AS p_b,
+       round((CAST(n_a + 1 AS DOUBLE) / (ta + kk)
+              - CAST(n_b + 1 AS DOUBLE) / (tb + kk))
+             * ln((CAST(n_a + 1 AS DOUBLE) / (ta + kk))
+                  / (CAST(n_b + 1 AS DOUBLE) / (tb + kk))), 6) AS psi_term
+FROM cats, tot
 """
 
 

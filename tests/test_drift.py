@@ -323,3 +323,26 @@ def test_numeric_drift_frozen_edges_clamp_and_stability(spark):
     assert out[0]["n_a"] == 3  # -5 clamps into bin 0 alongside 0 and 1
     assert out[3]["n_b"] == 1  # 25 clamps into the top bin
     assert out[0]["lo"] == 0.0 and out[3]["hi"] == 8.0
+
+
+def test_vocab_drift_topk_and_residual(spark):
+    """Union top-k selection, <other> residual, and identical-corpus zero
+    drift."""
+    from data_quality_check_spark.operators import drift as DR
+
+    a = spark.createDataFrame(
+        [("alpha alpha beta gamma",), ("alpha delta",)], ["text"]
+    )
+    b = spark.createDataFrame(
+        [("alpha beta beta epsilon",), ("zeta zeta zeta",)], ["text"]
+    )
+    out = {r["token"]: r.asDict() for r in DR.vocab_drift(a, b, "text", k=3).collect()}
+    # combined counts: alpha 4, beta 3, zeta 3, gamma/delta/epsilon 1 each;
+    # ties at 3 break token-asc -> topk = {alpha, beta, zeta}
+    assert set(out) == {"alpha", "beta", "zeta", "<other>"}
+    assert (out["alpha"]["n_a"], out["alpha"]["n_b"]) == (3, 1)
+    assert (out["<other>"]["n_a"], out["<other>"]["n_b"]) == (2, 1)
+    # identical corpora -> every psi_term is 0
+    same = DR.vocab_drift(a, a, "text", k=3).collect()
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert all(r["p_a"] == r["p_b"] for r in same)
