@@ -2841,12 +2841,13 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and withholds both on 1/41 of docs to exercise the NULL-exclusion
 # (`n_unlabeled`) policy; F1 comes straight from the integer cells, one IEEE
 # division in both engines. ─────────────
-_EVAL_PRED_SQL = (
-    "CASE WHEN doc_id % 41 = 0 OR text IS NULL THEN NULL "
+_EVAL_PRED_SQL = (  # doc_id IS NULL joins the withheld branch: Spark's
+    # NULL%41==0 is NULL, so F.when yields NULL pred/label — the twin must too
+    "CASE WHEN doc_id IS NULL OR doc_id % 41 = 0 OR text IS NULL THEN NULL "
     f"ELSE ({TX.token_count_sql('text')}) >= 45 END"
 )
 _EVAL_LABEL_SQL = (
-    "CASE WHEN doc_id % 41 = 0 OR text IS NULL THEN NULL "
+    "CASE WHEN doc_id IS NULL OR doc_id % 41 = 0 OR text IS NULL THEN NULL "
     "ELSE n_chars >= 250 END"
 )
 

@@ -120,14 +120,27 @@ def make_scrub_udf():
 
 # ─────────────────── PII density audit (count, don't rewrite) ───────────────────
 
-# class name per replacement token — the audit reports per-CLASS totals, and
-# deriving the grouping from SCRUB_PATTERNS means a pattern added to the scrub
-# automatically joins the audit (they cannot drift).
-_CLASS_OF = {"[EMAIL]": "email", "[PHONE]": "phone", "[TOXIC]": "toxic"}
-PII_CLASSES: list[tuple[str, list[str]]] = [
-    (cls, [p for p, r in SCRUB_PATTERNS if _CLASS_OF[r] == cls])
-    for cls in ("email", "phone", "toxic")
-]
+# class name per replacement token ('[EMAIL]' → 'email') — the audit reports
+# per-CLASS totals, and deriving BOTH the class names and the grouping from
+# SCRUB_PATTERNS means any pattern added to the scrub — including one with a
+# brand-new token like '[SSN]' — automatically joins the audit (they cannot
+# drift, and a new class can never crash the module).
+def _pii_class(repl: str) -> str:
+    return repl.strip("[]").lower()
+
+
+def _pii_classes() -> list[tuple[str, list[str]]]:
+    ordered: list[str] = []
+    for _, r in SCRUB_PATTERNS:
+        c = _pii_class(r)
+        if c not in ordered:
+            ordered.append(c)
+    return [
+        (c, [p for p, r in SCRUB_PATTERNS if _pii_class(r) == c]) for c in ordered
+    ]
+
+
+PII_CLASSES: list[tuple[str, list[str]]] = _pii_classes()
 
 
 def pii_counts_text(s: str | None) -> dict[str, int]:
@@ -139,7 +152,7 @@ def pii_counts_text(s: str | None) -> dict[str, int]:
     if s is None:
         return out
     for (rx, repl) in _COMPILED:
-        out[_CLASS_OF[repl]] += sum(1 for _ in rx.finditer(s))
+        out[_pii_class(repl)] += sum(1 for _ in rx.finditer(s))
     return out
 
 
@@ -154,37 +167,18 @@ def pii_density(df, text_col: str = "text", group_col: str = "lang"):
 
     Scale: per-class counts are JVM `regexp_count` sums in ONE codegen
     projection folded by ONE map-side-combined agg on the group key — the
-    encoding_audit shape; no UDF, K×|groups| shuffle. The oracle is the
-    compiled-`re` golden (the patterns use ASCII lookarounds Java and python
-    share but RE2 lacks — same contract as scrub_sql)."""
+    `grouped_marker_audit` scaffold shared with encoding_audit; no UDF,
+    K×|groups| shuffle. The oracle is the compiled-`re` golden (the patterns
+    use ASCII lookarounds Java and python share but RE2 lacks — same contract
+    as scrub_sql)."""
+    from data_quality_check_spark.operators.encoding import grouped_marker_audit
+
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    counts = {
-        cls: sum((F.regexp_count(c, F.lit(p)) for p in pats), F.lit(0))
+    counts = [
+        (cls, sum((F.regexp_count(c, F.lit(p)) for p in pats), F.lit(0)))
         for cls, pats in PII_CLASSES
-    }
-    proj = df.select(
-        F.col(group_col).alias("grp"),
-        *[cnt.alias(f"_{cls}") for cls, cnt in counts.items()],
-    )
-    any_hit = None
-    for cls, _ in PII_CLASSES:
-        cond = F.col(f"_{cls}") > 0
-        any_hit = cond if any_hit is None else (any_hit | cond)
-    aggs = [F.count(F.lit(1)).alias("n_docs")]
-    for cls, _ in PII_CLASSES:
-        aggs.append(F.sum(f"_{cls}").cast("bigint").alias(f"{cls}_hits"))
-        aggs.append(F.sum((F.col(f"_{cls}") > 0).cast("bigint")).alias(f"{cls}_docs"))
-    aggs.append(F.sum(any_hit.cast("bigint")).alias("pii_docs"))
-    return (
-        proj.groupBy("grp")
-        .agg(*aggs)
-        .select(
-            F.col("grp").alias(group_col),
-            "n_docs",
-            *[f"{cls}_{k}" for cls, _ in PII_CLASSES for k in ("hits", "docs")],
-            "pii_docs",
-            F.round(F.col("pii_docs") / F.col("n_docs"), 6).alias("pii_doc_frac"),
-        )
-        .orderBy(group_col)
+    ]
+    return grouped_marker_audit(
+        df, group_col, counts, "hits", "pii_docs", "pii_doc_frac"
     )

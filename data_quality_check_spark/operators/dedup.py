@@ -267,6 +267,40 @@ def _tokens(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFr
     )
 
 
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    max_token_df: int | None,
+) -> DataFrame:
+    """Shared exact-pair candidate core of `jaccard_pairs` and
+    `containment_pairs`: (id_a, id_b, inter, sz_a, sz_b) for every pair
+    sharing ≥1 shingle — one explode, optional hot-shingle prefix filter, one
+    tok-key self-join, one pair-key aggregate, two size joins. The measure
+    (Jaccard / containment) is the only thing callers add, so a fix to this
+    shape can never fork between them."""
+    toks = _tokens(df, id_col, text_col, ngram)
+    if max_token_df:
+        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    # not pinned: the exploded token table is wide and cheap to recompute
+    # (JVM split+explode); caching it costs more than the 3x recompute
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -283,24 +317,8 @@ def jaccard_pairs(
     `ngram=3`: n-gram shingles keep the shared-shingle pair count near-linear
     where raw word sets go quadratic on vocabulary-limited corpora.
     """
-    toks = _tokens(df, id_col, text_col, ngram)
-    if max_token_df:
-        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
-        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
-    # not pinned: the exploded token table is wide and cheap to recompute
-    # (JVM split+explode); caching it costs more than the 3x recompute
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    return (
+        _pair_intersections(df, id_col, text_col, ngram, max_token_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -312,13 +330,11 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
-def jaccard_pairs_sql(
-    table: str, id_col: str, text_col: str, threshold: float = 0.6, ngram: int = 1
-) -> str:
-    """DuckDB oracle twin of `jaccard_pairs` (no max_token_df)."""
+def _pair_intersections_cte(table: str, id_col: str, text_col: str, ngram: int) -> str:
+    """Shared CTE scaffold of the exact-pair SQL twins (DuckDB side of
+    `_pair_intersections`): toks / sizes / inter."""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
@@ -330,7 +346,14 @@ inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
   FROM toks a JOIN toks b USING (tok)
   WHERE a.id < b.id GROUP BY a.id, b.id
-)
+)"""
+
+
+def jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, threshold: float = 0.6, ngram: int = 1
+) -> str:
+    """DuckDB oracle twin of `jaccard_pairs` (no max_token_df)."""
+    return f"""{_pair_intersections_cte(table, id_col, text_col, ngram)}
 SELECT id_a, id_b,
        round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter
@@ -365,21 +388,8 @@ def containment_pairs(
     candidate stage (Shrivastava & Li 2013-style padding to equalize set
     sizes) confirmed by this exact measure.
     """
-    toks = _tokens(df, id_col, text_col, ngram)
-    if max_token_df:
-        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
-        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        _pair_intersections(df, id_col, text_col, ngram, max_token_df)
         .withColumn(
             "containment",
             F.round(
@@ -448,12 +458,11 @@ def novelty_scores(
         seen_artifacts.check_config(
             seen_artifacts.num_hashes, seen_artifacts.bands, ngram
         )
-        toks = seen_artifacts.io.read(seen_artifacts._t("toks"))
-        if exclude_token is not None and "_token" in toks.columns:
-            toks = toks.filter(
-                ~F.col("_token").eqNullSafe(F.lit(exclude_token))
-            )
-        seen_tok_rows = toks.select(F.explode("toks").alias("tok"))
+        # the class reader owns the table layout and the crashed-attempt
+        # exclusion semantics — same access path as dedup_incremental
+        seen_tok_rows = seen_artifacts.shingles(exclude_token).select(
+            F.explode("toks").alias("tok")
+        )
     else:
         seen_tok_rows = _tokens(seen_df, id_col, text_col, ngram).select("tok")
     seen_fps = (
@@ -508,18 +517,7 @@ def containment_pairs_sql(
     table: str, id_col: str, text_col: str, threshold: float = 0.8, ngram: int = 1
 ) -> str:
     """DuckDB oracle twin of `containment_pairs` (no max_token_df)."""
-    return f"""
-WITH toks AS (
-  SELECT {id_col} AS id,
-         unnest({shingles_sql(text_col, ngram)}) AS tok
-  FROM {table}
-),
-sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM toks a JOIN toks b USING (tok)
-  WHERE a.id < b.id GROUP BY a.id, b.id
-)
+    return f"""{_pair_intersections_cte(table, id_col, text_col, ngram)}
 SELECT id_a, id_b,
        round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
        round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard

@@ -244,12 +244,20 @@ def _validate_bucket_layout(raw: DataFrame, num_buckets: int) -> None:
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
     path = os.path.join(checkpoint_dir, "manifest")
-    # fresh-run fast path: a missing LOCAL manifest dir is the normal first-run
-    # case — skip the doomed read so Spark's ExecutionListenerBus doesn't log a
-    # PATH_NOT_FOUND ERROR per fresh run. Schemed URIs (hdfs://, s3a://) can't
-    # be probed with os.path and still take the try/except path.
-    if "://" not in path and not os.path.exists(path):
-        return []
+    # fresh-run fast path: a missing manifest is the normal first-run case —
+    # skip the doomed read so Spark's ExecutionListenerBus doesn't log a
+    # PATH_NOT_FOUND ERROR per fresh run. Existence is probed through Hadoop's
+    # FileSystem (NOT os.path), so a schemeless path resolves against
+    # fs.defaultFS exactly as spark.read would — an HDFS manifest stays
+    # visible. Any probe failure falls through to the read attempt.
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+    except Exception:
+        pass
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
         return sorted(r["bucket"] for r in rows)
