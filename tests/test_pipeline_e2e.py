@@ -968,3 +968,35 @@ def test_assign_aspect_buckets_rides_the_pass(
 
     recomputed = kept.apply(lambda r: expect(r["w"], r["h"]), axis=1)
     assert (kept["aspect_bucket"] == recomputed).all()
+
+
+def test_decision_eval_operator_agrees_with_python_f1(spark, golden, pipeline_out):
+    """The distributed decision_eval operator, fed the pipeline's keep
+    decisions against the golden labels, must reproduce the pandas-side
+    confusion arithmetic of test_keep_f1_and_caption_equality exactly — the
+    north rule's F1 measurement as an operator, closed against its
+    independent recomputation."""
+    from data_quality_check_spark.operators.curation import decision_eval
+
+    out, _, _ = pipeline_out
+    kept_ids = {
+        r["image_id"]
+        for r in spark.read.parquet(os.path.join(out, "filtered"))
+        .select("image_id")
+        .collect()
+    }
+    g = golden.drop_duplicates(subset=["image_id"])
+    rows = [
+        (iid, iid in kept_ids, bool(keep))
+        for iid, keep in zip(g["image_id"], g["keep"])
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "pred", "label"])
+    ev = decision_eval(df, "pred", "label").collect()[0].asDict()
+
+    want_ids = set(g[g["keep"]]["image_id"])
+    tp = len(kept_ids & want_ids)
+    fp = len(kept_ids - want_ids)
+    fn = len(want_ids - kept_ids)
+    assert (ev["tp"], ev["fp"], ev["fn"]) == (tp, fp, fn)
+    assert ev["n_unlabeled"] == 0
+    assert ev["f1"] == 1.0  # same kernels both sides — exact agreement
