@@ -275,29 +275,64 @@ def _pair_intersections(
     max_token_df: int | None,
 ) -> DataFrame:
     """Shared exact-pair candidate core of `jaccard_pairs` and
-    `containment_pairs`: (id_a, id_b, inter, sz_a, sz_b) for every pair
-    sharing ≥1 shingle — one explode, optional hot-shingle prefix filter, one
-    tok-key self-join, one pair-key aggregate, two size joins. The measure
-    (Jaccard / containment) is the only thing callers add, so a fix to this
-    shape can never fork between them."""
-    toks = _tokens(df, id_col, text_col, ngram)
-    if max_token_df:
-        hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
-        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
-    # not pinned: the exploded token table is wide and cheap to recompute
-    # (JVM split+explode); caching it costs more than the 3x recompute
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
+    `containment_pairs`: (id_a, id_b, inter, sz_a, sz_b) for candidate pairs.
+    The measure (Jaccard / containment) is the only thing callers add, so a
+    fix to this shape can never fork between them.
+
+    Default path (`max_token_df=None`): every pair sharing ≥1 shingle — one
+    explode, one tok-key self-join, one pair-key aggregate, two size joins.
+
+    Prefix-filtered path: CANDIDATE GENERATION skips shingles appearing in
+    more than `max_token_df` docs (classic prefix filtering — a pair sharing
+    only stop-shingles is never considered, documented recall loss), but the
+    measures are then computed on the FULL shingle sets via an array-
+    intersect confirm, so every emitted pair carries its exact value. (The
+    naive alternative — dropping hot shingles from the sets themselves —
+    silently INFLATES containment: smaller denominators; measured 256 → 659
+    false ≥0.9 pairs on the sf0.1 fixture at cap 8.)"""
+    if not max_token_df:
+        toks = _tokens(df, id_col, text_col, ngram)
+        # not pinned: the exploded token table is wide and cheap to recompute
+        # (JVM split+explode); caching it costs more than the 3x recompute
+        sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a = toks.alias("a")
+        b = toks.alias("b")
+        inter = (
+            a.join(b, "tok")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+                "id_a",
+            ).join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+                "id_b",
+            )
+        )
+    base = _shingle_base(df, id_col, text_col, ngram)
+    toks = base.select("id", F.explode("toks").alias("tok"))
+    hot = toks.groupBy("tok").count().filter(F.col("count") > max_token_df).select("tok")
+    rare = toks.join(F.broadcast(hot), "tok", "left_anti")
+    a, b = rare.alias("a"), rare.alias("b")
+    cands = (
         a.join(b, "tok")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cands.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
+        .join(base.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("inter"),
+            F.size("ta").cast("bigint").alias("sz_a"),
+            F.size("tb").cast("bigint").alias("sz_b"),
+        )
     )
 
 
@@ -311,11 +346,14 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold (exact).
 
-    Token-join shape: |pairs sharing ≥1 shingle| intermediate rows. `max_token_df`
-    drops shingles appearing in more than N docs (stop-token skew guard) — classic
-    prefix-filtering; disabled by default to stay oracle-exact. At web scale use
-    `ngram=3`: n-gram shingles keep the shared-shingle pair count near-linear
-    where raw word sets go quadratic on vocabulary-limited corpora.
+    Token-join shape: |pairs sharing ≥1 shingle| intermediate rows.
+    `max_token_df` restricts CANDIDATE GENERATION to shingles appearing in at
+    most N docs (classic prefix filtering — stop-shingle skew guard with
+    documented recall loss for pairs sharing only hot shingles); emitted
+    pairs always carry their exact full-set Jaccard (`_pair_intersections`).
+    Disabled by default to stay oracle-complete. At web scale use `ngram=3`:
+    n-gram shingles keep the shared-shingle pair count near-linear where raw
+    word sets go quadratic on vocabulary-limited corpora.
     """
     return (
         _pair_intersections(df, id_col, text_col, ngram, max_token_df)

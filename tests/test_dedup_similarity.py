@@ -983,9 +983,38 @@ def test_containment_max_token_df_guard(spark):
         df, "doc_id", "text", 0.7, max_token_df=3, ngram=3
     ).collect()
     # every doc shares the boilerplate shingles -> full sees high containment;
-    # with shingles of df>3 dropped, only the distinct tails remain -> no pairs
+    # with candidate generation restricted to shingles of df<=3, docs sharing
+    # ONLY boilerplate produce no candidates -> no pairs (documented recall
+    # loss; never inflated measures)
     assert len(full) > 0
     assert guarded == []
+
+
+def test_containment_prefix_filter_never_distorts_measures(spark):
+    """Pairs that DO survive the prefix filter must carry the identical
+    full-set containment/jaccard as the unfiltered run — the filter may only
+    drop pairs, never change values (classic prefix-filter semantics)."""
+    rows = [
+        (1, "common base words here plus alpha beta gamma delta"),
+        (2, "common base words here plus alpha beta gamma epsilon"),
+        (3, "common base words here plus zeta eta theta iota"),
+        (4, "totally different content with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs(df, "doc_id", "text", 0.5, ngram=3).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs(
+            df, "doc_id", "text", 0.5, max_token_df=2, ngram=3
+        ).collect()
+    }
+    assert guarded, "rare-shingle pairs must survive the filter"
+    for pair, vals in guarded.items():
+        assert full[pair] == vals, (pair, full[pair], vals)
+    assert set(guarded) <= set(full)
 
 
 def test_novelty_scores_hand_case(spark):
