@@ -2929,3 +2929,24 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.vocab_drift(
         docs.filter(in_a), docs.filter(~F.coalesce(in_a, F.lit(False))), "text", k=40
     )
+
+
+# ───────────── per-format decode-health audit (multimodal.decode_health):
+# the pre-flight between "crawler wrote bytes" and any pixel-touching stage,
+# over the synthetic image-bytes table with DETERMINISTIC planted corruption
+# (1/9 truncated below the header, else 1/13 loses its magic byte) applied
+# identically in both engines — binary substring surgery in Spark, slicing in
+# the python twin. All outputs exact int64. ─────────────
+@register("decode_health_images", lambda: _OR.decode_health_sql(ORACLE_SF_DIR))
+def q_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_check_spark.functions.multimodal import decode_health
+    from data_quality_check_spark.gate_fixtures import synthetic_image_bytes_df
+
+    imgs = synthetic_image_bytes_df(t(spark, sf_dir, "documents"))
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") % 9 == 0, F.expr("substring(bytes, 1, 8)"))
+        .when(F.col("image_id") % 13 == 0, F.expr("substring(bytes, 2, length(bytes))"))
+        .otherwise(F.col("bytes")),
+    )
+    return decode_health(corrupted, "bytes", "fmt")

@@ -214,3 +214,44 @@ def resize_udf(target: int = 8, fmt: str = "png"):
             yield pd.Series(out)
 
     return _resize
+
+
+def decode_health(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Per-format decode-health audit over an encoded-image table: how much
+    of each format's slice actually decodes — the pre-flight between "crawler
+    wrote bytes" and any pixel-touching stage (a corrupt-shard or
+    codec-version problem shows up as one format's decode rate cratering,
+    and every later stage mis-spends cluster time re-discovering it row by
+    row).
+
+    Output per `fmt_col`: (fmt, n_images, n_decode_ok, n_decode_failed,
+    total_pixels) with total_pixels = Σ decoded w·h over the OK rows —
+    all exact int64, so the audit is value-hashable cross-engine.
+
+    Scale: ONE Arrow decode projection (`decode_check_udf` — bytes are read
+    map-side and never shuffled; only the struct of per-row results survives)
+    folded by ONE map-side-combined agg on the ≤|formats| key. The decode
+    UDF is marked nondeterministic for the same optimizer-fence reason as
+    `with_decode_check`."""
+    dec = decode_check_udf.asNondeterministic()(F.col(bytes_col))
+    proj = df.select(F.col(fmt_col).alias("fmt"), dec.alias("_dec"))
+    ok = F.col("_dec.decode_ok")
+    return (
+        proj.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(ok.cast("bigint")).alias("n_decode_ok"),
+            F.sum((~ok).cast("bigint")).alias("n_decode_failed"),
+            F.sum(
+                F.when(
+                    ok,
+                    F.col("_dec.dec_w").cast("bigint") * F.col("_dec.dec_h"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("total_pixels"),
+        )
+        .orderBy("fmt")
+    )

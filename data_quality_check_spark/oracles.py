@@ -197,6 +197,47 @@ def scrub_sql(sf_dir: str) -> str:
     return f"SELECT doc_id, scrubbed, changed FROM '{path}'"
 
 
+def decode_health_sql(sf_dir: str) -> str:
+    """Driver-process twin of the per-format decode-health audit: the shared
+    image_payload synthesis kernel + the SAME deterministic corruption the
+    gate query applies (1/9 truncated to 8 bytes, else 1/13 first byte
+    dropped), decoded with codecs.decode, per-image rows materialized to
+    scratch parquet; the per-format aggregation runs as genuine DuckDB SQL.
+    Every output is exact int64 (counts + decoded-pixel sums)."""
+    from data_quality_check_spark.gate_fixtures import synthetic_image_bytes_pdf
+    from data_quality_check_spark.pipeline import codecs
+
+    ids = _read_cols(sf_dir, "documents", ["doc_id"])["doc_id"].to_numpy()
+    imgs = synthetic_image_bytes_pdf(ids)
+
+    def corrupt(i: int, b: bytes) -> bytes:
+        if i % 9 == 0:
+            return b[:8]
+        if i % 13 == 0:
+            return b[1:]
+        return b
+
+    rows = []
+    for i, b, fmt in zip(imgs["image_id"], imgs["bytes"], imgs["fmt"]):
+        arr = codecs.decode(corrupt(int(i), b))
+        rows.append(
+            (
+                fmt,
+                arr is not None,
+                0 if arr is None else int(arr.shape[0]) * int(arr.shape[1]),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["fmt", "ok", "pixels"])
+    path = _write_parquet(out, _scratch(sf_dir, "decode_health_golden.parquet"))
+    return f"""
+SELECT fmt, count(*) AS n_images,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_decode_failed,
+       CAST(sum(pixels) AS BIGINT) AS total_pixels
+FROM '{path}' GROUP BY fmt ORDER BY fmt
+"""
+
+
 def pii_density_sql(sf_dir: str) -> str:
     """Driver-process twin of the PII density audit (functions/scrub.py
     `pii_density`): per-doc per-class match counts from the pure-python

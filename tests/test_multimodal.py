@@ -478,3 +478,29 @@ def test_gopher_flags_plan_is_single_projection(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decode_health_counts_corruption_classes(spark):
+    """Truncated and magic-corrupted payloads fail decode; healthy ones
+    report exact pixel sums, per format."""
+    from data_quality_check_spark.functions.multimodal import decode_health
+    from data_quality_check_spark.gate_fixtures import image_payload
+
+    b0, f0 = image_payload(1)
+    b1, f1 = image_payload(2)
+    rows = [
+        (1, b0, f0),            # healthy
+        (2, b1[:8], f1),        # truncated below header -> fail
+        (3, b0[1:], f0),        # magic byte lost -> fail
+        (4, None, f0),          # NULL bytes -> fail
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary, fmt string")
+    got = {r["fmt"]: r.asDict() for r in decode_health(df).collect()}
+    total_ok = sum(g["n_decode_ok"] for g in got.values())
+    total_bad = sum(g["n_decode_failed"] for g in got.values())
+    assert (total_ok, total_bad) == (1, 3)
+    from data_quality_check_spark.pipeline import codecs
+
+    arr = codecs.decode(b0)
+    healthy_fmt = got[f0]
+    assert healthy_fmt["total_pixels"] == arr.shape[0] * arr.shape[1]
