@@ -236,10 +236,10 @@ def decode_health(
     UDF is marked nondeterministic for the same optimizer-fence reason as
     `with_decode_check`."""
     dec = decode_check_udf.asNondeterministic()(F.col(bytes_col))
-    proj = df.select(F.col(fmt_col).alias("fmt"), dec.alias("_dec"))
+    proj = df.select(F.col(fmt_col).alias("_grp"), dec.alias("_dec"))
     ok = F.col("_dec.decode_ok")
     return (
-        proj.groupBy("fmt")
+        proj.groupBy(F.col("_grp").alias(fmt_col))
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.sum(ok.cast("bigint")).alias("n_decode_ok"),
@@ -253,5 +253,5 @@ def decode_health(
             .cast("bigint")
             .alias("total_pixels"),
         )
-        .orderBy("fmt")
+        .orderBy(fmt_col)
     )

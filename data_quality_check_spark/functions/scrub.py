@@ -171,7 +171,7 @@ def pii_density(df, text_col: str = "text", group_col: str = "lang"):
     K×|groups| shuffle. The oracle is the compiled-`re` golden (the patterns
     use ASCII lookarounds Java and python share but RE2 lacks — same contract
     as scrub_sql)."""
-    from data_quality_check_spark.operators.encoding import grouped_marker_audit
+    from data_quality_check_spark.operators.audits import grouped_marker_audit
 
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))

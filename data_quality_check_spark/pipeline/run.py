@@ -257,6 +257,10 @@ def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> list[int]:
         if not fs.exists(hpath):
             return []
     except Exception:
+        # no classic-JVM gateway (Spark Connect) or a py4j hiccup: fall
+        # through to the read attempt. A local os.path probe here would be
+        # wrong for a schemeless path on an HDFS-defaultFS cluster (silent
+        # resume loss); the read is correct everywhere and only noisier.
         pass
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
