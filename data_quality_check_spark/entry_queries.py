@@ -2950,3 +2950,22 @@ def q_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("bytes")),
     )
     return decode_health(corrupted, "bytes", "fmt")
+
+
+# ───────────── ANN index-quality audit (similarity.topk_recall): per-query
+# recall of the SRP-LSH top-k against the exact brute-force top-k — the
+# pytest recall gate promoted to a driver-checked operator. Both inputs are
+# already-verified gate queries; the oracle composes their twins (exact SQL
+# and the driver-twin LSH oracle) through the same recall SQL. ─────────────
+@register(
+    "ann_recall_lsh_vs_exact",
+    lambda: SIM.topk_recall_sql(
+        _OR.ann_lsh_sql(k=_ANN_K, n_bits=8, dim=64), _ANN_SQL
+    ),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _ann_queries(spark, sf_dir)
+    approx = SIM.ann_lsh_topk(e, q, k=_ANN_K, n_bits=8)
+    exact = SIM.cosine_topk(e, q, k=_ANN_K)
+    return SIM.topk_recall(approx, exact)

@@ -879,3 +879,69 @@ def prototype_prune_candidates(
     return assigned.withColumn(
         "proto_rank", F.row_number().over(w)
     ).filter(F.col("proto_rank") <= m)
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact one —
+    the index-quality measurement an ANN deployment runs in CI and after every
+    index rebuild (the pytest recall assertions, promoted to a first-class
+    operator over arbitrary result tables). Inputs are two top-k frames in
+    the shared `_rerank_topk` shape (any frames with ({qid_col}, {id_col})
+    rows work — ranks/scores are ignored; membership is what recall sees).
+
+    Output per query: ({qid_col}, k_exact, hits, recall) with
+    recall = hits / k_exact (6-dp), sorted by query id. Queries the
+    approximate index returned NOTHING for (e.g. an empty LSH bucket) still
+    appear, with hits = 0 — silent misses are the whole point of the audit.
+
+    Scale: both inputs are already top-k-sized (|queries|·k rows), so every
+    join/agg here is K-sized whatever the underlying corpus — the expensive
+    parts happened inside the operators being compared."""
+    hits = (
+        exact.select(qid_col, id_col)
+        .join(approx.select(qid_col, id_col), [qid_col, id_col], "left_semi")
+        .groupBy(qid_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = exact.groupBy(qid_col).agg(F.count(F.lit(1)).alias("k_exact"))
+    return (
+        per_q.join(hits, qid_col, "left")
+        .select(
+            qid_col,
+            "k_exact",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.col("k_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy(qid_col)
+    )
+
+
+def topk_recall_sql(
+    approx_sql: str, exact_sql: str, qid_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle twin of `topk_recall`; the inputs are the two result
+    queries composed as subqueries (the repo's ANN twins are self-contained
+    SELECTs, so they nest directly)."""
+    return f"""
+WITH ex AS (SELECT {qid_col}, {id_col} FROM ({exact_sql})),
+ap AS (SELECT {qid_col}, {id_col} FROM ({approx_sql})),
+h AS (
+  SELECT ex.{qid_col}, count(*) AS hits
+  FROM ex SEMI JOIN ap USING ({qid_col}, {id_col})
+  GROUP BY ex.{qid_col}
+),
+kq AS (SELECT {qid_col}, count(*) AS k_exact FROM ex GROUP BY {qid_col})
+SELECT kq.{qid_col}, kq.k_exact,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / kq.k_exact, 6) AS recall
+FROM kq LEFT JOIN h ON kq.{qid_col} = h.{qid_col}
+ORDER BY kq.{qid_col}
+"""

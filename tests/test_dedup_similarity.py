@@ -1044,3 +1044,18 @@ def test_novelty_scores_hand_case(spark):
     assert got[2]["novelty_frac"] == 1.0 and got[2]["n_seen"] == 0
     assert got[3]["n_shingles"] == 4 and got[3]["n_seen"] == 2
     assert got[3]["novelty_frac"] == 0.5
+
+
+def test_topk_recall_hand_case(spark):
+    """Recall arithmetic incl. the empty-approx-bucket query."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)], ["query_id", "vec_id"]
+    )
+    approx = spark.createDataFrame(
+        # q1 perfect, q2 half (one wrong id), q3 returned nothing
+        [(1, 10), (1, 11), (2, 20), (2, 99)], ["query_id", "vec_id"]
+    )
+    got = {r["query_id"]: r.asDict() for r in SIM.topk_recall(approx, exact).collect()}
+    assert got[1]["recall"] == 1.0 and got[1]["hits"] == 2
+    assert got[2]["recall"] == 0.5 and got[2]["k_exact"] == 2
+    assert got[3]["recall"] == 0.0 and got[3]["hits"] == 0
