@@ -820,8 +820,12 @@ def score_threshold_sweep(df: DataFrame, score: F.Column, steps: int = 20) -> Da
     the total) runs on K = steps+2 rows. The cumulative sum is a window over
     those K rows — a single trivial task, NOT a window over the corpus.
     """
-    b = F.when(score.isNull() | (score < 0), F.lit(-1)).otherwise(
-        F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    b = F.when(
+        score.isNull() | (score < 0) | F.isnan(score.cast("double")), F.lit(-1)
+    ).otherwise(
+        # least BEFORE the int cast: +Inf (kept by every `score >= t` filter)
+        # clamps into the top bucket instead of failing the ANSI cast
+        F.least(F.floor(score * steps), F.lit(steps).cast("double")).cast("int")
     )
     hist = df.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
     ks = (
@@ -855,8 +859,8 @@ def score_threshold_sweep_sql(table: str, score_sql: str, steps: int = 20) -> st
     s = f"({score_sql})"
     return f"""
 WITH hist AS (
-  SELECT CASE WHEN {s} IS NULL OR {s} < 0 THEN -1
-              ELSE least(CAST(floor({s} * {steps}) AS INT), {steps}) END AS b,
+  SELECT CASE WHEN {s} IS NULL OR {s} < 0 OR isnan(CAST({s} AS DOUBLE)) THEN -1
+              ELSE CAST(least(floor({s} * {steps}), {steps}) AS INT) END AS b,
          count(*) AS n
   FROM {table} GROUP BY 1
 ),
@@ -892,8 +896,12 @@ def score_threshold_sweep_grouped(
     joins all run on K-row frames (K = groups × thresholds — the OUTPUT size,
     so nothing here exceeds what the caller asked to materialize).
     """
-    b = F.when(score.isNull() | (score < 0), F.lit(-1)).otherwise(
-        F.least(F.floor(score * steps).cast("int"), F.lit(steps))
+    b = F.when(
+        score.isNull() | (score < 0) | F.isnan(score.cast("double")), F.lit(-1)
+    ).otherwise(
+        # least BEFORE the int cast: +Inf (kept by every `score >= t` filter)
+        # clamps into the top bucket instead of failing the ANSI cast
+        F.least(F.floor(score * steps), F.lit(steps).cast("double")).cast("int")
     )
     hist = (
         df.select(F.col(group_col).alias("_g"), b.alias("b"))
@@ -939,8 +947,8 @@ def score_threshold_sweep_grouped_sql(
     return f"""
 WITH hist AS (
   SELECT {group_col} AS _g,
-         CASE WHEN {s} IS NULL OR {s} < 0 THEN -1
-              ELSE least(CAST(floor({s} * {steps}) AS INT), {steps}) END AS b,
+         CASE WHEN {s} IS NULL OR {s} < 0 OR isnan(CAST({s} AS DOUBLE)) THEN -1
+              ELSE CAST(least(floor({s} * {steps}), {steps}) AS INT) END AS b,
          count(*) AS n
   FROM {table} GROUP BY 1, 2
 ),

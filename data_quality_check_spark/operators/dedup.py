@@ -1251,13 +1251,20 @@ class SeenCorpusArtifacts:
                 # df.columns` turns nondeterministic and `exclude_token`/
                 # `compact` silently misjudge. compact() rewrites every table
                 # with the column, so it doubles as the one-time migration.
-                for t in (self._t("fp"), self._t("toks"), self._t("bands")):
-                    if "_token" not in self.io.read(t).columns:
-                        raise ValueError(
-                            f"seen-corpus table '{t}' predates provenance "
-                            "tokens; run compact() once to migrate its layout "
-                            "before appending"
-                        )
+                # probed once per instance: a tokened layout never reverts,
+                # so the first success makes every later append skip three
+                # table opens (per-micro-batch metadata IO on the streaming
+                # path) — compact() is the only migration and only ADDS the
+                # column
+                if not getattr(self, "_token_layout_verified", False):
+                    for t in (self._t("fp"), self._t("toks"), self._t("bands")):
+                        if "_token" not in self.io.read(t).columns:
+                            raise ValueError(
+                                f"seen-corpus table '{t}' predates provenance "
+                                "tokens; run compact() once to migrate its "
+                                "layout before appending"
+                            )
+                    self._token_layout_verified = True
                 self.io.append(fps, self._t("fp"))
                 self.io.append(
                     toks, self._t("toks"), bucket_col="id", num_buckets=self.toks_buckets

@@ -543,6 +543,27 @@ def neardup_clusters_lsh(
     return _clusters_from_pairs(pairs, id_col, max_iter)
 
 
+def _ivf_assigned(
+    df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """The ONE assigned-vectors projection both `ivf_build_index` and
+    `ivf_append_index` write: (id, v, nrm>0, cell NOT NULL) under the given
+    centroids. A single definition so the validity rules (norm hoisting,
+    zero-norm and NULL-cell exclusion) can never fork between the base build
+    and later appends — the build+append ≡ frozen-rebuild equivalence test
+    rests on them matching."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
+        .filter(F.col("cell").isNotNull())
+    )
+
+
 def ivf_build_index(
     io,
     df: DataFrame,
@@ -591,17 +612,11 @@ def ivf_build_index(
         spark.createDataFrame(cent_rows, "cell int, weights array<double>"),
         f"{name}.centroids",
     )
-    assigned = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
-        )
-        .filter(F.col("nrm") > 0)
-        .withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
-        .filter(F.col("cell").isNotNull())
+    io.overwrite(
+        _ivf_assigned(df, cents, id_col, vec_col),
+        f"{name}.vectors",
+        partition_by=["cell"],
     )
-    io.overwrite(assigned, f"{name}.vectors", partition_by=["cell"])
     return cents
 
 
@@ -626,17 +641,11 @@ def ivf_append_index(
     same vectors table and the same `ann_ivf_topk_indexed` answers as
     build(A∪B, centroids=frozen)."""
     cents = ivf_load_centroids(io, name)
-    assigned = (
-        new_df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
-        )
-        .filter(F.col("nrm") > 0)
-        .withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
-        .filter(F.col("cell").isNotNull())
+    io.append(
+        _ivf_assigned(new_df, cents, id_col, vec_col),
+        f"{name}.vectors",
+        partition_by=["cell"],
     )
-    io.append(assigned, f"{name}.vectors", partition_by=["cell"])
 
 
 def ivf_load_centroids(io, name: str) -> np.ndarray:

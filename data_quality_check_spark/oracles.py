@@ -157,6 +157,23 @@ def model_scores_sql(sf_dir: str) -> str:
     return f"SELECT doc_id, lang, lang_conf, ppl FROM '{path}'"
 
 
+def _planted_caption(i, s) -> str:
+    """Driver-side twin of entry_queries._planted_caption_col — the ONE
+    planting kernel shared by scrub_sql and pii_density_sql, so the two
+    oracles can never disagree on the planted rows."""
+    base = "" if pd.isna(s) else s
+    if pd.isna(i):
+        return base
+    i = int(i)
+    if i % 7 == 0:
+        return f"{base} contact user{i}@example.com now"
+    if i % 11 == 0:
+        return f"{base} call 555-867-{i % 10000:04d}"
+    if i % 13 == 0:
+        return f"{base} you absolute loser"
+    return base
+
+
 def scrub_sql(sf_dir: str) -> str:
     """Driver-process twin of the PII/toxicity scrub (functions/scrub.py):
     the pure-python compiled-`re` golden path (`scrub_text`) over every
@@ -168,20 +185,7 @@ def scrub_sql(sf_dir: str) -> str:
 
     docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
 
-    def plant(i, s):  # twin of entry_queries._planted_caption_col
-        base = "" if pd.isna(s) else s
-        if pd.isna(i):
-            return base
-        i = int(i)
-        if i % 7 == 0:
-            return f"{base} contact user{i}@example.com now"
-        if i % 11 == 0:
-            return f"{base} call 555-867-{i % 10000:04d}"
-        if i % 13 == 0:
-            return f"{base} you absolute loser"
-        return base
-
-    texts = [plant(i, s) for i, s in zip(docs["doc_id"], docs["text"])]
+    texts = [_planted_caption(i, s) for i, s in zip(docs["doc_id"], docs["text"])]
     scrubbed = [scrub_text(s) for s in texts]
     out = pd.DataFrame(
         {
@@ -250,20 +254,10 @@ def pii_density_sql(sf_dir: str) -> str:
 
     docs = _read_cols(sf_dir, "documents", ["doc_id", "text", "lang"])
 
-    def plant(i, s):  # twin of entry_queries._planted_caption_col
-        base = "" if pd.isna(s) else s
-        if pd.isna(i):
-            return base
-        i = int(i)
-        if i % 7 == 0:
-            return f"{base} contact user{i}@example.com now"
-        if i % 11 == 0:
-            return f"{base} call 555-867-{i % 10000:04d}"
-        if i % 13 == 0:
-            return f"{base} you absolute loser"
-        return base
-
-    counts = [pii_counts_text(plant(i, s)) for i, s in zip(docs["doc_id"], docs["text"])]
+    counts = [
+        pii_counts_text(_planted_caption(i, s))
+        for i, s in zip(docs["doc_id"], docs["text"])
+    ]
     out = pd.DataFrame(
         {
             "lang": docs["lang"],

@@ -355,7 +355,10 @@ def aspect_bucket_profile(
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
-_ALPHA_RE = "[A-Za-zÀ-ÿ]"
+_ALPHA_RE = "[A-Za-zÀ-ÖØ-öø-ÿ]"  # Latin-1 LETTERS: × (U+00D7) and ÷
+# (U+00F7) are excluded, same as SCRIPT_CLASSES — a ×-only token is not an
+# alphabetic word, so dimension spam ("3×4 5×7 …") cannot pass the
+# low-alpha-words rule
 _WS_RE = "[ \\t\\n\\r\\x0B\\f]+"
 
 
@@ -441,7 +444,7 @@ def gopher_flags_sql(c: str) -> dict[str, str]:
     n_alpha = (
         f"(CASE WHEN {tr} = '' THEN 0 ELSE "
         f"len(list_filter(regexp_split_to_array({tr}, {ws}),"
-        f" t -> regexp_matches(t, '[A-Za-zÀ-ÿ]'))) END)"
+        f" t -> regexp_matches(t, '[A-Za-zÀ-ÖØ-öø-ÿ]'))) END)"
     )
     return {
         "flag_word_count": f"({n_words} < {GOPHER_MIN_WORDS} OR {n_words} > {GOPHER_MAX_WORDS})",

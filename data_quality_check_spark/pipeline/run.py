@@ -468,13 +468,20 @@ def decide(df: DataFrame, cfg: FilterConfig, dups: DataFrame | None = None) -> D
     yourself if you know it is small)."""
     if "rid" not in df.columns:
         df = with_rid(df)
-    if dups is None:
-        from data_quality_check_spark.operators.dedup import _pin
+    from data_quality_check_spark.operators.dedup import _pin
 
+    if dups is None:
         dups = _pin(decisions_for(df, cfg))
         if dups.count() <= cfg.max_broadcast_decisions:
             dups = F.broadcast(dups)
+    # same pin + size-gate as the dup table (and as run_filter's
+    # contamination gate): un-pinned, the eval-overlap lineage re-executes
+    # per action, and a handful of contaminated ids would shuffle-join
     contaminated = contamination_decisions(df.sparkSession, df, cfg)
+    if contaminated is not None:
+        contaminated = _pin(contaminated)
+        if contaminated.count() <= cfg.max_broadcast_decisions:
+            contaminated = F.broadcast(contaminated)
     return finalize(score_rows(df, cfg), cfg, dups, contaminated=contaminated)
 
 

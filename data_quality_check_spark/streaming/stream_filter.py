@@ -187,12 +187,20 @@ def run_stream_filter(
             # corpus now, so a recomputed verdict would drop every row as its
             # own corpus_duplicate. Replay = restore totals from the committed
             # metrics row and do nothing else.
-            rows = (
-                spark.read.parquet(os.path.join(checkpoint_dir, "stream_run_metrics"))
-                .filter(F.col("batch_id") == int(batch_id))
-                .select("rows_in", "rows_kept")
-                .collect()
-            )
+            try:
+                rows = (
+                    spark.read.parquet(
+                        os.path.join(checkpoint_dir, "stream_run_metrics")
+                    )
+                    .filter(F.col("batch_id") == int(batch_id))
+                    .select("rows_in", "rows_kept")
+                    .collect()
+                )
+            except Exception:
+                # a missing/unreadable metrics DIRECTORY is the same
+                # divergence as a missing row — surface the safety
+                # explanation, not a raw PATH_NOT_FOUND
+                rows = []
             if not rows:
                 raise RuntimeError(
                     f"batch {batch_id} is recorded as applied in the seen "

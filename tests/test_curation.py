@@ -731,3 +731,22 @@ def test_decision_eval_ungrouped_single_row(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["tp"], r["fn"]) == (1, 1) and r["recall"] == 0.5
+
+
+def test_threshold_sweep_nan_and_inf_policy(spark):
+    """NaN scores are unusable -> sentinel (kept at NO threshold, still in
+    the denominator); +Inf passes every `score >= t` filter -> top bucket.
+    Neither crashes the ANSI cast."""
+    from data_quality_check_spark.operators import curation as CU
+
+    rows = [(0.5,), (float("nan"),), (float("inf"),), (None,), (-0.2,)]
+    df = spark.createDataFrame(rows, "s double")
+    out = {r["threshold"]: r["docs_kept"] for r in
+           CU.score_threshold_sweep(df, F.col("s"), steps=4).collect()}
+    # kept at t=0: only 0.5 and Inf (NaN/None/negative are sentinel rows)
+    assert out[0.0] == 2
+    # kept at t=1.0: only Inf
+    assert out[1.0] == 1
+    # denominator counts ALL 5 rows
+    full = CU.score_threshold_sweep(df, F.col("s"), steps=4).collect()
+    assert all(abs(r["frac_kept"] - r["docs_kept"] / 5) < 1e-9 for r in full)

@@ -504,3 +504,15 @@ def test_decode_health_counts_corruption_classes(spark):
     arr = codecs.decode(b0)
     healthy_fmt = got[f0]
     assert healthy_fmt["total_pixels"] == arr.shape[0] * arr.shape[1]
+
+
+def test_gopher_alpha_words_exclude_multiply_sign(spark):
+    """Dimension spam whose 'words' are ×-joined digits must fail the
+    low-alpha-words rule: × (U+00D7) and ÷ are NOT Latin letters."""
+    from data_quality_check_spark.pipeline.heuristics import gopher_flags
+
+    spam = " ".join(f"{i}×{i+1}" for i in range(60))
+    df = spark.createDataFrame([(spam,)], ["caption"])
+    flags = gopher_flags(F.col("caption"))
+    row = df.select(flags["flag_low_alpha_words"].alias("f")).collect()[0]
+    assert row["f"] is True
