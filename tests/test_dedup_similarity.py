@@ -1059,3 +1059,43 @@ def test_topk_recall_hand_case(spark):
     assert got[1]["recall"] == 1.0 and got[1]["hits"] == 2
     assert got[2]["recall"] == 0.5 and got[2]["k_exact"] == 2
     assert got[3]["recall"] == 0.0 and got[3]["hits"] == 0
+
+
+def test_containment_banded_subset_of_exact_with_high_recall(spark):
+    """The banded containment path returns a subset of the exact pairs with
+    identical values on every pair it keeps, and on moderate-asymmetry data
+    (prefix halves, Jaccard ~0.5) recall stays near 1 while the candidate
+    stage is sub-quadratic."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.RandomState(5)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randint(0, 50_000)}" for _ in range(n))
+    rows = [(i, words(40, f"d{i}_")) for i in range(300)]
+    # plant prefix halves: containment ~1 at jaccard ~0.5
+    planted = [
+        (1000 + i, " ".join(rows[i][1].split()[:20])) for i in range(0, 300, 10)
+    ]
+    df = spark.createDataFrame(rows + planted, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs(df, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    DD.candidate_counts()  # reset observer
+    banded = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs_banded(
+            df, "doc_id", "text", 0.9, ngram=3
+        ).collect()
+    }
+    counts = DD.candidate_counts()
+    DD.release_pins()
+    assert set(banded) <= set(exact)
+    for pair, vals in banded.items():
+        assert exact[pair] == vals
+    # the planted pairs sit at jaccard ~0.5 -> per-pair recall ~0.996
+    assert len(exact) >= 30
+    assert len(banded) / len(exact) >= 0.9
+    # candidate stage saw far fewer than all pairs
+    n = 330
+    frac = counts["containment_banded"] / (n * (n - 1) / 2)
+    assert frac < 0.05, frac
