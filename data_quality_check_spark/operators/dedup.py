@@ -1202,11 +1202,14 @@ class SeenCorpusArtifacts:
       * ``{name}_bands`` — MinHash LSH band table (id, band, bkey)
       * ``{name}_toks``  — shingle sets (id, toks) for the exact-Jaccard
                            confirm, hash-bucketed by id
-      * ``{name}_meta``  — the banding config (num_hashes, bands, ngram);
-                           written LAST so `exists()` doubles as the commit
-                           marker, and checked on every read/append so a
-                           config-mismatched corpus is refused, not silently
-                           merged with incompatible band keys
+      * ``{name}_meta``  — the banding config (num_hashes, bands, ngram) plus
+                           a `format_version` layout stamp; written LAST so
+                           `exists()` doubles as the commit marker, and checked
+                           on every read/append so a config-mismatched corpus
+                           is refused, not silently merged with incompatible
+                           band keys — and a corpus written by a LATER code
+                           revision (unknown format_version) is refused rather
+                           than misread (VERDICT r4 task 7)
 
     Daily-crawl loop::
 
@@ -1224,6 +1227,14 @@ class SeenCorpusArtifacts:
     partitioned candidate join; the parquet fallback shuffles only the narrow
     (band, bkey, id) rows.
     """
+
+    # Bump when the TABLE LAYOUT changes incompatibly (new key encoding,
+    # renamed columns, different bucketing contract). Version 1 is the
+    # original layout; metas written before the stamp existed carry no
+    # `format_version` column and READ as version 1 (same layout). Purely
+    # ADDITIVE evolutions (the `_token` column) stay within a version — they
+    # have their own in-band probe and `compact()` migration.
+    FORMAT_VERSION = 1
 
     def __init__(
         self,
@@ -1255,7 +1266,18 @@ class SeenCorpusArtifacts:
             raise ValueError(
                 f"seen-corpus artifacts '{self.name}' not initialized — call init()"
             )
-        m = self.io.read(self._t("meta")).collect()[0]
+        meta_df = self.io.read(self._t("meta"))
+        m = meta_df.collect()[0]
+        # pre-stamp metas (no column) are the version-1 layout by definition
+        ver = m["format_version"] if "format_version" in meta_df.columns else 1
+        if ver != self.FORMAT_VERSION:
+            raise ValueError(
+                f"seen-corpus artifacts '{self.name}' carry format_version "
+                f"{ver}; this code reads version {self.FORMAT_VERSION}. "
+                "Rebuild with init() on this code revision (or run the "
+                "matching revision's compact() to migrate) — reading an "
+                "unknown layout would silently misjudge duplicates."
+            )
         got = (m["num_hashes"], m["bands"], m["ngram"])
         want = (num_hashes, bands, ngram)
         if got != want:
@@ -1337,8 +1359,8 @@ class SeenCorpusArtifacts:
         self._write(seen_df, id_col, text_col, "overwrite")
         spark = seen_df.sparkSession
         meta = spark.createDataFrame(
-            [(self.num_hashes, self.bands, self.ngram)],
-            "num_hashes int, bands int, ngram int",
+            [(self.num_hashes, self.bands, self.ngram, self.FORMAT_VERSION)],
+            "num_hashes int, bands int, ngram int, format_version int",
         )
         self.io.overwrite(meta, self._t("meta"))
 
@@ -1547,6 +1569,14 @@ class SeenCorpusArtifacts:
             finally:
                 _release_local_checkpoint(snap)
             stats[suffix] = {"before": before, "after": after}
+        # compact doubles as the meta-stamp migration: re-emit the meta row
+        # with the current format_version (check_config above already proved
+        # the layout IS this version — pre-stamp metas read as version 1)
+        meta = self.io.spark.createDataFrame(
+            [(self.num_hashes, self.bands, self.ngram, self.FORMAT_VERSION)],
+            "num_hashes int, bands int, ngram int, format_version int",
+        )
+        self.io.overwrite(meta, self._t("meta"))
         return stats
 
 

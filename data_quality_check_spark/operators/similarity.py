@@ -564,6 +564,30 @@ def _ivf_assigned(
     )
 
 
+# Bump when the index TABLE LAYOUT changes incompatibly (column renames, a
+# different norm/assignment encoding). Version 1 is the original
+# centroids+vectors layout; indexes built before the stamp existed have no
+# `.meta` table and READ as version 1 (same layout). Same contract as
+# SeenCorpusArtifacts.FORMAT_VERSION (VERDICT r4 task 7).
+IVF_INDEX_FORMAT_VERSION = 1
+
+
+def _ivf_check_version(io, name: str) -> None:
+    """Refuse to read an index stamped by an unknown (later) code revision —
+    a layout misread would return silently wrong neighbors, not an error."""
+    meta_name = f"{name}.meta"
+    if not io.exists(meta_name):
+        return  # pre-stamp index: the version-1 layout by definition
+    ver = io.read(meta_name).collect()[0]["format_version"]
+    if ver != IVF_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index '{name}' carries format_version {ver}; this code "
+            f"reads version {IVF_INDEX_FORMAT_VERSION}. Rebuild it with "
+            "ivf_build_index on this code revision (centroids can be reused "
+            "via the centroids= argument if the cells should stay frozen)."
+        )
+
+
 def ivf_build_index(
     io,
     df: DataFrame,
@@ -617,6 +641,15 @@ def ivf_build_index(
         f"{name}.vectors",
         partition_by=["cell"],
     )
+    # meta LAST: its presence marks a fully-written index, and its
+    # format_version lets a later code revision refuse rather than misread
+    io.overwrite(
+        spark.createDataFrame(
+            [(IVF_INDEX_FORMAT_VERSION, int(cents.shape[0]), int(cents.shape[1]))],
+            "format_version int, n_centroids int, dim int",
+        ),
+        f"{name}.meta",
+    )
     return cents
 
 
@@ -648,8 +681,107 @@ def ivf_append_index(
     )
 
 
+def ivf_maintenance(
+    io,
+    new_df: DataFrame,
+    name: str,
+    psi_threshold: float = 0.2,
+    action: str = "rebuild",
+    n_centroids: int | None = None,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Drift-monitored increment fold — the maintenance loop
+    `ivf_append_index`'s docstring promises ("rebuild-on-drift is the escape,
+    with categorical drift on the cell column as the monitor"), wired
+    (VERDICT r4 task 5).
+
+    The increment is assigned under the index's FROZEN centroids and its cell
+    histogram is compared to the live index's via the PSI monitor
+    (`drift.categorical_drift` — same smoothing, same 6-dp terms). Below
+    `psi_threshold` the increment appends as usual (cells still describe the
+    data). At or above it the frozen cells are stale for the incoming
+    distribution — probing `nprobe` of them would systematically miss the new
+    mass — so with `action="rebuild"` the index is rebuilt over
+    existing ∪ increment with RETRAINED centroids (the one legal way to move
+    cell boundaries: every assignment is recomputed together, so the
+    append-path invariant "stored assignments always match the centroids
+    table" is preserved). `action="report"` only measures — the
+    orchestrator's dry-run / alerting shape; the increment is NOT folded.
+
+    Threshold default 0.2 = the conventional PSI "significant shift" bound
+    (0.1–0.2 moderate). Scale: the monitor costs one narrow
+    groupBy(cell) over the increment plus one over the stored cell column
+    (partition metadata-cheap; ≤ n_centroids result rows), and the rebuild —
+    O(corpus) by nature — is paid only when drift demands it; the common path
+    stays O(increment).
+
+    Returns {"psi", "threshold", "drifted", "action_taken", "n_index",
+    "n_new", "cells"} — `cells` is the per-cell drift table (cell, n_a=index,
+    n_b=increment, p_a, p_b, psi_term), ≤ n_centroids rows.
+    """
+    if action not in ("rebuild", "report"):
+        raise ValueError(f"action must be 'rebuild' or 'report', got {action!r}")
+    from data_quality_check_spark.operators.dedup import _pin
+    from data_quality_check_spark.operators.drift import categorical_drift
+
+    cents = ivf_load_centroids(io, name)
+    assigned = _pin(_ivf_assigned(new_df, cents, id_col, vec_col))
+    index_cells = io.read(f"{name}.vectors").select("cell")
+    cells = categorical_drift(index_cells, assigned.select("cell"), "cell").collect()
+    psi = round(sum(r["psi_term"] for r in cells), 6)
+    n_index = sum(r["n_a"] for r in cells)
+    n_new = sum(r["n_b"] for r in cells)
+    drifted = psi >= psi_threshold
+
+    if drifted and action == "rebuild":
+        k = n_centroids if n_centroids is not None else int(cents.shape[0])
+        # eager snapshot BEFORE the overwrite (the compact() rule): the
+        # rebuild's union reads the very vectors files ivf_build_index
+        # replaces, and a lazy plan would scan a half-deleted directory
+        from data_quality_check_spark.operators.dedup import _release_local_checkpoint
+
+        corpus = (
+            io.read(f"{name}.vectors")
+            .select(F.col("id").alias(id_col), F.col("v").alias(vec_col))
+            .unionByName(new_df.select(F.col(id_col), F.col(vec_col)))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            ivf_build_index(
+                io, corpus, name, n_centroids=k, sample_size=sample_size,
+                iters=iters, seed=seed, id_col=id_col, vec_col=vec_col,
+            )
+        finally:
+            _release_local_checkpoint(corpus)
+        action_taken = "rebuilt"
+    elif drifted:
+        action_taken = "reported"
+    else:
+        # in-distribution: the plain O(increment) append path. The pinned
+        # `assigned` frame is exactly `_ivf_assigned(new_df, cents)`, so
+        # appending it directly keeps this bit-identical to ivf_append_index.
+        io.append(assigned, f"{name}.vectors", partition_by=["cell"])
+        action_taken = "appended"
+    return {
+        "psi": psi,
+        "threshold": psi_threshold,
+        "drifted": drifted,
+        "action_taken": action_taken,
+        "n_index": int(n_index),
+        "n_new": int(n_new),
+        "cells": [r.asDict() for r in cells],
+    }
+
+
 def ivf_load_centroids(io, name: str) -> np.ndarray:
-    """The index's centroid matrix, ordered by cell id (driver-side, tiny)."""
+    """The index's centroid matrix, ordered by cell id (driver-side, tiny).
+    Every index reader comes through here, so the format_version check guards
+    append, indexed queries, and maintenance alike."""
+    _ivf_check_version(io, name)
     rows = io.read(f"{name}.centroids").orderBy("cell").collect()
     return np.asarray([r["weights"] for r in rows], dtype=np.float64)
 

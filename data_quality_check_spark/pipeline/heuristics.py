@@ -47,6 +47,17 @@ ALPHA_CHARS = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
     + "".join(chr(i) for i in range(0xC0, 0x100))  # À-ÿ, same range the regex spans
 )
+# STRICT variant (VERDICT r4 task 6): the À-ÿ block contains two MATH signs —
+# × (U+00D7) and ÷ (U+00F7) — that are not letters, so dimension-spam captions
+# ("1024×768 1024×768 …") read as fully texty under the default class. The
+# default DELIBERATELY keeps them: ALPHA_CLASS feeds flag_low_alpha, whose
+# keep/drop labels are pinned to the reference parity contract
+# (tests/test_reference_parity.py), and narrowing the class would flip labels
+# on borderline captions. Opt in via caption_flags(..., strict_alpha=True)
+# when reference parity is not the contract (e.g. a from-scratch corpus). The
+# Gopher alpha-WORD class (gopher_flags) already excludes them.
+ALPHA_CLASS_STRICT = "[^A-Za-zÀ-ÖØ-öø-ÿ0-9 ]"
+ALPHA_CHARS_STRICT = "".join(c for c in ALPHA_CHARS if c not in "×÷")
 
 # Canonical whitespace for trim/tokenize — exactly Java regex \s
 # ([ \t\n\x0B\f\r]). Spark's F.trim strips ONLY the space character and
@@ -76,12 +87,18 @@ def trim_col(c: Column) -> Column:
     return F.btrim(c, F.lit(WS_CHARS))
 
 
-def caption_flags(caption: Column) -> dict[str, Column]:
+def caption_flags(caption: Column, strict_alpha: bool = False) -> dict[str, Column]:
+    """All caption heuristic flags as one dict of pure Columns.
+
+    `strict_alpha=True` swaps the texty-char class for ALPHA_CLASS_STRICT
+    (× and ÷ no longer count as text — see the constant's comment for why the
+    default keeps them); every other flag is unchanged."""
     trimmed = trim_col(caption)
     # Java \s ≡ WS_CHARS exactly, so the split stays a plain regex
     tokens = F.split(trimmed, r"\s+")
     n_tok = F.size(tokens)
-    texty = F.length(caption) - F.length(F.translate(caption, ALPHA_CHARS, ""))
+    alpha_chars = ALPHA_CHARS_STRICT if strict_alpha else ALPHA_CHARS
+    texty = F.length(caption) - F.length(F.translate(caption, alpha_chars, ""))
     return {
         "flag_caption_missing": caption.isNull() | (trimmed == ""),
         "flag_fake_null": _nvl(F.lower(trimmed).isin(FAKE_NULLS), False),
@@ -148,13 +165,15 @@ _WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 _WS_RE_SQL = r"'[ \t\n\r\x0B\f]+'"
 
 
-def caption_flags_sql(c: str) -> dict[str, str]:
+def caption_flags_sql(c: str, strict_alpha: bool = False) -> dict[str, str]:
     """DuckDB expression per caption flag, semantics identical to `caption_flags`
-    (same COALESCE defaults, same charset arithmetic, float division in both)."""
+    (same COALESCE defaults, same charset arithmetic, float division in both,
+    same `strict_alpha` class swap)."""
     trimmed = f"trim({c}, {_WS_SQL})"
     toks = f"string_split_regex({trimmed}, {_WS_RE_SQL})"
     fakes = ", ".join(f"'{v}'" for v in FAKE_NULLS)
-    texty = f"(length({c}) - length(translate({c}, '{ALPHA_CHARS}', '')))"
+    alpha_chars = ALPHA_CHARS_STRICT if strict_alpha else ALPHA_CHARS
+    texty = f"(length({c}) - length(translate({c}, '{alpha_chars}', '')))"
     return {
         "flag_caption_missing": f"({c} IS NULL OR {trimmed} = '')",
         "flag_fake_null": f"COALESCE(lower({trimmed}) IN ({fakes}), FALSE)",

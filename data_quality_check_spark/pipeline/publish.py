@@ -41,6 +41,20 @@ class AuditGates:
     max_keep_fraction: float = 0.999  # keeping ~everything means the filter no-oped
     min_rows_kept: int = 1
     max_null_caption_fraction: float = 0.0  # kept rows must carry their caption
+    # ── optional keep/drop F1 gate (VERDICT r4 task 2): the north rule's
+    # "F1 ≥ 0.99 vs reference labels" enforced at DEPLOY time, not just in
+    # pytest. `labels_path` is a parquet of (labels_id_col, labels_keep_col:
+    # boolean) reference verdicts; the audit reconstructs the staged run's
+    # keep decisions (id present in staged ⇔ kept — run_filter writes kept
+    # rows only) and scores them through operators.curation.decision_eval.
+    # Rows labeled but missing a prediction read as pred=False (dropped);
+    # staged ids absent from the label table are n_unlabeled, never false
+    # anything. min_f1 set without labels_path is a config error (raised,
+    # not skipped: a silently-skipped acceptance gate is worse than none). ──
+    min_f1: float | None = None
+    labels_path: str | None = None
+    labels_id_col: str = "image_id"
+    labels_keep_col: str = "keep"
 
 
 class PublishRejected(RuntimeError):
@@ -84,6 +98,12 @@ def audit_staged(
     audit. Gate checks bound the run's keep/caption semantics.
     """
     gates = gates or AuditGates()
+    if gates.min_f1 is not None and not gates.labels_path:
+        raise ValueError(
+            "AuditGates.min_f1 requires labels_path: the F1 gate needs a "
+            "reference-label table to score against (a silently-skipped "
+            "acceptance gate would be worse than none)"
+        )
     manifest = _read_manifest(checkpoint_dir)
     expect_kept = int(manifest["rows_kept"].sum())
     expect_in = int(manifest["rows_in"].sum())
@@ -108,6 +128,7 @@ def audit_staged(
         if os.path.isdir(filtered_dir)
         else []
     )
+    staged: DataFrame | None = None
     if not data_entries:
         got = {"rows": 0, "null_captions": 0, "buckets": 0}
     else:
@@ -116,6 +137,7 @@ def audit_staged(
             got = _staged_counts(staged)
         except Exception as e:  # recorded, not swallowed: fails the audit below
             read_error = f"{type(e).__name__}: {e}"
+            staged = None
             got = {"rows": 0, "null_captions": 0, "buckets": 0}
 
     keep_fraction = expect_kept / expect_in if expect_in else 0.0
@@ -158,11 +180,54 @@ def audit_staged(
             "bound": gates.max_null_caption_fraction,
         },
     ]
+    if gates.min_f1 is not None:
+        checks.append(_f1_check(spark, staged, gates))
     return {
         "passed": all(c["passed"] for c in checks),
         "checks": checks,
         "observed": {**got, "rows_in": expect_in, "keep_fraction": keep_fraction},
         "gates": asdict(gates),
+    }
+
+
+def _f1_check(spark: SparkSession, staged: DataFrame | None, gates: AuditGates) -> dict:
+    """The min_keep_f1 audit check: staged keep decisions vs reference labels
+    through `decision_eval`'s confusion cells (same NULL-exclusion policy, same
+    from-the-cells F1 as the gate query / pytest parity suite — one scorer, so
+    the deploy gate can never drift from the test gate).
+
+    Prediction reconstruction: run_filter writes KEPT rows only, so
+    id ∈ staged ⇔ predicted keep; a legitimately-empty staging predicts
+    drop-everything (pred=False for every label) rather than skipping the
+    gate. An all-negative label table leaves F1 undefined (0/0) — that reads
+    as a FAILED check, surfaced as such, because an acceptance gate that
+    cannot measure must not pass."""
+    from data_quality_check_spark.operators.curation import decision_eval
+
+    labels = spark.read.parquet(gates.labels_path).select(
+        F.col(gates.labels_id_col).alias("_id"),
+        F.col(gates.labels_keep_col).cast("boolean").alias("_label"),
+    )
+    if staged is not None:
+        pred = (
+            staged.select(F.col("image_id").alias("_id"))
+            .distinct()
+            .withColumn("_pred", F.lit(True))
+        )
+        ev = labels.join(pred, "_id", "full_outer")
+    else:
+        ev = labels.withColumn("_pred", F.lit(None).cast("boolean"))
+    ev = ev.withColumn("_pred", F.coalesce(F.col("_pred"), F.lit(False)))
+    cells = decision_eval(ev, "_pred", "_label").collect()[0].asDict()
+    f1 = cells["f1"]
+    return {
+        "name": "min_keep_f1",
+        "passed": f1 is not None and f1 >= gates.min_f1,
+        "observed": {
+            k: cells[k]
+            for k in ("f1", "precision", "recall", "tp", "fp", "fn", "tn", "n_unlabeled")
+        },
+        "bound": gates.min_f1,
     }
 
 

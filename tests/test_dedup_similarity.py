@@ -1099,3 +1099,99 @@ def test_containment_banded_subset_of_exact_with_high_recall(spark):
     n = 330
     frac = counts["containment_banded"] / (n * (n - 1) / 2)
     assert frac < 0.05, frac
+
+
+def test_ivf_maintenance_appends_in_distribution_rebuilds_on_drift(
+    spark, vectors, tmp_path
+):
+    """VERDICT r4 task 5: the PSI monitor on cell assignments gates the fold —
+    an in-distribution increment appends under frozen centroids (O(increment));
+    a shifted one triggers a retrain-rebuild; indexed answers stay correct
+    (== exhaustive-probe truth) through both transitions."""
+    from data_quality_check_spark.sources.tables import TableIO
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 16)) * 3
+    _, df = vectors
+    base = df.select("vec_id", "embedding")
+    io = TableIO(spark, warehouse=str(tmp_path / "wh"))
+    SIM.ivf_build_index(io, base, "ann", n_centroids=4)
+
+    def check_index_answers(corpus_df):
+        # nprobe == n_centroids probes every cell: the indexed answer must
+        # then equal brute-force cosine top-k over the same corpus
+        queries = corpus_df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        got = SIM.ann_ivf_topk_indexed(io, "ann", queries, k=4, nprobe=4)
+        want = SIM.cosine_topk(corpus_df, queries, k=4)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    # in-distribution increment: same 4 clusters, new ids
+    in_rows = [
+        (
+            1000 + i,
+            [float(x) for x in centers[i % 4] + rng.standard_normal(16) * 0.3],
+        )
+        for i in range(60)
+    ]
+    in_df = spark.createDataFrame(in_rows, "vec_id long, embedding array<double>")
+    rep = SIM.ivf_maintenance(io, in_df, "ann", psi_threshold=0.2)
+    assert not rep["drifted"] and rep["action_taken"] == "appended"
+    assert rep["psi"] < 0.2 and rep["n_new"] == 60 and rep["n_index"] == 120
+    assert io.read("ann.vectors").count() == 180
+    check_index_answers(base.unionByName(in_df))
+
+    # shifted increment: one brand-new far-away cluster -> mass concentrates
+    # in a single frozen cell -> PSI blows past the threshold -> rebuild
+    far = rng.standard_normal(16) * 3 + 25.0
+    out_rows = [
+        (2000 + i, [float(x) for x in far + rng.standard_normal(16) * 0.3])
+        for i in range(60)
+    ]
+    out_df = spark.createDataFrame(out_rows, "vec_id long, embedding array<double>")
+    # report-only first: measured, nothing folded, nothing rewritten
+    dry = SIM.ivf_maintenance(io, out_df, "ann", psi_threshold=0.2, action="report")
+    assert dry["drifted"] and dry["action_taken"] == "reported"
+    assert io.read("ann.vectors").count() == 180
+    old_cents = SIM.ivf_load_centroids(io, "ann")
+    rep2 = SIM.ivf_maintenance(io, out_df, "ann", psi_threshold=0.2)
+    assert rep2["drifted"] and rep2["action_taken"] == "rebuilt"
+    assert rep2["psi"] >= 0.2
+    assert io.read("ann.vectors").count() == 240
+    assert not np.array_equal(SIM.ivf_load_centroids(io, "ann"), old_cents)
+    check_index_answers(base.unionByName(in_df).unionByName(out_df))
+    DD.release_pins()
+
+
+def test_ivf_index_refuses_forged_format_version(spark, vectors, tmp_path):
+    """VERDICT r4 task 7: an index stamped by an unknown (later) code revision
+    is refused with a rebuild hint — never silently misread. A pre-stamp index
+    (no .meta table) still reads as the version-1 layout."""
+    from data_quality_check_spark.sources.tables import TableIO
+
+    _, df = vectors
+    base = df.select("vec_id", "embedding")
+    io = TableIO(spark, warehouse=str(tmp_path / "wh"))
+    SIM.ivf_build_index(io, base, "ann", n_centroids=4)
+    meta = io.read("ann.meta").collect()[0]
+    assert meta["format_version"] == SIM.IVF_INDEX_FORMAT_VERSION
+
+    # pre-stamp index: dropping the meta table must keep everything working
+    import shutil
+
+    meta_dir = os.path.join(str(tmp_path / "wh"), "ann", "meta")
+    shutil.rmtree(meta_dir)
+    assert SIM.ivf_load_centroids(io, "ann").shape == (4, 16)
+
+    # forged/future version: refused with the rebuild hint
+    forged = spark.createDataFrame(
+        [(99, 4, 16)], "format_version int, n_centroids int, dim int"
+    )
+    io.overwrite(forged, "ann.meta")
+    with pytest.raises(ValueError, match="format_version 99.*ivf_build_index"):
+        SIM.ivf_load_centroids(io, "ann")
+    with pytest.raises(ValueError, match="format_version 99"):
+        SIM.ivf_append_index(io, base, "ann")

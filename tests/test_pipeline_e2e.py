@@ -1000,3 +1000,111 @@ def test_decision_eval_operator_agrees_with_python_f1(spark, golden, pipeline_ou
     assert (ev["tp"], ev["fp"], ev["fn"]) == (tp, fp, fn)
     assert ev["n_unlabeled"] == 0
     assert ev["f1"] == 1.0  # same kernels both sides — exact agreement
+
+
+def test_f1_publish_gate_blocks_mistuned_run_and_promotes_good(
+    spark, fixture_paths, golden, tmp_path
+):
+    """VERDICT r4 task 2: the north rule's F1 >= 0.99 acceptance bar enforced
+    at DEPLOY time through the WAP audit (AuditGates.min_f1 + labels_path,
+    scored by operators.curation.decision_eval): a mis-tuned FilterConfig
+    stages, fails the F1 gate, and leaves final untouched; the good config
+    promotes with the full confusion cells in the audit report."""
+    from data_quality_check_spark.pipeline.publish import (
+        AuditGates,
+        PublishRejected,
+        audit_and_publish,
+    )
+
+    _, path = fixture_paths
+    labels_path = str(tmp_path / "labels.parquet")
+    golden.drop_duplicates(subset=["image_id"])[["image_id", "keep"]].to_parquet(
+        labels_path
+    )
+    # keep-fraction band opened wide so the F1 gate is provably what blocks
+    gates = AuditGates(min_f1=0.99, labels_path=labels_path, min_keep_fraction=0.0)
+    final = str(tmp_path / "published" / "v1")
+
+    # config error surfaced, never silently skipped
+    with pytest.raises(ValueError, match="labels_path"):
+        audit_and_publish(spark, "x", "y", final, gates=AuditGates(min_f1=0.99))
+
+    # mis-tuned: keeping only one language diverges from the reference labels
+    bad_out, bad_ckpt = str(tmp_path / "bad_staged"), str(tmp_path / "bad_ckpt")
+    run_filter(spark, path, bad_out, bad_ckpt, FilterConfig(target_langs=["fr"]))
+    with pytest.raises(PublishRejected) as ei:
+        audit_and_publish(spark, bad_out, bad_ckpt, final, gates=gates)
+    failed = {c["name"] for c in ei.value.report["checks"] if not c["passed"]}
+    assert failed == {"min_keep_f1"}  # the F1 gate alone blocked it
+    f1_check = next(
+        c for c in ei.value.report["checks"] if c["name"] == "min_keep_f1"
+    )
+    assert f1_check["observed"]["f1"] < 0.99
+    assert f1_check["observed"]["fn"] > 0  # non-fr keeps became false negatives
+    assert not os.path.exists(final)  # final untouched
+    assert os.path.exists(os.path.join(bad_out, "filtered"))  # staged intact
+
+    # good config under the SAME gates: promotes, and agreement is exact
+    good_out, good_ckpt = str(tmp_path / "good_staged"), str(tmp_path / "good_ckpt")
+    run_filter(spark, path, good_out, good_ckpt, FilterConfig())
+    report = audit_and_publish(spark, good_out, good_ckpt, final, gates=gates)
+    assert report["passed"] and report["published_to"] == final
+    f1_check = next(c for c in report["checks"] if c["name"] == "min_keep_f1")
+    assert f1_check["passed"]
+    assert f1_check["observed"]["f1"] == 1.0
+    assert f1_check["observed"]["fp"] == 0 and f1_check["observed"]["fn"] == 0
+    assert f1_check["observed"]["n_unlabeled"] == 0
+
+
+def test_strict_alpha_class_flips_dimension_spam_default_unchanged(spark):
+    """VERDICT r4 task 6: ALPHA_CLASS_STRICT excludes the two math signs
+    (U+00D7 ×, U+00F7 ÷) the default class deliberately keeps for
+    reference-parity label stability. Dimension-spam captions flip
+    flag_low_alpha under strict mode only; default labels are bit-unchanged;
+    the DuckDB twin agrees under both modes."""
+    import duckdb
+
+    from data_quality_check_spark.pipeline.heuristics import (
+        ALPHA_CHARS,
+        ALPHA_CHARS_STRICT,
+        caption_flags,
+        caption_flags_sql,
+    )
+
+    assert "×" in ALPHA_CHARS and "÷" in ALPHA_CHARS
+    assert "×" not in ALPHA_CHARS_STRICT and "÷" not in ALPHA_CHARS_STRICT
+    assert len(ALPHA_CHARS_STRICT) == len(ALPHA_CHARS) - 2
+
+    spam = "× ÷ ×× ÷÷ ××× ÷÷÷ 1×1"
+    caps = [
+        (1, spam),                               # dimension spam: mostly x/÷ signs
+        (2, "a normal caption about a dog"),     # plain text: fine under both
+        (3, "@@@@ %%%% ####"),                   # junk: flagged under both
+        (4, None),                               # NULL: False under both (nvl)
+        (5, "800×600 wallpaper of a sunset"),  # mild use: fine under both
+    ]
+    pdf = pd.DataFrame(caps, columns=["id", "caption"])
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        "id",
+        caption_flags(F.col("caption"))["flag_low_alpha"].alias("dflt"),
+        caption_flags(F.col("caption"), strict_alpha=True)["flag_low_alpha"].alias(
+            "strict"
+        ),
+    ).collect()
+    by_id = {r.id: (r.dflt, r.strict) for r in got}
+    assert by_id[1] == (False, True)  # spam flips under strict ONLY
+    assert by_id[2] == (False, False)
+    assert by_id[3] == (True, True)
+    assert by_id[4] == (False, False)
+    assert by_id[5] == (False, False)
+
+    # DuckDB twin parity in BOTH modes
+    con = duckdb.connect()
+    con.register("caps", pdf)
+    for mode, col in ((False, "dflt"), (True, "strict")):
+        expr = caption_flags_sql("caption", strict_alpha=mode)["flag_low_alpha"]
+        want = dict(con.execute(f"SELECT id, {expr} FROM caps").fetchall())
+        for i, pair in by_id.items():
+            assert bool(want[i]) == pair[1 if mode else 0], (mode, i)
+    con.close()

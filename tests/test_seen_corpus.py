@@ -360,3 +360,45 @@ def test_novelty_artifact_ngram_mismatch_refused(spark, corpus):
         DD.novelty_scores(
             new_df, None, "doc_id", "text", ngram=3, seen_artifacts=art
         ).collect()
+
+
+def test_forged_format_version_refused_prestamp_accepted(spark, corpus):
+    """VERDICT r4 task 7: artifacts stamped by an unknown (later) code revision
+    are refused with a migrate hint — a round-6 layout change can never be
+    silently misread by round-5 code. Metas written BEFORE the stamp existed
+    (no format_version column) read as the version-1 layout and keep working;
+    compact() re-stamps them."""
+    seen_df, _, art = corpus
+    io = art.io
+
+    # pre-stamp meta (the round-4 shape): column absent -> version 1 -> accepted
+    io.overwrite(
+        spark.createDataFrame(
+            [(art.num_hashes, art.bands, art.ngram)],
+            "num_hashes int, bands int, ngram int",
+        ),
+        "seen_corpus_meta",
+    )
+    art.check_config(art.num_hashes, art.bands, art.ngram)  # no raise
+    # compact() is the migration: it re-stamps the meta with the current version
+    art.compact()
+    m = io.read("seen_corpus_meta").collect()[0]
+    assert m["format_version"] == DD.SeenCorpusArtifacts.FORMAT_VERSION
+
+    # forged/future version: every artifact consumer is refused via check_config
+    io.overwrite(
+        spark.createDataFrame(
+            [(art.num_hashes, art.bands, art.ngram, 99)],
+            "num_hashes int, bands int, ngram int, format_version int",
+        ),
+        "seen_corpus_meta",
+    )
+    with pytest.raises(ValueError, match="format_version 99"):
+        art.check_config(art.num_hashes, art.bands, art.ngram)
+    with pytest.raises(ValueError, match="format_version 99"):
+        art.append(_df(spark, _new_rows()), "doc_id", "text")
+    with pytest.raises(ValueError, match="format_version 99"):
+        DD.dedup_incremental(
+            _df(spark, _new_rows()), None, "doc_id", "text", threshold=T,
+            seen_artifacts=art,
+        ).collect()
