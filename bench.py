@@ -187,12 +187,18 @@ def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
     n_gate = GF.planted_embeddings_df(
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     ).count()
+    # the containment gates union planted docs back in: halves for 1/29 of
+    # docs (banded gate), word-safe short prefixes for 1/17 (asym gate)
+    n_band = n_docs + docs.filter(F.col("doc_id") % 29 == 0).count()
+    n_asym = n_docs + docs.filter(F.col("doc_id") % 17 == 0).count()
     denom_of = {
         "neardup_pairs_lsh": n_gate * (n_gate - 1) / 2,
         "minhash_lsh_pairs": n_docs * (n_docs - 1) / 2,
         "hamming_near_pairs": n_docs * (n_docs - 1) / 2,
         "dedup_incremental_cross": n_new * n_seen,
         "dedup_incremental_self": n_new * (n_new - 1) / 2,
+        "containment_banded": n_band * (n_band - 1) / 2,
+        "containment_asym": n_asym * (n_asym - 1) / 2,
     }
     out: dict[str, dict] = {}
     for qname, cc in candidates.items():

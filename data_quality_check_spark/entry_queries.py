@@ -2833,6 +2833,50 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ───────────── EXTREME-asymmetry containment (dedup.containment_pairs_asym,
+# VERDICT r4 task 1): quoted-snippet dedup at size ratio ρ ≥ ~8, where the
+# banded path's Jaccard-governed recall has collapsed. The gate plants
+# word-SAFE prefixes (first max(3, ⌊n_words/8⌋) words of 1/17 of docs, id +
+# 4000000) so every planted short's shingle set is a strict subset of its
+# host's — containment exactly 1.0 at Jaccard ≈ 0.1 — via the identical
+# split/slice/join expression in both engines. The operator's rare-prefix
+# probe join is recall-1.0 by pigeonhole, so the oracle is the EXACT
+# containment SQL plus the size-ratio predicate: the driver value-hashes the
+# sub-quadratic path against brute force. ─────────────
+_ASYM_RATIO = 4.0
+_ASYM_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(list_slice(string_split(COALESCE(text, ''), ' '), 1,
+             greatest(3, len(string_split(COALESCE(text, ''), ' ')) // 8)),
+             ' ') AS text
+  FROM documents WHERE doc_id % 17 = 0
+)"""
+
+
+@register(
+    "containment_asym_documents",
+    DD.containment_pairs_asym_sql(
+        _ASYM_SQL, "doc_id", "text", _CONTAIN_T, _SHINGLE_N,
+        min_size_ratio=_ASYM_RATIO,
+    ),
+)
+def q_containment_pairs_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = F.expr(
+        "array_join(slice(split(COALESCE(text, ''), ' '), 1, "
+        "greatest(3, size(split(COALESCE(text, ''), ' ')) DIV 8)), ' ')"
+    )
+    planted = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), prefix.alias("text")
+    )
+    return DD.containment_pairs_asym(
+        docs.unionByName(planted), "doc_id", "text", _CONTAIN_T,
+        ngram=_SHINGLE_N, min_size_ratio=_ASYM_RATIO,
+    )
+
+
 # ───────────── keep/drop decision evaluation (curation.decision_eval): the
 # north rule's acceptance measurement — confusion cells + precision/recall/F1
 # vs reference labels — as a first-class distributed operator. The gate

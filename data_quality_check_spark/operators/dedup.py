@@ -419,12 +419,13 @@ def containment_pairs(
 
     Same token-join shape as `jaccard_pairs` (one explode, one tok-key join,
     one pair-key aggregate); `max_token_df` is the identical stop-shingle
-    skew guard. Scale path: banded MinHash tuned for Jaccard under-recalls
+    skew guard. Scale paths: banded MinHash tuned for Jaccard under-recalls
     asymmetric pairs (a contained doc at containment 1.0 can sit at Jaccard
-    0.2 where 42×3 bands recall only ~60%), so at 10^12 rows use ngram≥3
-    shingles + `max_token_df` prefix filtering here, or an asymmetric-LSH
-    candidate stage (Shrivastava & Li 2013-style padding to equalize set
-    sizes) confirmed by this exact measure.
+    0.2 where 42×3 bands recall only ~60%) — `containment_pairs_banded`
+    covers the moderate-asymmetry regime, and EXTREME short-in-long asymmetry
+    (ρ ≥ 10 quoted snippets) is `containment_pairs_asym`: a rare-prefix probe
+    join with candidate recall 1.0 by pigeonhole, confirmed by this same
+    exact measure.
     """
     return (
         _pair_intersections(df, id_col, text_col, ngram, max_token_df)
@@ -571,9 +572,10 @@ def containment_pairs_banded(
     defaults (r=3, b=42) a fully-contained half-length doc (s = 0.5) is
     recalled at ≈0.996, but recall decays as the host grows (s → c·ρ): at
     ρ = 1/10, s ≈ 0.09, recall ≈ 0.03. This operator is therefore the
-    moderate-asymmetry scale path; EXTREME short-in-long asymmetry needs the
-    exact operator on a length-bucketed corpus or an asymmetric-LSH scheme
-    (Shrivastava & Li 2013) — the docstring contract of `containment_pairs`.
+    moderate-asymmetry scale path; EXTREME short-in-long asymmetry is
+    `containment_pairs_asym` (rare-prefix probe join, candidate recall 1.0
+    independent of ρ) — the two partition the workload via its
+    `min_size_ratio` knob.
     Candidates are observe()d (`containment_banded`) so the measured fraction
     and the recall envelope land in the bench evidence, same as the other
     banded stages. Every emitted pair carries exact full-set values — the
@@ -622,6 +624,149 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) >= {threshold!r}
+"""
+
+
+def containment_pairs_asym(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+    min_size_ratio: float | None = None,
+) -> DataFrame:
+    """EXTREME-asymmetry containment pairs — the route `containment_pairs`'
+    docstring promises for short-in-long dedup at high size ratio ρ, where
+    `containment_pairs_banded`'s recall envelope decays (a fully-contained
+    doc at ρ = 1/10 sits at Jaccard ≈ 0.09, band recall ≈ 0.03; VERDICT r4
+    task 1). Candidates come from a RARE-PREFIX probe join (the SSJoin /
+    PPJoin prefix-filter family, Chaudhuri et al. ICDE'06 / Bayardo WWW'07,
+    applied to the containment measure), and every emitted pair is confirmed
+    on the FULL shingle sets — so unlike the banded path, candidate RECALL IS
+    1.0 BY CONSTRUCTION and the whole operator is oracle-exact:
+
+      pigeonhole: if |A∩B| / |A| ≥ t for the smaller set A, then A has at
+      most ⌊(1−t)·|A|⌋ shingles outside B, so ANY ⌊(1−t)·|A|⌋+1 of A's
+      shingles include one in B. Each doc therefore probes with its
+      k = ⌊(1−t)·sz⌋+2 globally-RAREST shingles (+1 more than the theorem
+      needs, absorbing the confirm's 6-dp rounding which can admit pairs an
+      ulp under t) against an inverted index of ALL docs' shingles,
+      restricted to index docs of ≥ its own size — every qualifying pair is
+      hit by ≥1 probe, and rarity ordering makes the join fan-out the SMALLest
+      of any valid prefix choice.
+
+    Output: (id_a, id_b, containment, jaccard), id_a < id_b, identical to
+    `containment_pairs` — restricted, when `min_size_ratio` is set, to pairs
+    whose larger shingle set is ≥ ratio× the smaller (the quoted-snippet
+    targeting knob: ρ ≥ 10 is the regime the banded path cannot reach; the
+    equal-size pairs it CAN reach are then excluded here, so the two
+    operators partition the workload).
+
+    Scale: sizes + document frequencies are two map-side-combined aggregates
+    over the token table; the per-doc rare-prefix is one window by doc id
+    (partition = one document — never skewed beyond document length); the
+    probe join moves only ~(1−t) of the token stream (at t=0.9, ~10% + 2
+    rows/doc) against fingerprint keys, vs the full token self-join of the
+    exact operator whose hot-token fan-out is quadratic. The confirm joins
+    the candidate ids back to their shingle ARRAYS — candidate-count × array
+    width, observe()d as `containment_asym` so the measured fraction lands in
+    bench_details.json like every banded stage."""
+    from pyspark.sql import Window
+
+    base = _pin(_shingle_base(df, id_col, text_col, ngram))
+    toks = base.select(
+        "id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    ).withColumn("fp", F.xxhash64("tok"))
+    # 64-bit fp is the JOIN KEY only — a collision can add a spurious
+    # candidate (killed by the full-set confirm), never lose a true one
+    dfreq = toks.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("fp").asc())
+    k = (F.floor((1.0 - threshold) * F.col("sz")) + F.lit(2)).cast("int")
+    probes = (
+        toks.join(dfreq, "fp")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "fp")
+    )
+    index = toks.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "fp")
+    # the probe side is always the pair's SMALLER set (containment's
+    # denominator); equal sizes tie-break on id so each pair arises once
+    pair_cond = (F.col("sz_b") > F.col("sz_a")) | (
+        (F.col("sz_b") == F.col("sz_a")) & (F.col("id_a") < F.col("id_b"))
+    )
+    if min_size_ratio is not None:
+        pair_cond = pair_cond & (
+            F.col("sz_b") >= F.lit(float(min_size_ratio)) * F.col("sz_a")
+        )
+    cands = (
+        probes.join(index, "fp")
+        .filter(pair_cond)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cands = observe_candidates(cands, "containment_asym")
+    confirmed = (
+        cands.join(
+            base.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"),
+            "id_a",
+        )
+        .join(
+            base.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.least(F.size("ta"), F.size("tb")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("ta") + F.size("tb") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    # canonical id_a < id_b orientation (the probe side was the smaller doc)
+    return confirmed.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "containment",
+        "jaccard",
+    )
+
+
+def containment_pairs_asym_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+    min_size_ratio: float | None = None,
+) -> str:
+    """DuckDB oracle twin of `containment_pairs_asym`: because the prefix
+    filter is recall-1.0 and the confirm is full-set exact, the twin is simply
+    the EXACT containment query plus the size-ratio predicate — the operator's
+    sub-quadratic candidate stage is a plan property, not a semantics one."""
+    ratio_pred = (
+        f"\n  AND CAST(greatest(sa.sz, sb.sz) AS DOUBLE)"
+        f" >= {float(min_size_ratio)!r} * least(sa.sz, sb.sz)"
+        if min_size_ratio is not None
+        else ""
+    )
+    return f"""{_pair_intersections_cte(table, id_col, text_col, ngram)}
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) >= {threshold!r}{ratio_pred}
 """
 
 

@@ -1195,3 +1195,89 @@ def test_ivf_index_refuses_forged_format_version(spark, vectors, tmp_path):
         SIM.ivf_load_centroids(io, "ann")
     with pytest.raises(ValueError, match="format_version 99"):
         SIM.ivf_append_index(io, base, "ann")
+
+
+def test_containment_asym_short_in_long_recall_and_exactness(spark):
+    """VERDICT r4 task 1: the extreme-asymmetry containment route. Planted
+    short-in-long pairs at size ratio ρ ≈ 14 (where the banded path's recall
+    envelope has collapsed) must come back with recall 1.0 ≥ 0.95, every
+    value exact on the full shingle sets (== the exact operator), and a
+    candidate fraction well under 5%."""
+    rng = np.random.RandomState(17)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randint(0, 50_000)}" for _ in range(n))
+    hosts = [(i, words(60, f"d{i}_")) for i in range(300)]
+    # every 10th host quoted: short doc = its first 6 words -> 4 trigram
+    # shingles vs the host's 58 (ρ = 14.5), containment 1.0, jaccard ~0.07
+    planted = [(1000 + i, " ".join(hosts[i][1].split()[:6])) for i in range(0, 300, 10)]
+    df = spark.createDataFrame(hosts + planted, ["doc_id", "text"])
+
+    DD.candidate_counts()  # reset observer
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs_asym(
+            df, "doc_id", "text", 0.9, ngram=3, min_size_ratio=10.0
+        ).collect()
+    }
+    counts = DD.candidate_counts()
+    exact = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in DD.containment_pairs(df, "doc_id", "text", 0.9, ngram=3).collect()
+    }
+    DD.release_pins()
+
+    expect_pairs = {(i, 1000 + i) for i in range(0, 300, 10)}
+    # recall 1.0 on the planted extreme-asymmetry pairs, values exact
+    assert expect_pairs <= set(got)
+    for pair in expect_pairs:
+        assert got[pair] == exact[pair]
+        assert got[pair][0] == 1.0  # full containment
+        assert got[pair][1] < 0.15  # deep below any Jaccard gate
+    # nothing beyond the exact operator's answer (ratio-restricted subset)
+    assert set(got) <= set(exact)
+    for pair, vals in got.items():
+        assert exact[pair] == vals
+    # candidate stage saw far fewer than all pairs
+    n = 330
+    frac = counts["containment_asym"] / (n * (n - 1) / 2)
+    assert frac < 0.05, frac
+
+    # the banded path is honestly blind at this asymmetry — the measured gap
+    # this route exists to close
+    banded = set(
+        (r["id_a"], r["id_b"])
+        for r in DD.containment_pairs_banded(
+            df, "doc_id", "text", 0.9, ngram=3
+        ).collect()
+    )
+    DD.release_pins()
+    assert len(banded & expect_pairs) / len(expect_pairs) < 0.3
+
+
+def test_containment_asym_unrestricted_equals_exact(spark):
+    """Without the size-ratio knob the prefix-filtered operator IS the exact
+    containment join — identical pair set and values on a corpus with dup,
+    near-dup, contained, and disjoint docs (the recall-1.0 pigeonhole claim,
+    checked end-to-end)."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near
+        (4, "alpha beta gamma delta"),  # contained prefix of 1
+        (5, "totally different words in this unrelated document here now"),
+        (6, None),
+        (7, "xx"),  # too short for trigrams -> no shingles
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.5, 0.9):
+        got = sorted(
+            tuple(r)
+            for r in DD.containment_pairs_asym(
+                df, "doc_id", "text", t, ngram=3
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in DD.containment_pairs(df, "doc_id", "text", t, ngram=3).collect()
+        )
+        assert got == want and len(want) > 0, t
+    DD.release_pins()
