@@ -1145,6 +1145,27 @@ def bucket_thresholds(
     )
 
 
+def bucket_label_col(
+    score: F.Column,
+    cuts_col: F.Column,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+) -> F.Column:
+    """Row-local bucket labeling under a cuts ARRAY column: tile = 1 +
+    Σ(score > cut), label = labels[tile-1] (or the 1-based int when
+    labels=None). ONE definition shared by `apply_bucket_thresholds` and the
+    filter pipeline's frozen ppl-bucket labels (run.FilterConfig
+    .ppl_bucket_cuts), so the two labeling surfaces cannot drift. A NULL
+    score tiles NULL (`>` is three-valued), never bucket 1."""
+    tile = F.aggregate(
+        cuts_col,
+        F.lit(1).cast("int"),
+        lambda acc, c: acc + (score.cast("double") > c).cast("int"),
+    )
+    if labels is None:
+        return tile
+    return F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+
+
 def apply_bucket_thresholds(
     df: DataFrame,
     score: F.Column,
@@ -1158,16 +1179,7 @@ def apply_bucket_thresholds(
     shuffle on the corpus side, so labeling rides any existing scan. Rows in
     groups absent from `thresholds` get bucket NULL (a new language needs
     calibration before it can be split — surfaced, not guessed)."""
-    tile = F.aggregate(
-        F.col("_cuts"),
-        F.lit(1),
-        lambda acc, c: acc + (score.cast("double") > c).cast("int"),
-    )
-    bucket = (
-        F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
-        if labels is not None
-        else tile
-    )
+    bucket = bucket_label_col(score, F.col("_cuts"), labels)
     th = thresholds.select(
         F.col(group_col).alias("_tg"), F.col("cuts").alias("_cuts")
     )

@@ -190,6 +190,16 @@ class FilterConfig:
     # projection riding the same pass; NULL never appears on kept rows
     # (flag_bad_dims already drops non-positive dims)
     assign_aspect_buckets: bool = False
+    # label kept rows with a perplexity bucket (the CCNet head/middle/tail
+    # shape) under FROZEN per-language cuts: {lang: [cut1, ..., cut_{n-1}]},
+    # ascending, typically collected once from curation.bucket_thresholds on a
+    # calibration run and pinned — labeling is then a pure row-local CASE
+    # riding the same pass (curation.bucket_label_col, the SAME expression
+    # apply_bucket_thresholds uses), append-stable and identical on resume.
+    # Languages absent from the cuts get ppl_bucket NULL (surfaced, not
+    # guessed). Default None keeps the output schema and parity bit-identical.
+    ppl_bucket_cuts: "dict[str, list[float]] | None" = None
+    ppl_bucket_labels: "tuple[str, ...]" = ("head", "middle", "tail")
     run_id: str = field(default_factory=lambda: f"run-{int(time.time())}")
 
     def split_labels(self) -> list[str]:
@@ -651,6 +661,9 @@ def optional_out_cols(scored: DataFrame, cfg: FilterConfig, out_cols: "list[int]
         (salt, image_id), append-safe, identical on resume)
       * cfg.assign_aspect_buckets → `aspect_bucket` (SDXL-ladder id; never
         NULL on kept rows because flag_bad_dims drops non-positive dims)
+      * cfg.ppl_bucket_cuts → `ppl_bucket` (frozen per-language perplexity
+        tercile label via curation.bucket_label_col — a broadcast-free
+        row-local CASE, since the cuts are config constants)
     """
     if cfg.splits:
         from data_quality_check_spark.operators.curation import hash_split
@@ -664,6 +677,30 @@ def optional_out_cols(scored: DataFrame, cfg: FilterConfig, out_cols: "list[int]
             "aspect_bucket", aspect_bucket_col(F.col("w"), F.col("h"))
         )
         out_cols.append("aspect_bucket")
+    if cfg.ppl_bucket_cuts is not None:
+        from data_quality_check_spark.operators.curation import bucket_label_col
+
+        n = len(cfg.ppl_bucket_labels)
+        for lang, cuts in cfg.ppl_bucket_cuts.items():
+            if len(cuts) != n - 1:
+                raise ValueError(
+                    f"ppl_bucket_cuts[{lang!r}] has {len(cuts)} cuts; "
+                    f"{n} labels need exactly {n - 1}"
+                )
+            if sorted(cuts) != list(cuts):
+                raise ValueError(f"ppl_bucket_cuts[{lang!r}] must be ascending")
+        # per-language cuts as ONE chained CASE of array literals (the dict is
+        # config-small by contract — one entry per model language); languages
+        # absent from the cuts fall through to NULL cuts -> NULL bucket
+        cuts_col = F.lit(None).cast("array<double>")
+        for lang in sorted(cfg.ppl_bucket_cuts, reverse=True):
+            arr = F.array(*[F.lit(float(c)) for c in cfg.ppl_bucket_cuts[lang]])
+            cuts_col = F.when(F.col("lang") == F.lit(lang), arr).otherwise(cuts_col)
+        scored = scored.withColumn(
+            "ppl_bucket",
+            bucket_label_col(F.col("ppl"), cuts_col, tuple(cfg.ppl_bucket_labels)),
+        )
+        out_cols.append("ppl_bucket")
     return scored
 
 
@@ -677,6 +714,13 @@ def output_schema_fingerprint(cfg: FilterConfig) -> dict:
     return {
         "split_labels": sorted(cfg.splits) if cfg.splits else [],
         "assign_aspect_buckets": bool(cfg.assign_aspect_buckets),
+        # presence of the column AND the label alphabet are schema facets; the
+        # cut VALUES are row-verdict facets and deliberately excluded (same
+        # rule as filter thresholds: a resume must not be blocked by a
+        # verdict-identical rewrite of the config object)
+        "ppl_bucket_labels": (
+            list(cfg.ppl_bucket_labels) if cfg.ppl_bucket_cuts is not None else []
+        ),
     }
 
 

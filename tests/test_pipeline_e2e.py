@@ -1108,3 +1108,69 @@ def test_strict_alpha_class_flips_dimension_spam_default_unchanged(spark):
         for i, pair in by_id.items():
             assert bool(want[i]) == pair[1 if mode else 0], (mode, i)
     con.close()
+
+
+def test_ppl_bucket_labels_ride_the_pass(
+    spark, fixture_paths, pipeline_out, tmp_path_factory
+):
+    """VERDICT r4 task 3: frozen per-language perplexity-bucket labels (the
+    CCNet head/middle/tail shape) as an opt-in FilterConfig column riding the
+    same pass. Kept set invariant vs the default run; labels identical to
+    curation.apply_bucket_thresholds on the same cuts (shared
+    bucket_label_col); config validation errors surface."""
+    from data_quality_check_spark.operators.curation import (
+        apply_bucket_thresholds,
+        bucket_thresholds,
+    )
+    from data_quality_check_spark.pipeline.run import output_schema_fingerprint
+
+    _, path = fixture_paths
+    default_out, _, _ = pipeline_out
+    base = spark.read.parquet(os.path.join(default_out, "filtered"))
+    # the production loop: calibrate cuts once from a prior run's kept rows,
+    # freeze them into the config
+    th = bucket_thresholds(base, F.col("ppl"), "lang", n=3)
+    cuts = {r["lang"]: [float(c) for c in r["cuts"]] for r in th.collect()}
+    assert len(cuts) >= 2  # multi-language calibration actually exercised
+
+    out = str(tmp_path_factory.mktemp("pplbkt"))
+    cfg = FilterConfig(ppl_bucket_cuts=cuts)
+    run_filter(spark, path, os.path.join(out, "d"), os.path.join(out, "c"), cfg)
+    labeled = spark.read.parquet(os.path.join(out, "d", "filtered"))
+
+    # kept set invariance: labeling must not perturb a single verdict
+    got_ids = sorted(r["image_id"] for r in labeled.select("image_id").collect())
+    want_ids = sorted(r["image_id"] for r in base.select("image_id").collect())
+    assert got_ids == want_ids
+
+    # label parity with apply_bucket_thresholds on the SAME cuts
+    want = apply_bucket_thresholds(base, F.col("ppl"), "lang", th).select(
+        "image_id", F.col("bucket").alias("want")
+    )
+    joined = labeled.select("image_id", "ppl_bucket").join(want, "image_id")
+    assert joined.count() == len(want_ids)
+    assert (
+        joined.filter(~F.col("ppl_bucket").eqNullSafe(F.col("want"))).count() == 0
+    )
+    # every kept row's lang was calibrated -> no NULL labels, all 3 present
+    assert labeled.filter(F.col("ppl_bucket").isNull()).count() == 0
+    present = {r["ppl_bucket"] for r in labeled.select("ppl_bucket").distinct().collect()}
+    assert present == {"head", "middle", "tail"}
+
+    # schema facet: the column's presence + label alphabet fingerprint; the
+    # frozen cut VALUES don't (verdict-facet, same rule as filter thresholds)
+    fp_on = output_schema_fingerprint(cfg)
+    assert fp_on["ppl_bucket_labels"] == ["head", "middle", "tail"]
+    assert output_schema_fingerprint(FilterConfig())["ppl_bucket_labels"] == []
+    cuts2 = {k: [c * 1.0 for c in v] for k, v in cuts.items()}
+    assert output_schema_fingerprint(FilterConfig(ppl_bucket_cuts=cuts2)) == fp_on
+
+    # config validation: wrong cut count / non-ascending cuts are refused
+    from data_quality_check_spark.pipeline.run import optional_out_cols
+
+    with pytest.raises(ValueError, match="labels need exactly"):
+        optional_out_cols(base, FilterConfig(ppl_bucket_cuts={"en": [1.0]}), [])
+    with pytest.raises(ValueError, match="ascending"):
+        optional_out_cols(
+            base, FilterConfig(ppl_bucket_cuts={"en": [9.0, 1.0]}), []
+        )

@@ -587,3 +587,37 @@ def test_resume_refuses_output_schema_config_change(spark, fixture_files, tmp_pa
             spark, str(staging), out, ckpt,
             FilterConfig(num_buckets=8, splits={"train": 0.9, "val": 0.1}),
         )
+
+
+def test_stream_ppl_bucket_labels_match_batch(spark, fixture_files, tmp_path):
+    """The opt-in frozen-cut ppl_bucket column rides the streaming twin through
+    the SAME shared projection as the batch job (run.optional_out_cols):
+    identical per-id labels, and a mid-checkpoint toggle is refused by the
+    schema fingerprint."""
+    import pytest as _pt
+
+    files, staging = fixture_files
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in files:
+        shutil.copy(staging / f, landing / f)
+
+    cuts = {lang: [8.0, 40.0] for lang in ("en", "fr", "de")}
+    cfg = FilterConfig(num_buckets=8, ppl_bucket_cuts=cuts)
+    run_stream_filter(
+        spark, str(landing), str(tmp_path / "s_out"), str(tmp_path / "s_ckpt"), cfg
+    )
+    run_filter(spark, str(staging), str(tmp_path / "b_out"), str(tmp_path / "b_ckpt"), cfg)
+
+    def labels(out):
+        df = spark.read.parquet(os.path.join(str(out), "filtered"))
+        rows = df.select("image_id", "ppl_bucket").collect()
+        assert all(r["ppl_bucket"] is not None for r in rows)
+        return {r["image_id"]: r["ppl_bucket"] for r in rows}
+
+    assert labels(tmp_path / "s_out") == labels(tmp_path / "b_out")
+    with _pt.raises(ValueError, match="output-schema config changed"):
+        run_filter(
+            spark, str(staging), str(tmp_path / "b_out"), str(tmp_path / "b_ckpt"),
+            FilterConfig(num_buckets=8),
+        )
