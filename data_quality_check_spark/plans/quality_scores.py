@@ -46,9 +46,22 @@ class ScoreSpec:
     def from_parquet(cls, path: str, **overrides) -> "ScoreSpec":
         """Build a spec from parquet metadata only (driver-side, no Spark needed) —
         used to generate oracle SQL in `__spark_entry__.oracle_sql()`."""
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
+        # production tables are DIRECTORIES of part files (any part carries
+        # the table schema); single-file fixtures stay supported as-is
+        if os.path.isdir(path):
+            parts = sorted(
+                e
+                for e in os.listdir(path)
+                if e.endswith(".parquet") and not e.startswith(("_", "."))
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            path = os.path.join(path, parts[0])
         schema = pq.read_schema(path)
         numeric, strings = [], []
         for f in schema:
