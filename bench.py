@@ -259,6 +259,10 @@ def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
     universe of that query's banded op (documents for text dedup, the planted
     gate table for embedding LSH)."""
     from data_quality_check_spark import gate_fixtures as GF
+    from data_quality_check_spark.entry_queries import (
+        ASYM_PLANT_MOD as GF_ASYM_MOD,
+        CONTAIN_PLANT_MOD as GF_CONTAIN_MOD,
+    )
 
     if not candidates:
         return {}
@@ -272,10 +276,12 @@ def candidate_fractions(spark, candidates: dict[str, dict[str, int]]) -> dict:
     n_gate = GF.planted_embeddings_df(
         spark.read.parquet(os.path.join(DATA_DIR, "embeddings.parquet"))
     ).count()
-    # the containment gates union planted docs back in: halves for 1/29 of
-    # docs (banded gate), word-safe short prefixes for 1/17 (asym gate)
-    n_band = n_docs + docs.filter(F.col("doc_id") % 29 == 0).count()
-    n_asym = n_docs + docs.filter(F.col("doc_id") % 17 == 0).count()
+    # the containment gates union planted docs back in (halves / word-safe
+    # short prefixes); the moduli are the gates' own shared constants
+    n_band = n_docs + docs.filter(
+        F.col("doc_id") % GF_CONTAIN_MOD == 0
+    ).count()
+    n_asym = n_docs + docs.filter(F.col("doc_id") % GF_ASYM_MOD == 0).count()
     denom_of = {
         "neardup_pairs_lsh": n_gate * (n_gate - 1) / 2,
         "minhash_lsh_pairs": n_docs * (n_docs - 1) / 2,

@@ -2802,13 +2802,17 @@ def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair gate. Prefix derivation is the identical substr/ceil expression in
 # both engines. ─────────────
 _CONTAIN_T = 0.9
-_CONTAIN_V2_SQL = """(
+# plant moduli shared with bench.candidate_fractions (the candidate-universe
+# denominators must track these, so they live here, not as magic numbers)
+CONTAIN_PLANT_MOD = 29
+ASYM_PLANT_MOD = 17
+_CONTAIN_V2_SQL = f"""(
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 3000000 AS doc_id,
          substr(COALESCE(text, ''), 1,
                 CAST(ceil(length(COALESCE(text, '')) / 2.0) AS INT)) AS text
-  FROM documents WHERE doc_id % 29 = 0
+  FROM documents WHERE doc_id % {CONTAIN_PLANT_MOD} = 0
 )"""
 
 
@@ -2824,7 +2828,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(COALESCE(text, ''), 1, "
         "CAST(ceil(length(COALESCE(text, '')) / 2.0) AS INT))"
     )
-    planted = docs.filter(F.col("doc_id") % 29 == 0).select(
+    planted = docs.filter(F.col("doc_id") % CONTAIN_PLANT_MOD == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"), half.alias("text")
     )
     return DD.containment_pairs(
@@ -2844,14 +2848,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # containment SQL plus the size-ratio predicate: the driver value-hashes the
 # sub-quadratic path against brute force. ─────────────
 _ASYM_RATIO = 4.0
-_ASYM_SQL = """(
+_ASYM_SQL = f"""(
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 4000000 AS doc_id,
          array_to_string(list_slice(string_split(COALESCE(text, ''), ' '), 1,
              greatest(3, len(string_split(COALESCE(text, ''), ' ')) // 8)),
              ' ') AS text
-  FROM documents WHERE doc_id % 17 = 0
+  FROM documents WHERE doc_id % {ASYM_PLANT_MOD} = 0
 )"""
 
 
@@ -2868,7 +2872,7 @@ def q_containment_pairs_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_join(slice(split(COALESCE(text, ''), ' '), 1, "
         "greatest(3, size(split(COALESCE(text, ''), ' ')) DIV 8)), ' ')"
     )
-    planted = docs.filter(F.col("doc_id") % 17 == 0).select(
+    planted = docs.filter(F.col("doc_id") % ASYM_PLANT_MOD == 0).select(
         (F.col("doc_id") + 4000000).alias("doc_id"), prefix.alias("text")
     )
     return DD.containment_pairs_asym(

@@ -590,7 +590,17 @@ def containment_pairs_banded(
         .distinct()
     )
     cands = observe_candidates(cands, "containment_banded")
-    confirmed = (
+    return _confirm_containment(cands, base, threshold)
+
+
+def _confirm_containment(cands: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """The shared exact-confirm tail of every candidate-generating containment
+    path (`containment_pairs_banded`, `containment_pairs_asym`): join the
+    (id_a, id_b) candidates back to their FULL shingle arrays, compute exact
+    containment + jaccard (6-dp, the `containment_pairs` rounding), keep
+    pairs at/above threshold. One definition so the "confirm can only drop
+    candidates, never distort values" contract cannot fork between paths."""
+    return (
         cands.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
         .join(base.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
@@ -609,7 +619,6 @@ def containment_pairs_banded(
         )
         .select("id_a", "id_b", "containment", "jaccard")
     )
-    return confirmed
 
 
 def containment_pairs_sql(
@@ -705,33 +714,7 @@ def containment_pairs_asym(
         .distinct()
     )
     cands = observe_candidates(cands, "containment_asym")
-    confirmed = (
-        cands.join(
-            base.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"),
-            "id_a",
-        )
-        .join(
-            base.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
-        .withColumn(
-            "containment",
-            F.round(
-                F.col("inter").cast("double") / F.least(F.size("ta"), F.size("tb")),
-                6,
-            ),
-        )
-        .filter(F.col("containment") >= threshold)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.size("ta") + F.size("tb") - F.col("inter")),
-                6,
-            ),
-        )
-    )
+    confirmed = _confirm_containment(cands, base, threshold)
     # canonical id_a < id_b orientation (the probe side was the smaller doc)
     return confirmed.select(
         F.least("id_a", "id_b").alias("id_a"),
@@ -1714,14 +1697,20 @@ class SeenCorpusArtifacts:
             finally:
                 _release_local_checkpoint(snap)
             stats[suffix] = {"before": before, "after": after}
-        # compact doubles as the meta-stamp migration: re-emit the meta row
-        # with the current format_version (check_config above already proved
-        # the layout IS this version — pre-stamp metas read as version 1)
-        meta = self.io.spark.createDataFrame(
-            [(self.num_hashes, self.bands, self.ngram, self.FORMAT_VERSION)],
-            "num_hashes int, bands int, ngram int, format_version int",
-        )
-        self.io.overwrite(meta, self._t("meta"))
+        # compact doubles as the meta-stamp migration — but ONLY for metas
+        # that lack the stamp (check_config above already proved the layout IS
+        # this version). An unconditional rewrite would open a new crash
+        # window on every compact: overwrite deletes the meta dir before
+        # writing, and meta presence IS the corpus commit marker (exists()),
+        # so a kill mid-rewrite would force a spurious O(corpus) re-init.
+        # The one-time migration keeps that window; steady-state compacts
+        # never touch meta.
+        if "format_version" not in self.io.read(self._t("meta")).columns:
+            meta = self.io.spark.createDataFrame(
+                [(self.num_hashes, self.bands, self.ngram, self.FORMAT_VERSION)],
+                "num_hashes int, bands int, ngram int, format_version int",
+            )
+            self.io.overwrite(meta, self._t("meta"))
         return stats
 
 

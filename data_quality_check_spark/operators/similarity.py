@@ -710,7 +710,9 @@ def ivf_maintenance(
     cell boundaries: every assignment is recomputed together, so the
     append-path invariant "stored assignments always match the centroids
     table" is preserved). `action="report"` only measures — the
-    orchestrator's dry-run / alerting shape; the increment is NOT folded.
+    orchestrator's dry-run / alerting shape; the increment is NOT folded
+    WHATEVER the verdict (a dry run that appended on the quiet path would
+    double-store the increment when the real call follows).
 
     Threshold default 0.2 = the conventional PSI "significant shift" bound
     (0.1–0.2 moderate). Scale: the monitor costs one narrow
@@ -737,7 +739,12 @@ def ivf_maintenance(
     n_new = sum(r["n_b"] for r in cells)
     drifted = psi >= psi_threshold
 
-    if drifted and action == "rebuild":
+    if action == "report":
+        # dry run: measured, never folded — on EITHER side of the threshold
+        # (an append here would double-store the increment when the real
+        # rebuild/append call follows)
+        action_taken = "reported"
+    elif drifted:
         k = n_centroids if n_centroids is not None else int(cents.shape[0])
         # eager snapshot BEFORE the overwrite (the compact() rule): the
         # rebuild's union reads the very vectors files ivf_build_index
@@ -758,8 +765,6 @@ def ivf_maintenance(
         finally:
             _release_local_checkpoint(corpus)
         action_taken = "rebuilt"
-    elif drifted:
-        action_taken = "reported"
     else:
         # in-distribution: the plain O(increment) append path. The pinned
         # `assigned` frame is exactly `_ivf_assigned(new_df, cents)`, so

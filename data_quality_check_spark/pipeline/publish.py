@@ -208,6 +208,17 @@ def _f1_check(spark: SparkSession, staged: DataFrame | None, gates: AuditGates) 
         F.col(gates.labels_id_col).alias("_id"),
         F.col(gates.labels_keep_col).cast("boolean").alias("_label"),
     )
+    # one label row per id: exact repeats collapse; CONTRADICTORY repeats
+    # (both keep and drop for one id — merged hand-label sets do this) become
+    # label NULL → n_unlabeled, because double-counting confusion cells or
+    # picking a side arbitrarily would silently skew the acceptance F1
+    labels = (
+        labels.distinct()
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.first("_label").alias("_label"))
+        .withColumn("_label", F.when(F.col("_n") == 1, F.col("_label")))
+        .drop("_n")
+    )
     if staged is not None:
         pred = (
             staged.select(F.col("image_id").alias("_id"))

@@ -735,6 +735,13 @@ def _check_output_schema_fingerprint(checkpoint_dir: str, cfg: FilterConfig) -> 
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
+        # fingerprints written by earlier code revisions lack later-added
+        # facets; a missing key means that facet was OFF (its pre-upgrade
+        # value) — the same missing-reads-as-default rule as the artifact
+        # format_version stamps, so upgrading the code never refuses a
+        # resume whose config and schema are in fact unchanged
+        prev = {**{k: ([] if isinstance(v, list) else False) for k, v in fp.items()},
+                **prev}
         if prev != fp:
             raise ValueError(
                 "output-schema config changed mid-checkpoint: committed "

@@ -1138,6 +1138,11 @@ def test_ivf_maintenance_appends_in_distribution_rebuilds_on_drift(
         for i in range(60)
     ]
     in_df = spark.createDataFrame(in_rows, "vec_id long, embedding array<double>")
+    # report mode folds NOTHING even below the threshold (a dry run that
+    # appended would double-store the increment when the real call follows)
+    dry0 = SIM.ivf_maintenance(io, in_df, "ann", psi_threshold=0.2, action="report")
+    assert not dry0["drifted"] and dry0["action_taken"] == "reported"
+    assert io.read("ann.vectors").count() == 120
     rep = SIM.ivf_maintenance(io, in_df, "ann", psi_threshold=0.2)
     assert not rep["drifted"] and rep["action_taken"] == "appended"
     assert rep["psi"] < 0.2 and rep["n_new"] == 60 and rep["n_index"] == 120

@@ -1074,6 +1074,20 @@ def test_strict_alpha_class_flips_dimension_spam_default_unchanged(spark):
     assert "×" in ALPHA_CHARS and "÷" in ALPHA_CHARS
     assert "×" not in ALPHA_CHARS_STRICT and "÷" not in ALPHA_CHARS_STRICT
     assert len(ALPHA_CHARS_STRICT) == len(ALPHA_CHARS) - 2
+    # the regex class and its translate-chars complement are maintained as a
+    # PAIR (the 45x-cheaper translate trick rests on them agreeing): pin the
+    # complement relationship over the whole Latin-1 range, both modes
+    import re
+
+    from data_quality_check_spark.pipeline.heuristics import (
+        ALPHA_CLASS,
+        ALPHA_CLASS_STRICT,
+    )
+
+    latin1 = [chr(i) for i in range(0x20, 0x100)]
+    for cls, chars in ((ALPHA_CLASS, ALPHA_CHARS), (ALPHA_CLASS_STRICT, ALPHA_CHARS_STRICT)):
+        rx = re.compile(cls)
+        assert {c for c in latin1 if not rx.match(c)} == set(chars), cls
 
     spam = "× ÷ ×× ÷÷ ××× ÷÷÷ 1×1"
     caps = [
