@@ -646,6 +646,50 @@ _QFLAGS_SQL = (
 )
 
 
+# ───────────── strict alpha class (heuristics.ALPHA_CLASS_STRICT, VERDICT r4
+# task 6): the opt-in texty-char class that stops counting the × ÷ math signs
+# as text. The fixture corpus contains no ×/÷ at all (both modes agree on
+# every real row), so the gate PLANTS dimension-spam on 1/13 of docs — the
+# caption becomes 30 repetitions of "×÷× " plus the first 40 chars of the
+# original text, so the strict ratio (≤0.44) falls under MIN_ALPHA_RATIO while
+# the default ratio (≥0.75) stays above it: the flag flips under strict ONLY,
+# and both engines derive the planted text from the identical repeat/substr
+# expression (chars spelled chr()/\\u00XX so the value hash is byte-exact). ─────
+_SPAM_TEXT_SQL = (
+    "repeat(chr(215) || chr(247) || chr(215) || ' ', 30)"
+    " || substr(COALESCE(text, ''), 1, 40)"
+)
+_STRICT_CASE_SQL = f"(CASE WHEN doc_id % 13 = 0 THEN {_SPAM_TEXT_SQL} ELSE text END)"
+_STRICT_DFLT = H.caption_flags_sql(_STRICT_CASE_SQL)["flag_low_alpha"]
+_STRICT_STRICT = H.caption_flags_sql(_STRICT_CASE_SQL, strict_alpha=True)[
+    "flag_low_alpha"
+]
+_STRICT_SQL = (
+    f"SELECT doc_id, {_STRICT_DFLT} AS flag_low_alpha,\n"
+    f"       {_STRICT_STRICT} AS flag_low_alpha_strict,\n"
+    f"       ({_STRICT_DFLT}) <> ({_STRICT_STRICT}) AS flipped\n"
+    "FROM documents"
+)
+
+
+@register("strict_alpha_flags_documents", _STRICT_SQL)
+def q_strict_alpha_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    spam = F.concat(
+        F.lit("×÷× " * 30),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+    )
+    planted = F.when(F.col("doc_id") % 13 == 0, spam).otherwise(F.col("text"))
+    dflt = H.caption_flags(planted)["flag_low_alpha"]
+    strict = H.caption_flags(planted, strict_alpha=True)["flag_low_alpha"]
+    return docs.select(
+        "doc_id",
+        dflt.alias("flag_low_alpha"),
+        strict.alias("flag_low_alpha_strict"),
+        (dflt != strict).alias("flipped"),
+    )
+
+
 @register("quality_flags_documents", _QFLAGS_SQL)
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "documents")
