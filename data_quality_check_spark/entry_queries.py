@@ -579,6 +579,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compression-ratio redundancy signal (functions/text.compression_stats):
+# boilerplate and template spam DEFLATE far better than natural prose, so
+# compressed/raw size is a cheap language-agnostic quality feature. Oracle =
+# the model_scores precedent: the SAME compressed_size_kernel executed in the
+# driver process and materialized to scratch parquet (value hash checks the
+# Arrow UDF plumbing), with the ratio division/round left to genuine SQL.
+@register(
+    "compression_stats_documents",
+    lambda: _OR.compression_stats_sql(ORACLE_SF_DIR),
+)
+def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.compression_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # Corpus vocabulary heavy hitters (term + document frequency top-k): the
 # tf/df audit a crawl runs to surface boilerplate and candidate stopwords.
 from data_quality_check_spark.operators import vocab as VB  # noqa: E402

@@ -8,6 +8,8 @@ stopword ratio), document fingerprinting, and a stopword-hit language heuristic.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf resolves stringified hints here
+
 from pyspark.sql import Column, functions as F
 
 from data_quality_check_spark.functions.wordlists import STOPWORDS
@@ -214,3 +216,62 @@ def expected_script_sql(lang: str) -> str:
         f"WHEN '{k}' THEN '{v}'" for k, v in sorted(LANG_EXPECTED_SCRIPT.items())
     )
     return f"CASE lower(COALESCE({lang}, '')) {whens} END"
+
+
+# ── compression-ratio redundancy signal ──
+# Boilerplate, template spam, and repeated text DEFLATE far better than
+# natural prose, so compressed_size/raw_size is a cheap, language-agnostic
+# quality feature — the zlib-ratio heuristic open-data curation stacks ship as
+# a standard document filter alongside Gopher-style rules. Level pinned so the
+# value is a pure function of the text (zlib output is deterministic for a
+# fixed input/level/strategy — the oracle twin runs the IDENTICAL kernel in
+# the driver process, so the gate's value hash checks the Arrow plumbing).
+ZLIB_LEVEL = 6
+
+
+def compressed_size_kernel(texts) -> "pd.Series":
+    """Shared python kernel: DEFLATE size in bytes of each text's UTF-8
+    encoding (NULL text → <NA>). The Spark UDF and the DuckDB-side golden
+    both call THIS function, so the two engines cannot drift."""
+    import zlib
+
+    return pd.Series(
+        [
+            None if t is None else len(zlib.compress(str(t).encode("utf-8"), ZLIB_LEVEL))
+            for t in texts
+        ],
+        dtype="Int64",
+        index=getattr(texts, "index", None),
+    )
+
+
+def compressed_size_udf():
+    """Arrow-batched pandas UDF over the shared kernel — ONE python crossing
+    per batch, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _comp(texts: pd.Series) -> pd.Series:
+        return compressed_size_kernel(texts)
+
+    return _comp
+
+
+def compression_stats(df, id_col: str, text_col: str):
+    """Per-document compression redundancy: ({id_col}, n_bytes, n_compressed,
+    compression_ratio) — ratio = round(compressed/raw, 6), NULL for NULL or
+    empty text (nothing to measure). Low ratios (≲0.3 on prose-length docs)
+    mean highly repetitive/templated content; ratios near or above 1 mean
+    high-entropy text (random strings, base64 blobs).
+
+    Scale: `n_bytes` stays JVM-side (octet_length); only the DEFLATE size
+    crosses to Python, as one vectorized Arrow projection — no shuffle, no
+    state, rides any existing scan of the text column."""
+    raw = F.octet_length(F.col(text_col))
+    comp = compressed_size_udf()(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        raw.alias("n_bytes"),
+        comp.alias("n_compressed"),
+        F.round(F.try_divide(comp, raw), 6).alias("compression_ratio"),
+    )

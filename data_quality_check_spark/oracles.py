@@ -814,3 +814,37 @@ r AS (
 )
 SELECT vec_id, cell, centroid_cosine, proto_rank FROM r WHERE proto_rank <= {m}
 """
+
+
+def compression_stats_sql(sf_dir: str) -> str:
+    """Driver-process twin of `functions.text.compression_stats`: the SAME
+    `compressed_size_kernel` (same zlib level, same UTF-8 encoding) executed
+    single-process over the documents table and materialized to scratch
+    parquet — the value hash therefore checks the Spark Arrow plumbing, the
+    model_scores_sql precedent. The ratio division/rounding is left to
+    genuine SQL so the 6-dp arithmetic is DuckDB's own."""
+    from data_quality_check_spark.functions.text import compressed_size_kernel
+
+    docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
+    comp = compressed_size_kernel(docs["text"].where(docs["text"].notna(), None))
+    raw = docs["text"].map(
+        lambda t: None if t is None else len(str(t).encode("utf-8")),
+        na_action="ignore",
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "n_bytes": pd.array(raw, dtype="Int64"),
+            "n_compressed": comp.astype("Int64"),
+        }
+    )
+    path = _write_parquet(out, _scratch(sf_dir, "compression_stats.parquet"))
+    return f"""
+SELECT doc_id,
+       CAST(n_bytes AS INTEGER) AS n_bytes,
+       n_compressed,
+       round(CASE WHEN n_bytes > 0
+                  THEN CAST(n_compressed AS DOUBLE) / n_bytes END, 6)
+         AS compression_ratio
+FROM '{path}'
+"""

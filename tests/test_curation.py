@@ -750,3 +750,55 @@ def test_threshold_sweep_nan_and_inf_policy(spark):
     # denominator counts ALL 5 rows
     full = CU.score_threshold_sweep(df, F.col("s"), steps=4).collect()
     assert all(abs(r["frac_kept"] - r["docs_kept"] / 5) < 1e-9 for r in full)
+
+
+def test_compression_stats_matches_zlib_and_handles_edges(spark):
+    """compression_stats: per-doc DEFLATE sizes must equal a direct zlib
+    recomputation (same kernel both sides — the oracle contract); repetitive
+    text ratios sit far below natural prose, which sits below random hex;
+    NULL text yields NULLs and empty text a NULL ratio."""
+    import zlib
+
+    from data_quality_check_spark.functions.text import (
+        ZLIB_LEVEL,
+        compression_stats,
+    )
+
+    import base64
+    import hashlib
+
+    # doc-length texts: deflate's ~11-byte header dominates sub-100-char
+    # strings and inverts the redundancy ordering there
+    spam = "buy now limited offer " * 40
+    prose = (
+        "the quick brown fox jumps over one lazy dog near a quiet river while "
+        "morning light settles across the valley and distant farms wake slowly "
+        "with smoke rising from their chimneys into a pale and cloudless sky "
+    ) * 4
+    rand = base64.b64encode(
+        b"".join(hashlib.sha256(bytes([i])).digest() for i in range(24))
+    ).decode()  # ~1 KB of incompressible base64
+    rows = [
+        (1, spam),
+        (2, prose),
+        (3, rand),
+        (4, None),
+        (5, ""),
+        (6, "héllo wörld — ünïcode bytes count in UTF-8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in compression_stats(df, "doc_id", "text").collect()}
+
+    for i, t in rows:
+        if t is None:
+            assert got[i]["n_bytes"] is None and got[i]["n_compressed"] is None
+            assert got[i]["compression_ratio"] is None
+            continue
+        enc = t.encode("utf-8")
+        assert got[i]["n_bytes"] == len(enc), i
+        assert got[i]["n_compressed"] == len(zlib.compress(enc, ZLIB_LEVEL)), i
+    assert got[5]["compression_ratio"] is None  # 0 raw bytes -> nothing to measure
+    # redundancy ordering: spam << prose < random hex
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.2  # template spam collapses
+    assert got[3]["compression_ratio"] > 0.7  # high-entropy text doesn't
