@@ -826,16 +826,26 @@ def compression_stats_sql(sf_dir: str) -> str:
     from data_quality_check_spark.functions.text import compressed_size_kernel
 
     docs = _read_cols(sf_dir, "documents", ["doc_id", "text"])
-    comp = compressed_size_kernel(docs["text"].where(docs["text"].notna(), None))
+    comp = compressed_size_kernel(docs["text"])
     raw = docs["text"].map(
         lambda t: None if t is None else len(str(t).encode("utf-8")),
         na_action="ignore",
     )
+    # ratio rounded DRIVER-side through the F.round twin: DuckDB's round()
+    # disagrees with Spark's HALF_UP on 6-dp decimal ties (e.g. 41/640 =
+    # 0.0640625 → 0.064062 vs 0.064063), so leaving the round to SQL makes
+    # the value hash tie-fragile — the same reason model_scores_sql rounds
+    # conf/ppl driver-side
+    ratio = [
+        None if (pd.isna(c) or not r) else float(spark_round([c / r], 6)[0])
+        for c, r in zip(comp, raw.fillna(0))
+    ]
     out = pd.DataFrame(
         {
             "doc_id": docs["doc_id"],
             "n_bytes": pd.array(raw, dtype="Int64"),
-            "n_compressed": comp.astype("Int64"),
+            "n_compressed": comp,
+            "compression_ratio": pd.array(ratio, dtype="Float64"),
         }
     )
     path = _write_parquet(out, _scratch(sf_dir, "compression_stats.parquet"))
@@ -843,8 +853,6 @@ def compression_stats_sql(sf_dir: str) -> str:
 SELECT doc_id,
        CAST(n_bytes AS INTEGER) AS n_bytes,
        n_compressed,
-       round(CASE WHEN n_bytes > 0
-                  THEN CAST(n_compressed AS DOUBLE) / n_bytes END, 6)
-         AS compression_ratio
+       compression_ratio
 FROM '{path}'
 """
