@@ -1188,3 +1188,49 @@ def test_ppl_bucket_labels_ride_the_pass(
         optional_out_cols(
             base, FilterConfig(ppl_bucket_cuts={"en": [9.0, 1.0]}), []
         )
+
+
+def test_fingerprint_missing_key_reads_as_default(tmp_path):
+    """A checkpoint fingerprint written by pre-upgrade code lacks later-added
+    facets; resuming with an unchanged (default-off) config must be accepted —
+    the missing key reads as its pre-upgrade default — while a real facet
+    change still refuses."""
+    import json
+
+    from data_quality_check_spark.pipeline.run import (
+        _check_output_schema_fingerprint,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    # the r4-era fingerprint shape: no ppl_bucket_labels key
+    with open(os.path.join(ckpt, "output_schema.json"), "w") as f:
+        json.dump({"split_labels": [], "assign_aspect_buckets": False}, f)
+    _check_output_schema_fingerprint(ckpt, FilterConfig())  # no raise
+    with pytest.raises(ValueError, match="output-schema config changed"):
+        _check_output_schema_fingerprint(
+            ckpt, FilterConfig(ppl_bucket_cuts={"en": [1.0, 2.0]})
+        )
+
+
+def test_f1_gate_label_duplicates_and_contradictions(spark, tmp_path):
+    """Duplicate label rows must not double-count confusion cells: exact
+    repeats collapse to one vote; contradictory repeats (keep AND drop for one
+    id) become n_unlabeled — missing evidence, not a coin flip."""
+    from data_quality_check_spark.pipeline.publish import AuditGates, _f1_check
+
+    staged = spark.createDataFrame([("a",), ("b",)], "image_id string")
+    labels_path = str(tmp_path / "labels.parquet")
+    pd.DataFrame(
+        {
+            "image_id": ["a", "a", "b", "c", "d", "d"],
+            "keep": [True, True, True, False, True, False],
+        }
+    ).to_parquet(labels_path)
+    gates = AuditGates(min_f1=0.99, labels_path=labels_path)
+    check = _f1_check(spark, staged, gates)
+    obs = check["observed"]
+    # a: dup exact keep labels -> ONE tp; b: tp; c: tn; d: contradictory -> unlabeled
+    assert obs["tp"] == 2 and obs["tn"] == 1 and obs["fp"] == 0 and obs["fn"] == 0
+    assert obs["n_unlabeled"] == 1
+    assert check["passed"] and obs["f1"] == 1.0
